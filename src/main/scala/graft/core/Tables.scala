@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access over the driver testdata layout (`TESTDATA.md`):
+  * one parquet file per table under `sfDir`. Mirrors the reference's
+  * crawler-populated catalog (`/root/reference/etl/oedi_etl/main.py:114-148`)
+  * with explicit reads instead of inference-by-crawler.
+  *
+  * Scale note: each "file" here is a directory-free single parquet at test
+  * scale; at 100 TB the same call reads a hive-partitioned directory tree and
+  * Catalyst's PruneFileSourcePartitions handles partition pruning — no code
+  * change needed at the call sites.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) in parquet, which Spark 4 refuses
+    * to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as a raw long via
+    * the legacy nanosAsLong conf and truncate ns→µs with integer division —
+    * exactly the precision degradation DuckDB applies when casting its
+    * TIMESTAMP_NS to TIMESTAMP, so the oracle sees identical values. */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Register every table as a temp view (the engine's "catalog"),
+    * so `spark.sql` named queries resolve — the Spark analog of the
+    * reference's Glue catalog tables (SURVEY §2.1 S6). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

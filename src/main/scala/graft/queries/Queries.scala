@@ -1,0 +1,360 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** The declared oracle query set (SURVEY §2.9, Q01–Q20): every reference
+  * operator shape re-expressed as an idiomatic Spark DataFrame plan, plus the
+  * exact ANSI SQL the driver runs through DuckDB on the same parquet tables.
+  *
+  * Contract notes (SURVEY §5.4):
+  *  - every computed column is aliased identically in the DataFrame plan and
+  *    the oracle SQL (the driver's compare sorts columns by name);
+  *  - every query ends in a total ORDER BY over a unique key set;
+  *  - float aggregates are ROUNDed in-query on both sides;
+  *  - DuckDB returns BIGINT where Spark builtins return INT (length(), year())
+  *    — those are cast to long on the Spark side so schemas line up.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q01 — scan + filter + project (P2/P3); predicate and both projected
+    * columns must push into the parquet scan. Reference shape:
+    * row predicates of `/root/reference/sql/saved-queries.sql:15-17`. */
+  val q01_scan_filter: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Q02 — the core ETL hour aggregation (A1+A2): date_trunc to hour, min id,
+    * mean measure, `_min`/`_mean` suffix contract of
+    * `/root/reference/etl/oedi_etl/transform.py:53-120`. */
+  val q02_hourly_agg: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("timestamp"))
+      .agg(
+        min(col("event_id")).as("event_id_min"),
+        round(avg(col("value")), 4).as("value_mean"))
+      .orderBy(col("timestamp"))
+
+  /** Q03 — join + COUNT(DISTINCT) (J1+A3), saved-query-1 analog
+    * (`/root/reference/sql/saved-queries.sql:10-17`). customer is the small
+    * side at any scale ratio lineitem:customer, but here orders is the fact:
+    * broadcast the filtered dim. */
+  val q03_join_countdistinct: Q = (s, d) => {
+    val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, d, "orders")
+    broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+      .agg(countDistinct(c("c_custkey")).as("total_customers"))
+  }
+
+  /** Q04 — group + distinct count over a join (A4), saved-query-2 analog
+    * (`/root/reference/sql/saved-queries.sql:19-26`). */
+  val q04_group_distinct: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_custkey")).as("num_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Q05 — CTE + ROW_NUMBER + per-group top-k (W1+W2+W3), saved-query-3
+    * analog (`/root/reference/sql/saved-queries.sql:28-45`). The rn<=k filter
+    * is rewritten by Catalyst to WindowGroupLimit (top-k pushdown) — no full
+    * per-group sort materialization at scale. */
+  val q05_window_topk: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** Q06 — multi-aggregate hash agg (A2 wide form, TPC-H Q1 shape). */
+  val q06_multi_agg: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q07 — chained dimension joins (J1): nation and region are tiny ⇒
+    * explicit broadcast hash joins, zero shuffle of the fact side beyond the
+    * final group-by. */
+  val q07_dim_joins: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("num_customers"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Q08 — anti-join: the discrepancy-ledger "listed but not uploaded"
+    * set-diff (M3, `/root/reference/etl/oedi_etl/monitor.py:87-106`). */
+  val q08_anti_join: Q = (s, d) => {
+    val p = t(s, d, "part")
+    val l = t(s, d, "lineitem").filter(col("l_quantity") > 49)
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+      .select(col("p_partkey"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Q09 — semi-join (EXISTS). */
+  val q09_semi_join: Q = (s, d) => {
+    val p = t(s, d, "part")
+    val l = t(s, d, "lineitem").filter(col("l_quantity") > 49)
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+      .select(col("p_partkey"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Q10 — EXCEPT (distinct set-diff, the ledger shape as a set op). */
+  val q10_except: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Q11 — INTERSECT (distinct). */
+  val q11_intersect: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Q12 — global sort + LIMIT: Spark plans TakeOrderedAndProject (per-
+    * partition top-k + merge on driver), no full sort at scale. */
+  val q12_topk_global: Q = (s, d) =>
+    t(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+
+  /** Q13 — UNION + dedup. */
+  val q13_union: Q = (s, d) => {
+    val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("x"))
+    val c = t(s, d, "customer").filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("x"))
+    o.union(c).distinct().orderBy(col("x"))
+  }
+
+  /** Q14 — equi-join with extra non-equi conjunct (theta residual). */
+  val q14_theta_join: Q = (s, d) => {
+    val l = t(s, d, "lineitem")
+    val o = t(s, d, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey")
+        && l("l_shipdate") > o("o_orderdate"))
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Q15 — analytic window LAG over a per-user event sequence. */
+  val q15_lag_window: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(
+        col("user_id"), col("event_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 4).as("dv"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Q16 — CASE label expression: the upgrade-label function of
+    * `/root/reference/etl/oedi_etl/fetch.py:19-37` (F1) on neutral data. */
+  val q16_case_label: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select(
+        when(col("l_linenumber") === 0, lit("baseline"))
+          .when(col("l_linenumber") < 10,
+            concat(lit("upgrade0"), col("l_linenumber").cast("string")))
+          .otherwise(concat(lit("upgrade"), col("l_linenumber").cast("string")))
+          .as("upgrade_label"))
+      .distinct()
+      .orderBy(col("upgrade_label"))
+
+  /** Q17 — ROLLUP grouping sets; NULLS FIRST to match DuckDB's explicit
+    * ordering (Spark ASC defaults nulls-first, DuckDB defaults nulls-last —
+    * made explicit on both sides). */
+  val q17_rollup: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+
+  /** Q18 — date part extraction + monthly count (tumbling-window parity on
+    * bounded data). year()/month() return INT in Spark, BIGINT in DuckDB —
+    * cast long. */
+  val q18_date_parts: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("y"), col("m"))
+
+  /** Q19 — exact dedup + text stats over documents (X1/X4). */
+  val q19_doc_stats: Q = (s, d) =>
+    t(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        countDistinct(col("text")).as("distinct_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** Q20 — string scalar functions. length() is INT in Spark, BIGINT in
+    * DuckDB — cast long. */
+  val q20_string_fns: Q = (s, d) =>
+    t(s, d, "customer")
+      .filter(col("c_custkey") <= 20)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("pre"),
+        length(col("c_name")).cast("long").as("len"))
+      .orderBy(col("c_custkey"))
+
+  /** name → DataFrame plan. Insertion order preserved for stable reporting. */
+  val queries: Seq[(String, Q)] = Seq(
+    "q01_scan_filter" -> q01_scan_filter,
+    "q02_hourly_agg" -> q02_hourly_agg,
+    "q03_join_countdistinct" -> q03_join_countdistinct,
+    "q04_group_distinct" -> q04_group_distinct,
+    "q05_window_topk" -> q05_window_topk,
+    "q06_multi_agg" -> q06_multi_agg,
+    "q07_dim_joins" -> q07_dim_joins,
+    "q08_anti_join" -> q08_anti_join,
+    "q09_semi_join" -> q09_semi_join,
+    "q10_except" -> q10_except,
+    "q11_intersect" -> q11_intersect,
+    "q12_topk_global" -> q12_topk_global,
+    "q13_union" -> q13_union,
+    "q14_theta_join" -> q14_theta_join,
+    "q15_lag_window" -> q15_lag_window,
+    "q16_case_label" -> q16_case_label,
+    "q17_rollup" -> q17_rollup,
+    "q18_date_parts" -> q18_date_parts,
+    "q19_doc_stats" -> q19_doc_stats,
+    "q20_string_fns" -> q20_string_fns)
+
+  /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        | WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""",
+    "q02_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS timestamp,
+        | MIN(event_id) AS event_id_min, ROUND(AVG(value), 4) AS value_mean
+        | FROM events GROUP BY date_trunc('hour', ts) ORDER BY timestamp""",
+    "q03_join_countdistinct" ->
+      """SELECT COUNT(DISTINCT c.c_custkey) AS total_customers
+        | FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        | WHERE c.c_mktsegment = 'BUILDING'""",
+    "q04_group_distinct" ->
+      """SELECT c.c_mktsegment, COUNT(DISTINCT c.c_custkey) AS num_customers
+        | FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        | GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+    "q05_window_topk" ->
+      """WITH ranked AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+        |  FROM customer)
+        | SELECT c_custkey, c_mktsegment FROM ranked WHERE rn <= 10
+        | ORDER BY c_mktsegment, c_custkey""",
+    "q06_multi_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        | ROUND(SUM(l_quantity), 2) AS sum_qty,
+        | ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        | ROUND(AVG(l_discount), 4) AS avg_disc
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""",
+    "q07_dim_joins" ->
+      """SELECT r.r_name, n.n_name, COUNT(*) AS num_customers
+        | FROM customer c
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""",
+    "q08_anti_join" ->
+      """SELECT p.p_partkey FROM part p
+        | LEFT JOIN lineitem l
+        |   ON p.p_partkey = l.l_partkey AND l.l_quantity > 49
+        | WHERE l.l_orderkey IS NULL ORDER BY p.p_partkey""",
+    "q09_semi_join" ->
+      """SELECT p.p_partkey FROM part p
+        | WHERE EXISTS (SELECT 1 FROM lineitem l
+        |   WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)
+        | ORDER BY p.p_partkey""",
+    "q10_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | ORDER BY o_custkey""",
+    "q11_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | ORDER BY o_custkey""",
+    "q12_topk_global" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS total FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "q13_union" ->
+      """SELECT x FROM (
+        |  SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'F'
+        |  UNION
+        |  SELECT c_custkey AS x FROM customer WHERE c_acctbal < 0) u
+        | ORDER BY x""",
+    "q14_theta_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
+        | JOIN orders o
+        |   ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        | ORDER BY l.l_orderkey, l.l_linenumber""",
+    "q15_lag_window" ->
+      """SELECT user_id, event_id,
+        | ROUND(value - LAG(value) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id), 4) AS dv
+        | FROM events ORDER BY user_id, event_id""",
+    "q16_case_label" ->
+      """SELECT DISTINCT CASE
+        |   WHEN l_linenumber = 0 THEN 'baseline'
+        |   WHEN l_linenumber < 10
+        |     THEN CONCAT('upgrade0', CAST(l_linenumber AS STRING))
+        |   ELSE CONCAT('upgrade', CAST(l_linenumber AS STRING))
+        | END AS upgrade_label FROM lineitem ORDER BY upgrade_label""",
+    "q17_rollup" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+        | GROUP BY ROLLUP(l_returnflag) ORDER BY l_returnflag NULLS FIRST""",
+    "q18_date_parts" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+        | EXTRACT(MONTH FROM o_orderdate) AS m, COUNT(*) AS cnt
+        | FROM orders
+        | GROUP BY EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)
+        | ORDER BY y, m""",
+    "q19_doc_stats" ->
+      """SELECT lang, COUNT(*) AS docs, COUNT(DISTINCT text) AS distinct_docs,
+        | ROUND(AVG(n_chars), 2) AS avg_chars
+        | FROM documents GROUP BY lang ORDER BY lang""",
+    "q20_string_fns" ->
+      """SELECT c_custkey, UPPER(c_name) AS uname, SUBSTR(c_name, 1, 8) AS pre,
+        | LENGTH(c_name) AS len FROM customer
+        | WHERE c_custkey <= 20 ORDER BY c_custkey""",
+  ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
+}
