@@ -1,0 +1,61 @@
+package graft.etl
+
+/** Job specification — the typed form of the reference's `etl_config` JSON
+  * (`/root/reference/README.md:50-107`, consumed at
+  * `/root/reference/etl/oedi_etl/main.py:69-93`).
+  *
+  * AWS-only knobs (bucket names, crawler names, listing page size,
+  * backpressure caps, idle timeout) either dissolve into Spark's scheduler
+  * (SURVEY §2.7) or become the streaming options on [[JobRunner]].
+  */
+final case class JobSpec(
+    releaseName: String,
+    releaseYear: String,
+    state: String,
+    upgrades: Seq[Int],
+    /** root of the hive-partitioned timeseries input */
+    srcRoot: String,
+    /** root holding per-state metadata parquet files */
+    metadataRoot: String,
+    /** reference per-file grouping semantics vs corrected (id, hour) */
+    byId: Boolean = true)
+
+final case class EtlConfig(
+    outputRoot: String,
+    jobs: Seq[JobSpec])
+
+object EtlConfig {
+
+  /** Parse the reference-shaped config JSON. Uses Jackson (ships with Spark)
+    * — no extra dependency. Field names follow the reference's snake_case
+    * (`README.md:50-107`). */
+  def fromJson(json: String): EtlConfig = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val root = new ObjectMapper().readTree(json)
+    def str(n: com.fasterxml.jackson.databind.JsonNode, f: String): String = {
+      val v = n.get(f)
+      require(v != null, s"missing config field: $f")
+      v.asText
+    }
+    val jobs = root.get("job_specific") match {
+      case null => Seq.empty[JobSpec]
+      case arr =>
+        (0 until arr.size).map { i =>
+          val j = arr.get(i)
+          val upgrades = j.get("upgrades") match {
+            case null => Seq(0)
+            case u => (0 until u.size).map(k => u.get(k).asInt)
+          }
+          JobSpec(
+            releaseName = str(j, "release_name"),
+            releaseYear = str(j, "release_year"),
+            state = str(j, "state"),
+            upgrades = upgrades,
+            srcRoot = str(j, "src_root"),
+            metadataRoot = str(j, "metadata_root"),
+            byId = Option(j.get("by_id")).forall(_.asBoolean(true)))
+        }
+    }
+    EtlConfig(outputRoot = str(root, "output_root"), jobs = jobs)
+  }
+}

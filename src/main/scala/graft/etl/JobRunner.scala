@@ -1,0 +1,140 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ledger.Ledger
+
+/** End-to-end ETL job: the Spark re-expression of the reference pipeline
+  * (`/root/reference/etl/oedi_etl/{main,etl_job,fetch,transform,upload}.py`,
+  * lifecycle SURVEY §3.1 stages 4-12).
+  *
+  * The reference's queue/worker/backpressure plumbing dissolves into Spark's
+  * scheduler (SURVEY §2.7): listing+pruning = Catalyst partition discovery,
+  * fetch+decode = vectorized parquet scan, worker pool = executor cores,
+  * upload threads = output committers. What this class preserves is the
+  * *semantics*: partition-pruned input selection, hour aggregation with the
+  * `_min`/`_mean` naming contract, snappy parquet output under a run-stamped
+  * root preserving `upgrade=`/`state=` dirs, raw metadata bypass copy, and
+  * the discrepancy ledger.
+  */
+object JobRunner {
+
+  final case class Result(dataOut: String, metadataOut: String, ledger: Ledger.Report)
+
+  /** @param runId run-stamp for the output dir (reference `main.py:58-60`);
+    *              caller-supplied so runs are reproducible/testable. */
+  def run(spark: SparkSession, spec: JobSpec, outputRoot: String, runId: String): Result = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(spec.srcRoot).getFileSystem(conf)
+
+    // -- 1. Partition-pruned input selection (S1/P1): only the requested
+    //    upgrade=/state= dirs are ever listed, mirroring prefix construction
+    //    in fetch.py:60-83.
+    val partDirs = spec.upgrades.map(u => s"${spec.srcRoot}/upgrade=$u/state=${spec.state}")
+      .filter(p => fs.exists(new Path(p)))
+
+    val listedFiles: Seq[String] = partDirs.flatMap { dir =>
+      val it = fs.listFiles(new Path(dir), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toUri.getPath
+      }
+      buf
+    }
+
+    // -- 2. Scan (S2/S3). ignoreCorruptFiles reproduces the reference's
+    //    per-file failure tolerance (a bad file is skipped, surfaces in the
+    //    ledger, and never kills the job — README.md:337-361).
+    val obs = new Observation("etl_input")
+    val input: DataFrame = spark.read
+      .option("basePath", spec.srcRoot)
+      .option("ignoreCorruptFiles", "true")
+      .parquet(partDirs: _*)
+      .observe(obs, count(lit(1)).as("rows"))
+
+    // -- 3. Transform (A1/A2): group by (upgrade, state[, bldg_id], hour).
+    //    Measure columns are schema-on-read: every double column that isn't
+    //    a key (the reference hardcodes its 51-name list and fails per-file
+    //    when one is missing — transform.py:57-122; deriving from the schema
+    //    generalizes that contract without changing results on conforming
+    //    data, since the 51 are exactly the non-key doubles).
+    val keyCols = Set("timestamp", "bldg_id", "upgrade", "state")
+    val measures = input.schema.fields
+      .filter(f => f.dataType == org.apache.spark.sql.types.DoubleType &&
+        !keyCols.contains(f.name))
+      .map(_.name).toSeq
+    val aggregated = HourlyAggregate(
+      input,
+      measureCols = measures,
+      byId = spec.byId,
+      extraKeys = Seq("upgrade", "state"))
+
+    // -- 4. Sink (S5): snappy parquet, hive layout preserved, run-stamped root.
+    val dataOut = s"$outputRoot/$runId/data"
+    val outObs = new Observation("etl_output")
+    aggregated
+      .observe(outObs, count(lit(1)).as("rows"))
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy("upgrade", "state")
+      .parquet(dataOut)
+
+    // Files that actually contributed rows — distinct _metadata.file_path.
+    // Separate lightweight action (file-path column only, no measure decode).
+    val processedPaths = spark.read
+      .option("basePath", spec.srcRoot)
+      .option("ignoreCorruptFiles", "true")
+      .parquet(partDirs: _*)
+      .select(col("_metadata.file_path").as("path"))
+      .distinct()
+      .withColumn("path", regexp_replace(col("path"), "^file:", ""))
+
+    // -- 5. Metadata bypass (S4): raw byte copy, never decoded
+    //    (fetch.py:143-149,161-196).
+    val metadataOut = s"$outputRoot/$runId/metadata"
+    val metaKeys = spec.upgrades.flatMap(u =>
+      PartitionPaths.metadataKeys(spec.metadataRoot, u, spec.state))
+    val bypassed = MetadataBypass.copyAll(conf, metaKeys, metadataOut)
+
+    // -- 6. Ledger (M3): listed vs processed anti-join + counters.
+    val listedDf = Ledger.pathsDf(spark, listedFiles)
+    val missing = Ledger.discrepancy(listedDf, processedPaths)
+      .collect().map(_.getString(0)).toSeq.sorted
+
+    val report = Ledger.Report(
+      listed = listedFiles.size,
+      processed = listedFiles.size - missing.size,
+      bypassed = bypassed,
+      inputRows = obs.get("rows").asInstanceOf[Long],
+      outputRows = outObs.get("rows").asInstanceOf[Long],
+      discrepancies = missing)
+
+    Result(dataOut, metadataOut, report)
+  }
+
+  /** Run every job in a config (reference `main.py:64-108` fan-out; jobs are
+    * independent Spark jobs and may share the session). */
+  def runAll(spark: SparkSession, cfg: EtlConfig, runId: String): Seq[Result] =
+    cfg.jobs.map(run(spark, _, cfg.outputRoot, runId))
+}
+
+/** Raw passthrough copy of metadata files (S4). The reference S3-copies
+  * without decoding; byte-identity is the contract. */
+object MetadataBypass {
+  def copyAll(conf: org.apache.hadoop.conf.Configuration,
+      srcKeys: Seq[String], destDir: String): Long = {
+    val dest = new Path(destDir)
+    val destFs = dest.getFileSystem(conf)
+    destFs.mkdirs(dest)
+    srcKeys.count { key =>
+      val src = new Path(key)
+      val srcFs = src.getFileSystem(conf)
+      srcFs.exists(src) && FileUtil.copy(
+        srcFs, src, destFs, new Path(dest, src.getName),
+        false /* deleteSource */, true /* overwrite */, conf)
+    }.toLong
+  }
+}

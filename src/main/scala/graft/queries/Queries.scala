@@ -233,6 +233,21 @@ object Queries {
         length(col("c_name")).cast("long").as("len"))
       .orderBy(col("c_custkey"))
 
+  /** Q21 — the ETL hourly-aggregation operator itself (A1+A2 via
+    * [[graft.etl.HourlyAggregate]], table-level byId mode) driven as a query,
+    * so the driver's oracle checks the production transform, not a re-typed
+    * copy. Rounding applied on top for float determinism (§5.4). */
+  val q21_etl_hourly_by_user: Q = (s, d) => {
+    val out = graft.etl.HourlyAggregate(
+      t(s, d, "events"),
+      timeCol = "ts", idCol = "user_id",
+      measureCols = Seq("value"), byId = true)
+    out.select(
+        col("ts"), col("user_id_min"), col("ts_min"),
+        round(col("value_mean"), 4).as("value_mean"))
+      .orderBy(col("user_id_min"), col("ts"))
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -254,7 +269,8 @@ object Queries {
     "q17_rollup" -> q17_rollup,
     "q18_date_parts" -> q18_date_parts,
     "q19_doc_stats" -> q19_doc_stats,
-    "q20_string_fns" -> q20_string_fns)
+    "q20_string_fns" -> q20_string_fns,
+    "q21_etl_hourly_by_user" -> q21_etl_hourly_by_user)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -356,5 +372,13 @@ object Queries {
       """SELECT c_custkey, UPPER(c_name) AS uname, SUBSTR(c_name, 1, 8) AS pre,
         | LENGTH(c_name) AS len FROM customer
         | WHERE c_custkey <= 20 ORDER BY c_custkey""",
+    // make_timestamp(µs) reproduces Spark's ns→µs truncation of the raw
+    // MIN(ts); without it DuckDB would keep ns precision and hash-mismatch.
+    "q21_etl_hourly_by_user" ->
+      """SELECT date_trunc('hour', ts) AS ts, MIN(user_id) AS user_id_min,
+        | make_timestamp(epoch_ns(MIN(ts)) // 1000) AS ts_min,
+        | ROUND(AVG(value), 4) AS value_mean
+        | FROM events GROUP BY user_id, date_trunc('hour', ts)
+        | ORDER BY user_id_min, ts""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

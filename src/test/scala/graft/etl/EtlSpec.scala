@@ -1,0 +1,221 @@
+package graft.etl
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class SchemaDefsSpec extends SparkSpec {
+  test("51 energy measure columns in reference declaration order") {
+    assert(SchemaDefs.energyColumns.size === 51)
+    assert(SchemaDefs.energyColumns.head ===
+      "out.district_cooling.cooling.energy_consumption")
+    assert(SchemaDefs.energyColumns.last ===
+      "out.site_energy.total.energy_consumption_intensity")
+    // the one asymmetry: other_fuel.water_systems has no _intensity
+    assert(SchemaDefs.energyColumns.contains(
+      "out.other_fuel.water_systems.energy_consumption"))
+    assert(!SchemaDefs.energyColumns.contains(
+      "out.other_fuel.water_systems.energy_consumption_intensity"))
+    assert(SchemaDefs.energyColumns.distinct.size === 51)
+  }
+
+  test("hourly output contract columns") {
+    assert(SchemaDefs.hourlyOutputColumns.take(3) ===
+      Seq("timestamp", "bldg_id_min", "timestamp_min"))
+    assert(SchemaDefs.hourlyOutputColumns.size === 54)
+    assert(SchemaDefs.hourlyOutputColumns.count(_.endsWith("_mean")) === 51)
+  }
+}
+
+class UpgradeLabelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("truth table matches fetch.py:19-37") {
+    assert(PartitionPaths.upgradeLabel(0) === "baseline")
+    assert(PartitionPaths.upgradeLabel(1) === "upgrade01")
+    assert(PartitionPaths.upgradeLabel(9) === "upgrade09")
+    assert(PartitionPaths.upgradeLabel(10) === "upgrade10")
+    assert(PartitionPaths.upgradeLabel(25) === "upgrade25")
+  }
+
+  test("Column form agrees with Scala form") {
+    val vals = (0 to 30).toDF("u")
+    val got = vals.select($"u", PartitionPaths.upgradeLabelCol($"u").as("l"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    (0 to 30).foreach(u => assert(got(u) === PartitionPaths.upgradeLabel(u)))
+  }
+
+  test("metadata keys follow the state/label naming convention") {
+    val keys = PartitionPaths.metadataKeys("/meta", 1, "AK")
+    assert(keys === Seq(
+      "/meta/state=AK/parquet/AK_upgrade01_basic_metadata_and_annual_results.parquet",
+      "/meta/state=AK/parquet/AK_upgrade01_metadata_and_annual_results.parquet"))
+  }
+}
+
+class HourlyAggregateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val input = Seq(
+    // bldg 1: four 15-min rows in hour 10, two in hour 11
+    (ts("2024-01-01 10:00:00"), 1L, 1.0, 10.0),
+    (ts("2024-01-01 10:15:00"), 1L, 2.0, 20.0),
+    (ts("2024-01-01 10:30:00"), 1L, 3.0, 30.0),
+    (ts("2024-01-01 10:45:00"), 1L, 4.0, 40.0),
+    (ts("2024-01-01 11:00:00"), 1L, 8.0, 80.0),
+    (ts("2024-01-01 11:15:00"), 1L, 10.0, 100.0),
+    // bldg 2: same hour 10 — must stay separate in byId mode
+    (ts("2024-01-01 10:05:00"), 2L, 100.0, 0.5))
+    .toDF("timestamp", "bldg_id", "m1", "m2")
+
+  test("byId: groups by (bldg_id, hour); _min/_mean contract") {
+    val out = HourlyAggregate(input, measureCols = Seq("m1", "m2"), byId = true)
+    assert(out.columns.toSeq === Seq("timestamp", "bldg_id_min", "timestamp_min", "m1_mean", "m2_mean"))
+    val rows = out.orderBy("bldg_id_min", "timestamp").collect()
+    assert(rows.length === 3)
+    val r1 = rows(0) // bldg 1 hour 10
+    assert(r1.getTimestamp(0) === ts("2024-01-01 10:00:00"))
+    assert(r1.getLong(1) === 1L)
+    assert(r1.getTimestamp(2) === ts("2024-01-01 10:00:00")) // min of raw ts
+    assert(r1.getDouble(3) === 2.5)
+    assert(r1.getDouble(4) === 25.0)
+    val r2 = rows(1) // bldg 1 hour 11
+    assert(r2.getTimestamp(0) === ts("2024-01-01 11:00:00"))
+    assert(r2.getDouble(3) === 9.0)
+    val r3 = rows(2) // bldg 2
+    assert(r3.getLong(1) === 2L)
+    assert(r3.getDouble(3) === 100.0)
+  }
+
+  test("hour-only (reference per-file semantics) merges buildings") {
+    val out = HourlyAggregate(input, measureCols = Seq("m1", "m2"), byId = false)
+    val rows = out.orderBy("timestamp").collect()
+    assert(rows.length === 2) // hour 10 (both buildings), hour 11
+    val h10 = rows(0)
+    assert(h10.getLong(1) === 1L) // min(bldg_id) across the merged group
+    assert(h10.getDouble(3) === (1.0 + 2 + 3 + 4 + 100) / 5)
+  }
+
+  test("timestamp_min preserves the earliest raw (pre-floor) timestamp") {
+    val shifted = Seq((ts("2024-01-01 10:20:00"), 7L, 1.0)).toDF("timestamp", "bldg_id", "m")
+    val out = HourlyAggregate(shifted, measureCols = Seq("m")).collect().head
+    assert(out.getTimestamp(0) === ts("2024-01-01 10:00:00"))
+    assert(out.getTimestamp(2) === ts("2024-01-01 10:20:00"))
+  }
+
+  test("group count preservation: one output group per distinct (bldg, hour)") {
+    val out = HourlyAggregate(input, measureCols = Seq("m1", "m2"), byId = true)
+    val expected = input
+      .select($"bldg_id", date_trunc("hour", $"timestamp"))
+      .distinct().count()
+    assert(out.count() === expected)
+  }
+
+  test("dotted measure columns (real energy schema) aggregate cleanly") {
+    val c0 = SchemaDefs.energyColumns.head
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(ts("2024-01-01 00:00:00"), 5L, 1.0),
+        Row(ts("2024-01-01 00:15:00"), 5L, 3.0)),
+      StructType(Seq(
+        StructField("timestamp", TimestampType),
+        StructField("bldg_id", LongType),
+        StructField(c0, DoubleType))))
+    val out = HourlyAggregate(df, measureCols = Seq(c0))
+    assert(out.columns.toSeq.last === s"${c0}_mean")
+    assert(out.select(SchemaDefs.qcol(s"${c0}_mean")).collect().head.getDouble(0) === 2.0)
+  }
+}
+
+class JobRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("end-to-end: partitioned read, hourly agg, partitioned write, bypass, ledger") {
+    val root = Files.createTempDirectory("graft_etl").toString
+    val src = s"$root/src"
+    val meta = s"$root/meta"
+    val out = s"$root/out"
+
+    // hive-partitioned 15-min fixture: upgrades 0,1 / state AK, 2 buildings
+    val rows = for {
+      u <- Seq(0, 1); b <- Seq(10L, 20L); q <- 0 until 8
+    } yield (ts(f"2024-03-01 ${q / 4}%02d:${(q % 4) * 15}%02d:00"), b + u, (b + q).toDouble, u, "AK")
+    rows.toDF("timestamp", "bldg_id", "m", "upgrade", "state")
+      .write.partitionBy("upgrade", "state").parquet(src)
+    // an extra upgrade that must be pruned away
+    Seq((ts("2024-03-01 00:00:00"), 999L, 1.0, 7, "AK"))
+      .toDF("timestamp", "bldg_id", "m", "upgrade", "state")
+      .write.mode("append").partitionBy("upgrade", "state").parquet(src)
+
+    // metadata files (content arbitrary; bypass must copy bytes untouched)
+    Seq((10L, "AK")).toDF("bldg_id", "in_state").coalesce(1).write.parquet(s"$root/m0")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val m0 = fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/m0/*.parquet")).head.getPath
+    val mdir = new org.apache.hadoop.fs.Path(s"$meta/state=AK/parquet")
+    fs.mkdirs(mdir)
+    for (label <- Seq("baseline", "upgrade01"); kind <- Seq("basic_metadata", "metadata")) {
+      fs.copyFromLocalFile(false, true, m0,
+        new org.apache.hadoop.fs.Path(mdir, s"AK_${label}_${kind}_and_annual_results.parquet"))
+    }
+
+    val spec = JobSpec("rel", "2024", "AK", Seq(0, 1), src, meta)
+    val res = JobRunner.run(spark, spec, out, "run1")
+
+    // output exists, hive dirs preserved, snappy parquet
+    val got = spark.read.parquet(res.dataOut)
+    assert(got.columns.contains("upgrade") && got.columns.contains("state"))
+    assert(got.select("upgrade").distinct().as[Int].collect().sorted === Array(0, 1))
+    // pruning: upgrade=7 never read
+    assert(!got.select("bldg_id_min").as[Long].collect().contains(999L))
+    // 2 upgrades x 2 buildings x 2 hours
+    assert(got.count() === 8)
+    val h0 = got.filter($"upgrade" === 0 && $"bldg_id_min" === 10L &&
+        $"timestamp" === ts("2024-03-01 00:00:00")).collect().head
+    assert(h0.getAs[Double]("m_mean") === (10 + 11 + 12 + 13) / 4.0)
+
+    // metadata bypass: byte-identical copies
+    assert(res.ledger.bypassed === 4)
+    val copied = fs.globStatus(new org.apache.hadoop.fs.Path(s"${res.metadataOut}/*.parquet"))
+    assert(copied.length === 4)
+    val srcBytes = Files.readAllBytes(java.nio.file.Paths.get(m0.toUri.getPath))
+    val dstBytes = Files.readAllBytes(java.nio.file.Paths.get(copied.head.getPath.toUri.getPath))
+    assert(java.util.Arrays.equals(srcBytes, dstBytes))
+
+    // ledger: clean run — all listed processed, no discrepancies
+    assert(res.ledger.listed > 0)
+    assert(res.ledger.discrepancies.isEmpty)
+    assert(res.ledger.processed === res.ledger.listed)
+    assert(res.ledger.inputRows === 32)
+    assert(res.ledger.outputRows === 8)
+    assert(res.ledger.toJson.contains("\"Listed but not Uploaded\""))
+  }
+
+  test("corrupt file surfaces in the discrepancy ledger, job still succeeds") {
+    val root = Files.createTempDirectory("graft_etl_bad").toString
+    val src = s"$root/src"
+    Seq((ts("2024-03-01 00:00:00"), 1L, 1.0, 0, "AK"),
+      (ts("2024-03-01 00:15:00"), 1L, 3.0, 0, "AK"))
+      .toDF("timestamp", "bldg_id", "m", "upgrade", "state")
+      .write.partitionBy("upgrade", "state").parquet(src)
+    // plant a corrupt parquet alongside (fixture A.4 / README.md:339-362)
+    val bad = java.nio.file.Paths.get(s"$src/upgrade=0/state=AK/zz-corrupt.parquet")
+    Files.write(bad, Array[Byte](1, 2, 3, 4, 5))
+
+    val spec = JobSpec("rel", "2024", "AK", Seq(0), src, s"$root/nometa")
+    val res = JobRunner.run(spark, spec, s"$root/out", "run1")
+
+    assert(res.ledger.discrepancies.exists(_.endsWith("zz-corrupt.parquet")))
+    assert(res.ledger.processed === res.ledger.listed - 1)
+    assert(spark.read.parquet(res.dataOut).count() === 1)
+    assert(res.ledger.bypassed === 0) // metadata dir absent → nothing copied
+  }
+}
