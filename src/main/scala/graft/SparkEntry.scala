@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Queries
+import graft.queries.{ExtQueries, Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,10 +15,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.queries.toMap
+    (Queries.queries ++ ExtQueries.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check (Tier B). */
   def oracleSql: Map[String, String] =
-    Queries.oracleSql
+    Queries.oracleSql ++ ExtQueries.oracleSql
 }

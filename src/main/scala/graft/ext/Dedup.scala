@@ -1,0 +1,219 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X1/X2 — deduplication operators for training-data pipelines (SURVEY §2.8).
+  *
+  * Scale design notes (100 TB):
+  *  - exact dedup shuffles a 64-bit content hash + length, never the text;
+  *  - MinHash/LSH shuffles `bands` small rows per document (band key + id),
+  *    never a crossJoin: candidate pairs only form inside equal LSH buckets;
+  *  - Jaccard verification re-joins shingle sets only for candidate ids
+  *    (semi-join pruned scan);
+  *  - cluster merge is iterative min-label propagation over the pair graph,
+  *    converging in O(log diameter) Spark jobs — near-dup graphs are
+  *    overwhelmingly tiny cliques, so 5-10 iterations suffice and each is a
+  *    shuffle of (id, label) pairs only.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on explicit columns (X1): `dropDuplicates` — hash shuffle
+    * on the named columns, first-seen row wins per group. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Exact content dedup with a deterministic winner: keeps the row with the
+    * minimum `idCol` per identical `textCol`. Shuffles (hash64, length)
+    * instead of the full text — at 100 TB the text column never moves. */
+  def exactByContent(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val key = Seq(xxhash64(col(textCol)), length(col(textCol)))
+    val w = Window.partitionBy(key: _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Duplicate-group summary (the oracle-checkable face of X1): one row per
+    * distinct content with the surviving id and the copy count. */
+  def duplicateGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------- MinHash
+
+  /** @param numPerm     signature length (hash permutations)
+    * @param bands       LSH bands; rows-per-band = numPerm / bands. With
+    *                    (numPerm=64, bands=16) the candidate threshold is
+    *                    ≈ (1/16)^(1/4) ≈ 0.5 Jaccard.
+    * @param shingleSize word n-gram size
+    * @param threshold   verified-Jaccard cutoff for a pair to count as dup */
+  final case class MinHashParams(
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7) {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    def rowsPerBand: Int = numPerm / bands
+  }
+
+  import graft.functions.ColumnOps.letCol
+
+  /** Distinct word n-gram shingles of a text column. Empty/short texts get
+    * one whole-text shingle so they can still collide exactly.
+    * letCol-bound so tokenization happens once per row, not once per
+    * shingle window (see [[graft.functions.ColumnOps.letCol]]). */
+  def shingles(text: Column, n: Int): Column =
+    letCol(TextStats.tokens(text)) { toks =>
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    }
+
+  /** MinHash signature: each shingle is string-hashed ONCE (builtin
+    * xxhash64), then the per-permutation min-loop runs inside the native
+    * codegen'd [[graft.functions.MinHashSignature]] kernel — the
+    * O(numPerm·|shingles|) inner loop never touches interpreted
+    * higher-order-function evaluation. */
+  def minhashSignature(shingleArr: Column, numPerm: Int): Column =
+    graft.functions.HashFunctions.minhashSignature(
+      transform(shingleArr, s => xxhash64(s)), numPerm)
+
+  /** LSH band keys: hash of each signature slice. Output: array of `bands`
+    * longs; equal element b ⇒ candidate pair in band b. letCol-bound: the
+    * signature is computed once, not once per band. */
+  def bandKeys(signature: Column, p: MinHashParams): Column =
+    letCol(signature) { sig =>
+      transform(
+        sequence(lit(0), lit(p.bands - 1)),
+        b => xxhash64(b, concat_ws(",", slice(sig, b * p.rowsPerBand + 1, lit(p.rowsPerBand)))))
+    }
+
+  /** (id, shingles, band-key array) computed ONCE and cached — the sketch
+    * table every downstream stage (banding self-join, Jaccard verify) reads.
+    * At 100 TB this is the materialization you want anyway: sketches are
+    * ~1% the size of the text and are consumed multiple times. */
+  private def sketchTable(df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        shingles(col(textCol), p.shingleSize).as("sh"))
+      .withColumn("bk", bandKeys(minhashSignature(col("sh"), p.numPerm), p))
+      .cache()
+
+  /** Candidate pairs (idA < idB) that share at least one LSH band bucket. */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame =
+    candidatesFromSketch(sketchTable(df, idCol, textCol, p))
+
+  private def candidatesFromSketch(sketch: DataFrame): DataFrame = {
+    val exploded = sketch
+      .select(col("id"), posexplode(col("bk")).as(Seq("band", "key")))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs with exact Jaccard verification over shingle sets:
+    * candidates from LSH banding, then joins back to the cached sketch
+    * table for both shingle arrays and |A∩B| / |A∪B|. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val sketch = sketchTable(df, idCol, textCol, p)
+    val sh = sketch.select(col("id"), col("sh"))
+    candidatesFromSketch(sketch)
+      .join(sh.toDF("id_a", "sh_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= p.threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ------------------------------------------------- cluster merge / dedup
+
+  /** Connected components over an (id_a, id_b) pair graph. Returns
+    * (id, cluster) where cluster is the min id reachable.
+    *
+    * Near-dup edge sets are tiny relative to the corpus (pairs above a 0.7
+    * Jaccard threshold), so below `driverEdgeLimit` edges we collect and run
+    * union-find on the driver — one Spark job instead of ~3 per propagation
+    * round. Beyond the limit, the distributed min-label propagation loop
+    * takes over (O(log diameter) rounds, shuffling only (id, label)). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val cachedPairs = pairs.select(col("id_a"), col("id_b")).cache()
+    val nEdges = cachedPairs.count()
+    if (nEdges <= driverEdgeLimit) {
+      import spark.implicits._
+      val edges = cachedPairs.as[(Long, Long)].collect()
+      cachedPairs.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = parent.keys.toSeq.map(id => (id, find(id)))
+      return spark.createDataset(labels).toDF("id", "cluster")
+    }
+    distributedComponents(cachedPairs, maxIter)
+  }
+
+  private def distributedComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbor-min pass: each node adopts min(own, neighbors') label
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nc"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nc")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full near-dup dedup: keep the min-id representative of every near-dup
+    * cluster, pass through everything unclustered. */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val clusters = connectedComponents(nearDupPairs(df, idCol, textCol, p))
+    val losers = clusters.filter(col("id") =!= col("cluster")).select(col("id"))
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X2 — SimHash near-dup detection (Charikar fingerprints).
+  *
+  * simhash64: per token, hash to 64 bits; accumulate +1/-1 per bit position;
+  * final bit b is 1 iff the accumulated weight is positive. Documents within
+  * small Hamming distance of each other are near-duplicates.
+  *
+  * Candidate generation uses the pigeonhole banding trick: split the 64-bit
+  * fingerprint into `maxHamming + 1` chunks — any pair within `maxHamming`
+  * bit flips must agree exactly on at least one chunk, so an equi-join per
+  * chunk finds all such pairs with no crossJoin (the plan that survives
+  * 100 TB; the verify step is bit_count(xor) on the candidate set only).
+  *
+  * Entirely builtin higher-order expressions — codegen'd, no UDF.
+  */
+object SimHash {
+
+  /** 64-bit SimHash of a token array: each token string-hashed once
+    * (builtin xxhash64), bit-weight accumulation in the native codegen'd
+    * [[graft.functions.SimHash64]] kernel. */
+  def simhash64(tokens: Column): Column =
+    graft.functions.HashFunctions.simhash64(transform(tokens, t => xxhash64(t)))
+
+  /** Fingerprints: (id, simhash) for a text column. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), simhash64(TextStats.tokens(col(textCol))).as("simhash"))
+
+  /** All pairs (id_a < id_b) with Hamming(simhash_a, simhash_b) <= maxHamming. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPerChunk = 64 / chunks
+    val fp = fingerprints(df, idCol, textCol)
+    val banded = fp.select(col("id"), col("simhash"),
+      posexplode(transform(
+        sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftrightunsigned", col("simhash"), (c * bitsPerChunk).cast("int"))
+          .bitwiseAND(shiftleft(lit(1L), bitsPerChunk) - 1L)))
+        .as(Seq("chunk", "key")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}
+
+/** X2 — exact n-gram Jaccard similarity via inverted-index join (the
+  * no-approximation reference point for MinHash).
+  *
+  * Plan shape: explode distinct shingles → (shingle, id) inverted index →
+  * self-equi-join on shingle → per-pair intersection counts → Jaccard from
+  * |A|, |B|, |A∩B|. `maxShingleFreq` drops shingles that occur in more than
+  * F documents before the join — the standard guard against quadratic
+  * blowup on boilerplate shingles at scale (dropped shingles can only lower
+  * measured Jaccard, never create false positives above the threshold from
+  * nothing; log the cap when tuning recall).
+  */
+object NgramJaccard {
+
+  def pairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.7,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), Dedup.shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val filtered = inv.join(
+      inv.groupBy("s").agg(count(lit(1)).as("df_count"))
+        .filter(col("df_count") <= maxShingleFreq),
+      "s")
+    val a = filtered.as("a")
+    val b = filtered.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

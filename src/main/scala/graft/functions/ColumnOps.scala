@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Expression-level helpers shared by the ext operators. */
+object ColumnOps {
+
+  /** Let-binding for Column expressions: evaluate `c` ONCE per row and bind
+    * it to a lambda variable inside `body`.
+    *
+    * Catalyst evaluates any expression referenced inside a higher-order-
+    * function lambda on EVERY lambda invocation — so nesting like
+    * `transform(seq(0,63), k -> array_min(transform(shingles(text), ...)))`
+    * re-tokenizes the document 64 times, and stacking stages multiplies
+    * (observed: minhash band keys = 16 bands × 64 perms × ~90 slices × 1
+    * regex split ≈ 10^5 redundant evals per row — a hang at 500 rows).
+    * Wrapping the expensive value as a one-element array and binding it via
+    * `transform` makes every use inside `body` a NamedLambdaVariable
+    * reference (O(1)), restoring the intended per-stage cost. */
+  def letCol(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), x => body(x)), 1)
+
+  /** Two-value let-binding. */
+  def letCol2(a: Column, b: Column)(body: (Column, Column) => Column): Column =
+    letCol(a)(av => letCol(b)(bv => body(av, bv)))
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, NgramJaccard, Similarity, SimHash, TextStats}
+
+/** Extension-operator queries (SURVEY §2.8 X1–X5): the training-data-pipeline
+  * surface. Oracle-checkable entries (portable SQL) are in [[oracleSql]];
+  * the rest are Tier B (driver records rows-only; semantics verified by
+  * ScalaTest/property specs).
+  *
+  * Near-dup queries run against `withPlantedDups`: the documents table plus
+  * deterministic mutated copies, so the dedup operators demonstrably fire on
+  * data whose true duplicate structure is known by construction (the raw
+  * synthetic table has 500 fully distinct texts).
+  */
+object ExtQueries {
+
+  import Queries.Q
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  /** documents ∪ near-copies: for doc_id < 25, append one token to the text
+    * and re-id as doc_id + 1,000,000 (high Jaccard with the original);
+    * for doc_id < 10 add an EXACT copy re-id'd + 2,000,000. */
+  def withPlantedDups(docs: DataFrame): DataFrame = {
+    val near = docs.filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" appended")))
+    val exact = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    docs.unionByName(near).unionByName(exact)
+  }
+
+  // ------------------------------------------------ oracle-checked (SQL)
+
+  /** X1 — exact dedup groups: surviving id + copy count per distinct text. */
+  val x1_dedup_exact: Q = (s, d) =>
+    Dedup.duplicateGroups(withPlantedDups(t(s, d, "documents")), "text", "doc_id")
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** X4 — token statistics through the TextStats operators. */
+  val x4_text_stats: Q = (s, d) => {
+    val text = col("text")
+    t(s, d, "documents").select(
+        col("doc_id"),
+        TextStats.tokenCount(text).cast("long").as("n_tokens"),
+        round(TextStats.meanTokenLength(text), 4).as("mean_token_len"),
+        length(text).cast("long").as("len_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------ Tier B (rows-only)
+
+  /** X1 — full exact-dedup operator output (content-hash shuffle path). */
+  val x1_dedup_exact_rows: Q = (s, d) =>
+    Dedup.exactByContent(withPlantedDups(t(s, d, "documents")), "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** X2 — MinHash+LSH near-dup pairs (verified Jaccard ≥ 0.7). */
+  val x2_minhash_neardup: Q = (s, d) =>
+    Dedup.nearDupPairs(withPlantedDups(t(s, d, "documents")), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** X2 — SimHash near-dup pairs (Hamming ≤ 3). */
+  val x2_simhash_neardup: Q = (s, d) =>
+    SimHash.nearDupPairs(withPlantedDups(t(s, d, "documents")), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** X2 — exact n-gram Jaccard pairs (inverted-index join). */
+  val x2_ngram_jaccard: Q = (s, d) =>
+    NgramJaccard.pairs(withPlantedDups(t(s, d, "documents")), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** X2 — embedding-cosine near-dup pairs (planted exact copies). */
+  val x2_embed_neardup: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+    Similarity.nearDupPairs(planted).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** X2 — MinHash dedup end-to-end: survivors after cluster merge. */
+  val x2_minhash_dedup: Q = (s, d) =>
+    Dedup.dedupNear(withPlantedDups(t(s, d, "documents")), "doc_id", "text")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+
+  /** X3 — exact brute-force cosine top-k (k=5, first 10 vectors as queries). */
+  val x3_ann_bruteforce: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select(col("query_id"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** X3 — LSH-bucketed approximate top-k (same queries; scale path). */
+  val x3_ann_lsh: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.lshTopK(emb, queries, k = 5)
+      .select(col("query_id"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** X4 — language-ID histogram over the enriched documents table. */
+  val x4_langid: Q = (s, d) =>
+    TextStats.enrich(t(s, d, "documents"))
+      .groupBy(col("lang_id"))
+      .agg(count(lit(1)).as("docs"), round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("lang_id"))
+
+  /** X4 — fingerprints: stable content hashes + rolling min-hash. */
+  val x4_fingerprint: Q = (s, d) =>
+    t(s, d, "documents").select(
+        col("doc_id"),
+        TextStats.fingerprint64(col("text")).as("fp64"),
+        TextStats.rollingMinHash(col("text")).as("rolling_fp"))
+      .orderBy(col("doc_id"))
+
+  /** X5 — multimodal stub pipeline: synthesize → batched decode →
+    * per-mime feature aggregate (includes planted-corrupt accounting). */
+  val x5_multimodal: Q = (s, d) => {
+    val media = Multimodal.synthesize(s, 500)
+    Multimodal.extractFeatures(media)
+      .groupBy(col("mime"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+        sum(col("size_bytes")).as("total_bytes"),
+        round(avg(when(col("valid"), col("width"))), 4).as("avg_width"))
+      .orderBy(col("mime"))
+  }
+
+  /** X5 — frame sampling output (video analog). */
+  val x5_frame_sample: Q = (s, d) =>
+    Multimodal.sampleFrames(Multimodal.synthesize(s, 100), everyN = 2)
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  val queries: Seq[(String, Q)] = Seq(
+    "x1_dedup_exact" -> x1_dedup_exact,
+    "x1_dedup_exact_rows" -> x1_dedup_exact_rows,
+    "x2_minhash_neardup" -> x2_minhash_neardup,
+    "x2_simhash_neardup" -> x2_simhash_neardup,
+    "x2_ngram_jaccard" -> x2_ngram_jaccard,
+    "x2_embed_neardup" -> x2_embed_neardup,
+    "x2_minhash_dedup" -> x2_minhash_dedup,
+    "x3_ann_bruteforce" -> x3_ann_bruteforce,
+    "x3_ann_lsh" -> x3_ann_lsh,
+    "x4_text_stats" -> x4_text_stats,
+    "x4_langid" -> x4_langid,
+    "x4_fingerprint" -> x4_fingerprint,
+    "x5_multimodal" -> x5_multimodal,
+    "x5_frame_sample" -> x5_frame_sample)
+
+  /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
+    * construction is reproduced literally in SQL. */
+  val oracleSql: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' appended' FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10)
+        | SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        | FROM planted GROUP BY text ORDER BY keep_id""",
+    "x4_text_stats" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        | ROUND(CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len,
+        | LENGTH(text) AS len_chars
+        | FROM documents ORDER BY doc_id""",
+  ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
+}

@@ -1,0 +1,251 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c).collect().head.get(0)
+
+  test("token counts") {
+    assert(one(TextStats.tokenCount($"t"), "a b  c") === 3)
+    assert(one(TextStats.tokenCount($"t"), "  padded  ") === 1)
+    assert(one(TextStats.tokenCount($"t"), "") === 0)
+    assert(one(TextStats.bpeTokenCount($"t"), "hello, world42!") === 5) // hello , world 42 !
+  }
+
+  test("mean token length and punct ratio") {
+    assert(one(TextStats.meanTokenLength($"t"), "ab cdef") === 3.0)
+    assert(one(TextStats.punctRatio($"t"), "a.b.") === 0.5)
+    assert(one(TextStats.punctRatio($"t"), "") === 0.0)
+  }
+
+  test("language id heuristic") {
+    assert(one(TextStats.languageId($"t"),
+      "the cat and the dog sat in a house that it owned") === "en")
+    assert(one(TextStats.languageId($"t"),
+      "der hund und die katze ist nicht auf dem tisch") === "de")
+    assert(one(TextStats.languageId($"t"),
+      "el perro y la casa es un lugar que por la noche") === "es")
+    assert(one(TextStats.languageId($"t"),
+      "le chien et la maison est dans une rue pour les gens") === "fr")
+    assert(one(TextStats.languageId($"t"), "这是一个中文句子的测试文本") === "zh")
+    assert(one(TextStats.languageId($"t"), "xyzzy qwerty plugh") === "und")
+  }
+
+  test("quality score bounded and ordered sensibly") {
+    val good = one(TextStats.qualityScore($"t"),
+      "the quick brown fox jumps over the lazy dog and runs far into the quiet field " * 5).asInstanceOf[Double]
+    val junk = one(TextStats.qualityScore($"t"), "!!! ??? ***").asInstanceOf[Double]
+    assert(good > junk)
+    assert(good <= 1.0 && junk >= 0.0)
+  }
+
+  test("fingerprint is whitespace/case insensitive; rolling hash survives append") {
+    val a = one(TextStats.fingerprint64($"t"), "Hello   World\tfoo")
+    val b = one(TextStats.fingerprint64($"t"), "hello world foo")
+    assert(a === b)
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val r1 = one(TextStats.rollingMinHash($"t"), base)
+    val r2 = one(TextStats.rollingMinHash($"t"), base + " tail") // shared window may win
+    // not asserting equality (min could move), but determinism:
+    assert(r1 === one(TextStats.rollingMinHash($"t"), base))
+    assert(r2 === one(TextStats.rollingMinHash($"t"), base + " tail"))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near dup of 1
+    (4L, "totally different content about completely other things entirely"),
+    (5L, "unrelated words nothing shared with any other document here")
+  ).toDF("doc_id", "text")
+
+  test("exactByContent keeps the min-id winner") {
+    val kept = Dedup.exactByContent(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L, 4L, 5L))
+  }
+
+  test("duplicateGroups counts copies") {
+    val g = Dedup.duplicateGroups(docs, "text", "doc_id")
+      .select("keep_id", "n_copies").orderBy("keep_id")
+      .as[(Long, Long)].collect()
+    assert(g.head === ((1L, 2L))) // keep_id=1 has 2 copies
+    assert(g.length === 4)
+  }
+
+  test("minhash near-dup finds the near pair, not unrelated docs") {
+    val p = Dedup.MinHashParams(numPerm = 64, bands = 32, shingleSize = 2, threshold = 0.5)
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", p)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dup always collides
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("connected components merges a chain; dedupNear keeps min representative") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    // driver union-find path
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L)
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+    // distributed label-propagation path must agree
+    val ccDist = Dedup.connectedComponents(pairs, driverEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(ccDist === cc)
+
+    val p = Dedup.MinHashParams(numPerm = 64, bands = 32, shingleSize = 2, threshold = 0.5)
+    val survivors = Dedup.dedupNear(docs, "doc_id", "text", p)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors.contains(1L) && !survivors.contains(2L))
+    assert(survivors.contains(4L) && survivors.contains(5L))
+  }
+}
+
+class SimHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical texts → hamming 0; small edit → small hamming") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "one two three four five six seven eight nine ten eleven thirteen"),
+      (4L, "zz yy xx ww vv uu tt ss rr qq pp oo")
+    ).toDF("doc_id", "text")
+    val fps = SimHash.fingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) < 20)
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(4L)) > 10)
+
+    val pairs = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}
+
+class NgramJaccardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact jaccard on crafted overlap") {
+    // 2-gram shingles: A = {a b, b c, c d}, B = {a b, b c, c e} → J = 2/4
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val got = NgramJaccard.pairs(docs, "doc_id", "text", n = 2, minJaccard = 0.1)
+      .collect().head
+    assert(got.getLong(0) === 1L && got.getLong(1) === 2L)
+    assert(got.getDouble(2) === 0.5)
+  }
+}
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(2.0f, 0.0f, 0.0f)),
+    (4L, Array(1.0f, 1.0f, 0.0f)),
+    (5L, Array(0.0f, 0.0f, 0.0f))
+  ).toDF("id", "v")
+
+  test("cosine similarity: parallel=1, orthogonal=0, zero-vector=0") {
+    val self = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        VectorFunctions.cosineSim(col("a.v"), col("b.v")).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(self((1L, 3L)) === 1.0)
+    assert(self((1L, 2L)) === 0.0)
+    assert(self((1L, 5L)) === 0.0)
+    assert(math.abs(self((1L, 4L)) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("dot product + SQL registration path") {
+    VectorFunctions.register(spark)
+    vecs.createOrReplaceTempView("vecs_test")
+    val viaSql = spark.sql(
+      """SELECT a.id, b.id, dot_product(a.v, b.v), cosine_sim(a.v, b.v)
+        | FROM vecs_test a JOIN vecs_test b ON a.id = 1 AND b.id = 4""".stripMargin)
+      .collect().head
+    assert(viaSql.getDouble(2) === 1.0)
+    assert(math.abs(viaSql.getDouble(3) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("matches builtin HOF formulation (cross-check the codegen)") {
+    val hof = vecs.filter($"id" === 4).select(
+      aggregate(zip_with($"v", $"v", (x, y) => x * y), lit(0.0d), (acc, x) => acc + x))
+      .as[Double].collect().head
+    val expr = vecs.filter($"id" === 4).select(
+      VectorFunctions.dotProduct($"v", $"v")).as[Double].collect().head
+    assert(math.abs(hof - expr) < 1e-12)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("brute force top-k: self is rank 1 with score 1") {
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = Similarity.bruteForceTopK(emb, queries, k = 3)
+    val r1 = top.filter($"rank" === 1).select($"query_id", $"id", $"score")
+      .as[(Long, Long, Double)].collect()
+    assert(r1.length === 5)
+    r1.foreach { case (q, id, s) => assert(q === id && s > 0.999999) }
+  }
+
+  test("lsh top-k recall vs brute force is reasonable on clustered data") {
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, queries, k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall > 0.5, s"recall@10 = $recall")
+  }
+
+  test("near-dup pairs finds planted exact copy") {
+    val planted = emb.unionByName(
+      emb.filter($"vec_id" === 7).withColumn("vec_id", lit(999999L)))
+    val pairs = Similarity.nearDupPairs(planted, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 999999L)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("synthesize → batched decode: valid geometry, corrupt items flagged") {
+    val feats = Multimodal.extractFeatures(Multimodal.synthesize(spark, 200)).cache()
+    assert(feats.count() === 200)
+    val bad = feats.filter(!col("valid")).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(bad === Set(13L, 110L)) // i % 97 == 13 under 200
+    val f0 = feats.filter(col("media_id") === 0).collect().head
+    assert(f0.width === 8 && f0.height === 8)
+    assert(f0.size_bytes === 16 + 8 * 8)
+    // determinism of the checksum stub
+    val again = Multimodal.extractFeatures(Multimodal.synthesize(spark, 200))
+      .filter(col("media_id") === 42).collect().head.checksum
+    assert(again === feats.filter(col("media_id") === 42).collect().head.checksum)
+    feats.unpersist()
+  }
+
+  test("frame sampling emits every Nth frame index") {
+    val frames = Multimodal.sampleFrames(Multimodal.synthesize(spark, 50), everyN = 2)
+    val m6 = frames.filter(col("media_id") === 6) // 6 % 7 = 6 → 7 frames → 0,2,4,6
+    assert(m6.select("frame_idx").collect().map(_.getInt(0)).sorted === Array(0, 2, 4, 6))
+  }
+}
