@@ -1,24 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Bench protocol (BASELINE.md t3): headline queries Q01–Q21 plus the ETL
+  * slice (events → hourly snappy parquet) on SPARK_GRAFT_SF_DIR, one warm-up
+  * then 3 timed runs per query, median reported. Queries are materialized
+  * through the noop sink so every projected column is computed (a bare
+  * count() would let column pruning skip the real work).
+  * Prints ONE JSON line. */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = core.Sessions.local(appName = "graft-bench")
+
+    val headline: Seq[String] = queries.Queries.queries.map(_._1)
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name match {
+        case "etl_slice" =>
+          val out = java.nio.file.Files.createTempDirectory("graft_bench_etl").toString
+          graft.etl.HourlyAggregate(
+            core.Tables.load(spark, sfDir, "events"),
+            timeCol = "ts", idCol = "user_id",
+            measureCols = Seq("value"), byId = true)
+            .write.mode("overwrite").option("compression", "snappy").parquet(out)
+        case n =>
+          SparkEntry.queries(n)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val names = headline :+ "etl_slice"
+    val results = names.map { n =>
+      try {
+        runOnce(n); runOnce(n) // warm-ups: JIT tiering + codegen + listing caches
+        n -> median(Seq.fill(3)(runOnce(n)))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $n failed: ${e.getMessage}")
+          n -> -1.0
+      }
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total_median","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

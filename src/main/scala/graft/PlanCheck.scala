@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: assert the physical-plan properties the engine's scale story
+  * depends on (SURVEY §4). Prints PLAN OK/FAIL per check plus the formatted
+  * plans for eyeballing. `runMain graft.PlanCheck [sfDir]`. */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = core.Sessions.local("8", appName = "graft-plancheck")
+
+    def plan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.queryExecution.executedPlan.toString
+    }
+    def check(name: String, what: String)(p: String => Boolean): Unit = {
+      val s = plan(name)
+      val ok = p(s)
+      println(s"PLAN ${if (ok) "OK  " else "FAIL"} $name: $what")
+      if (!ok) println(s.linesIterator.take(40).mkString("\n"))
+    }
+
+    check("q01_scan_filter", "filter pushed to parquet scan")(
+      _.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)"))
+    check("q01_scan_filter", "column-pruned ReadSchema (3 cols)")(p =>
+      p.contains("l_orderkey") && !p.contains("l_extendedprice"))
+    check("q03_join_countdistinct", "broadcast hash join")(
+      _.contains("BroadcastHashJoin"))
+    check("q07_dim_joins", "two broadcast joins, no sort-merge")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size == 2 && !p.contains("SortMergeJoin"))
+    check("q05_window_topk", "WindowGroupLimit top-k pushdown")(
+      _.contains("WindowGroupLimit"))
+    check("q12_topk_global", "TakeOrderedAndProject (no global sort)")(
+      _.contains("TakeOrderedAndProject"))
+    check("q06_multi_agg", "partial aggregation before shuffle")(p =>
+      p.contains("HashAggregate") && p.contains("partial_"))
+    check("q08_anti_join", "anti join strategy")(p =>
+      p.contains("LeftAnti"))
+    check("q09_semi_join", "semi join strategy")(p =>
+      p.contains("LeftSemi"))
+    check("q02_hourly_agg", "single shuffle for group-by")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 1)
+    check("x3_ann_bruteforce", "broadcast nested loop for query side")(p =>
+      p.contains("BroadcastNestedLoopJoin") && p.contains("WindowGroupLimit"))
+    check("q21_etl_hourly_by_user", "partial agg + one shuffle")(p =>
+      p.contains("partial_") && "Exchange hashpartitioning".r.findAllIn(p).size <= 1)
+
+    // full plans for the record
+    Seq("q06_multi_agg", "q07_dim_joins", "q05_window_topk").foreach { n =>
+      println(s"\n===== $n =====")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

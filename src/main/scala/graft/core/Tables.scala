@@ -29,7 +29,9 @@ object Tables {
     * TIMESTAMP_NS to TIMESTAMP, so the oracle sees identical values. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }

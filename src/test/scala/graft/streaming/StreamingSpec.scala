@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.etl.HourlyAggregate
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly aggregation equals batch on bounded input") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = for (b <- Seq(1L, 2L); q <- 0 until 12)
+      yield (new Timestamp(ts("2024-05-01 00:00:00").getTime + q * 15 * 60 * 1000L),
+        b, (b * 10 + q % 4).toDouble)
+    // sentinel far in the future: advances the watermark past every real
+    // window so append mode emits them all on bounded input
+    val all = rows :+ ((ts("2024-05-02 12:00:00"), 99L, 0.0))
+    val df = all.toDF("timestamp", "bldg_id", "m")
+    df.write.mode("overwrite").parquet(dir)
+
+    val stream = StreamingHourly.query(
+      spark, dir, df.schema, measureCols = Seq("m"), watermark = "2 hours")
+    val q = StreamingHourly.runBounded(stream, "stream_out")
+    q.stop()
+
+    val streamed = spark.table("stream_out")
+      .filter($"bldg_id_min" =!= 99L)
+      .select("timestamp", "bldg_id_min", "timestamp_min", "m_mean")
+      .orderBy("bldg_id_min", "timestamp")
+      .collect()
+    val batch = HourlyAggregate(df.filter($"bldg_id" =!= 99L), measureCols = Seq("m"))
+      .orderBy("bldg_id_min", "timestamp")
+      .collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+  }
+}
+
+class QueryRegistrySpec extends SparkSpec {
+  import graft.queries.QueryRegistry
+  import spark.implicits._
+
+  test("saved queries render and run; names snake-case like the CDK") {
+    assert(QueryRegistry.savedQueries.map(_.snakeName) === Seq(
+      "total_number_of_individual_building_models",
+      "number_of_buildings_by_building_type_group",
+      "isolated_individual_building_models"))
+
+    // metadata + hourly-data fixture honoring the _min rename contract
+    Seq(
+      (1L, "AK", "AK, Ketchikan Gateway Borough", "Hospital", "Healthcare"),
+      (2L, "AK", "AK, Ketchikan Gateway Borough", "Hospital", "Healthcare"),
+      (3L, "AK", "AK, Ketchikan Gateway Borough", "SmallOffice", "Office"),
+      (4L, "AK", "AK, Other Borough", "Hospital", "Healthcare"))
+      .toDF("bldg_id", "in.state", "in.county_name",
+        "in.comstock_building_type", "in.comstock_building_type_group")
+      .createOrReplaceTempView("meta_v")
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("bldg_id_min", "x_mean")
+      .createOrReplaceTempView("data_v")
+    val b = Map("metadata_table" -> "meta_v", "data_table" -> "data_v")
+
+    assert(QueryRegistry.run(spark,
+      "total_number_of_individual_building_models", b)
+      .collect().head.getLong(0) === 2L)
+    val byGroup = QueryRegistry.run(spark,
+      "number_of_buildings_by_building_type_group", b)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup === Map("Healthcare" -> 2L, "Office" -> 1L))
+    val isolated = QueryRegistry.run(spark,
+      "isolated_individual_building_models", b)
+      .collect().map(_.getLong(0)).sorted
+    assert(isolated === Array(1L, 2L))
+  }
+}
