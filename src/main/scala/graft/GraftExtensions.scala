@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, SimHash64}
+
+/** SparkSessionExtensions injection point (SURVEY §4): registers the
+  * engine's native expressions so any session built with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) can call them from SQL —
+  * including sessions the engine's Scala API never touches (JDBC gateways,
+  * notebooks on a shared cluster).
+  *
+  * cosine_sim / dot_product: array<float> vector kernels (X3).
+  * minhash_signature(hashes, k) / simhash64(hashes): sketch kernels (X2).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float arrays"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(hashes, k) - k-permutation MinHash signature of array<bigint>"),
+      (es: Seq[Expression]) => MinHashSignature(es(0), {
+        val v = es(1).eval(null)
+        require(v != null, "minhash_signature: k must be a literal int")
+        v.asInstanceOf[Number].intValue
+      })))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(hashes) - 64-bit SimHash of array<bigint>"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
+  }
+}

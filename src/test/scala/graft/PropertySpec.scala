@@ -1,0 +1,150 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.etl.HourlyAggregate
+import graft.ext.{Dedup, Similarity}
+
+/** Property-based invariants (SURVEY §5.2 item 3, §5.3). Uses ScalaCheck
+  * generators with fixed seeds (the scalatest-plus bridge isn't in the
+  * offline dependency set, so sampling is driven manually). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run `body` over `n` deterministic samples of `gen`. */
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private val baseMs = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private val rowsGen: Gen[List[(Long, Long, Double)]] = Gen.nonEmptyListOf(
+    for {
+      bldg <- Gen.choose(1L, 4L)
+      quarterHour <- Gen.choose(0, 24 * 4 - 1)
+      v <- Gen.choose(-1000.0, 1000.0)
+    } yield (bldg, baseMs + quarterHour * 15 * 60 * 1000L, v))
+
+  test("hourly aggregate: floor idempotent, mean within [min,max], groups partition rows") {
+    forAllSeeded(rowsGen) { rows =>
+      val df = rows.map { case (b, ms, v) => (new Timestamp(ms), b, v) }
+        .toDF("timestamp", "bldg_id", "m")
+      val out = HourlyAggregate(df, measureCols = Seq("m")).cache()
+      val collected = out.collect()
+      // hour floor is idempotent and each timestamp_min belongs to its hour
+      collected.foreach { r =>
+        val hour = r.getTimestamp(0).getTime
+        val tmin = r.getTimestamp(2).getTime
+        assert(hour % (3600 * 1000) === 0)
+        assert(tmin >= hour && tmin < hour + 3600 * 1000)
+      }
+      // group count == distinct (bldg, hour) pairs; no row lost or invented
+      val expectedGroups = rows.map { case (b, ms, _) => (b, ms / 3600000L) }.distinct.size
+      assert(collected.length === expectedGroups)
+      // mean within [min, max] of its group
+      val groups = rows.groupBy { case (b, ms, _) => (b, ms / 3600000L) }
+      collected.foreach { r =>
+        val key = (r.getLong(1), r.getTimestamp(0).getTime / 3600000L)
+        val vs = groups(key).map(_._3)
+        assert(r.getDouble(3) >= vs.min - 1e-9 && r.getDouble(3) <= vs.max + 1e-9)
+      }
+      out.unpersist()
+      ()
+    }
+  }
+
+  test("exact dedup is idempotent and never invents rows") {
+    val textGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))
+      .map(_.mkString(" "))
+    forAllSeeded(Gen.nonEmptyListOf(textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = Dedup.exactByContent(df, "text", "doc_id").cache()
+      val twice = Dedup.exactByContent(once, "text", "doc_id")
+      assert(once.count() === twice.count())
+      assert(once.count() === texts.distinct.size)
+      // survivors are a subset of the input ids
+      val ids = once.select("doc_id").as[Long].collect().toSet
+      assert(ids.subsetOf(texts.indices.map(_.toLong).toSet))
+      once.unpersist()
+      ()
+    }
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard for related docs") {
+    // identical docs -> signature identical -> always candidate pair
+    val words = (0 until 30).map(i => s"w$i")
+    val doc = words.mkString(" ")
+    val df = Seq((1L, doc), (2L, doc), (3L, words.reverse.mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text",
+      Dedup.MinHashParams(threshold = 0.99))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("lsh ann results are a subset of the scored universe with correct ranks") {
+    val emb = core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding")
+    val lsh = Similarity.lshTopK(emb, queries, k = 5).collect()
+    // ranks are 1..k without gaps per query, scores non-increasing
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq === (1 to byRank.length))
+      val scores = byRank.map(_.getDouble(2)).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+  }
+}
+
+class EtlConfigSpec extends SparkSpec {
+  import graft.etl.EtlConfig
+
+  test("reference-shaped config JSON parses") {
+    val cfg = EtlConfig.fromJson(
+      """{
+        |  "output_root": "/tmp/out",
+        |  "job_specific": [
+        |    {"release_name": "comstock_amy2018_release_1", "release_year": "2024",
+        |     "state": "AK", "upgrades": [0, 1],
+        |     "src_root": "/data/src", "metadata_root": "/data/meta"},
+        |    {"release_name": "r2", "release_year": "2025", "state": "CA",
+        |     "src_root": "/d2", "metadata_root": "/m2", "by_id": false}
+        |  ]
+        |}""".stripMargin)
+    assert(cfg.outputRoot === "/tmp/out")
+    assert(cfg.jobs.length === 2)
+    assert(cfg.jobs.head.upgrades === Seq(0, 1))
+    assert(cfg.jobs.head.byId === true)
+    assert(cfg.jobs(1).upgrades === Seq(0)) // default
+    assert(cfg.jobs(1).byId === false)
+    intercept[IllegalArgumentException] {
+      EtlConfig.fromJson("""{"job_specific": []}""") // missing output_root
+    }
+  }
+}
+
+class ExtensionsSpec extends SparkSpec {
+  test("GraftExtensions injects SQL functions") {
+    org.apache.spark.sql.TestExtensionsBridge
+      .applyFunctions(spark, new GraftExtensions()(_))
+    locally {
+      val r = spark.sql(
+        """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+          |       dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d,
+          |       simhash64(array(CAST(5 AS BIGINT))) AS s,
+          |       size(minhash_signature(array(CAST(5 AS BIGINT)), 16)) AS m
+          |""".stripMargin).collect().head
+      assert(r.getDouble(0) === 1.0)
+      assert(r.getDouble(1) === 6.0)
+      assert(r.getLong(2) === 5L) // single hash: sign bits = its bits
+      assert(r.getInt(3) === 16)
+    }
+  }
+}
