@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, NgramJaccard, Similarity, SimHash, TextStats}
+import graft.ext.{Dedup, Multimodal, NgramJaccard, Similarity, SimHash, Skew, TextStats}
 
 /** Extension-operator queries (SURVEY §2.8 X1–X5): the training-data-pipeline
   * surface. Oracle-checkable entries (portable SQL) are in [[oracleSql]];
@@ -140,6 +140,33 @@ object ExtQueries {
       .orderBy(col("mime"))
   }
 
+  /** X4 — term frequency via explode + groupBy (the TF building block). */
+  val x4_term_freq: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(explode(TextStats.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("word"))
+
+  /** A3 — approximate distinct (HLL++); Tier B because DuckDB's approx
+    * sketch differs. Exact distinct carried alongside for error eyeballing. */
+  val a3_approx_distinct: Q = (s, d) =>
+    t(s, d, "orders")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        countDistinct(col("o_custkey")).as("exact_custs"))
+
+  /** Skew-mitigation surface: salted two-phase aggregation must equal the
+    * plain group-by (checked against the SQL oracle). */
+  val x6_salted_agg: Q = (s, d) =>
+    Skew.saltedAggregate(
+        t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+        keys = Seq("l_returnflag"), saltFactor = 8,
+        countCols = Seq("l_quantity"), sumCols = Seq("l_quantity"))
+      .select(col("l_returnflag"), col("l_quantity_count"),
+        round(col("l_quantity_sum"), 2).as("l_quantity_sum"))
+      .orderBy(col("l_returnflag"))
+
   /** X5 — frame sampling output (video analog). */
   val x5_frame_sample: Q = (s, d) =>
     Multimodal.sampleFrames(Multimodal.synthesize(s, 100), everyN = 2)
@@ -158,6 +185,9 @@ object ExtQueries {
     "x4_text_stats" -> x4_text_stats,
     "x4_langid" -> x4_langid,
     "x4_fingerprint" -> x4_fingerprint,
+    "x4_term_freq" -> x4_term_freq,
+    "a3_approx_distinct" -> a3_approx_distinct,
+    "x6_salted_agg" -> x6_salted_agg,
     "x5_multimodal" -> x5_multimodal,
     "x5_frame_sample" -> x5_frame_sample)
 
@@ -180,5 +210,14 @@ object ExtQueries {
         |   / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len,
         | LENGTH(text) AS len_chars
         | FROM documents ORDER BY doc_id""",
+    "x4_term_freq" ->
+      """SELECT word, COUNT(*) AS tf FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents) u
+        | GROUP BY word ORDER BY tf DESC, word""",
+    "x6_salted_agg" ->
+      """SELECT l_returnflag, COUNT(l_quantity) AS l_quantity_count,
+        | ROUND(SUM(l_quantity), 2) AS l_quantity_sum
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

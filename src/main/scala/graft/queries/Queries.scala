@@ -248,6 +248,60 @@ object Queries {
       .orderBy(col("user_id_min"), col("ts"))
   }
 
+  /** Q22 — CUBE grouping sets (superset of the reference's rollup shape). */
+  val q22_cube: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Q23 — window frames: running sum over an explicit ROWS frame + LEAD.
+    * Frame order is total (ts, event_id), so the cumulative float sum is
+    * evaluated in the same sequence by both engines. */
+  val q23_window_frames: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, d, "events").select(
+        col("user_id"), col("event_id"),
+        round(sum(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).as("running"),
+        lead(col("event_id"), 1).over(w).as("next_event"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Q24 — scalar math functions (abs, sqrt, ceil, mod, power). */
+  val q24_scalar_math: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_orderkey") <= 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 4).as("abs_disc"),
+        round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+        ceil(col("l_extendedprice") / 1000).as("price_k"),
+        (col("l_linenumber") % 3).cast("long").as("ln_mod"),
+        round(pow(col("l_tax") + 1.0, 2), 4).as("tax_sq"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Q25 — date arithmetic: quarter extraction, month truncation, last_day. */
+  val q25_date_arith: Q = (s, d) =>
+    t(s, d, "orders")
+      .filter(col("o_orderkey") <= 100)
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q26 — conditional aggregation: FILTER clause + CASE-gated sum. */
+  val q26_conditional_agg: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("l_quantity") > 25, 1)).as("big_cnt"),
+        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+          .otherwise(0.0)), 2).as("disc_price"))
+      .orderBy(col("l_returnflag"))
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -270,7 +324,12 @@ object Queries {
     "q18_date_parts" -> q18_date_parts,
     "q19_doc_stats" -> q19_doc_stats,
     "q20_string_fns" -> q20_string_fns,
-    "q21_etl_hourly_by_user" -> q21_etl_hourly_by_user)
+    "q21_etl_hourly_by_user" -> q21_etl_hourly_by_user,
+    "q22_cube" -> q22_cube,
+    "q23_window_frames" -> q23_window_frames,
+    "q24_scalar_math" -> q24_scalar_math,
+    "q25_date_arith" -> q25_date_arith,
+    "q26_conditional_agg" -> q26_conditional_agg)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -380,5 +439,35 @@ object Queries {
         | ROUND(AVG(value), 4) AS value_mean
         | FROM events GROUP BY user_id, date_trunc('hour', ts)
         | ORDER BY user_id_min, ts""",
+    "q22_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        | GROUP BY CUBE(l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q23_window_frames" ->
+      """SELECT user_id, event_id,
+        | ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running,
+        | LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+        | FROM events ORDER BY user_id, event_id""",
+    "q24_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ROUND(ABS(l_discount - 0.05), 4) AS abs_disc,
+        | ROUND(SQRT(l_quantity), 4) AS sqrt_qty,
+        | CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k,
+        | CAST(MOD(l_linenumber, 3) AS BIGINT) AS ln_mod,
+        | ROUND(POWER(l_tax + 1.0, 2), 4) AS tax_sq
+        | FROM lineitem WHERE l_orderkey <= 100
+        | ORDER BY l_orderkey, l_linenumber""",
+    "q25_date_arith" ->
+      """SELECT o_orderkey,
+        | CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end
+        | FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
+    "q26_conditional_agg" ->
+      """SELECT l_returnflag,
+        | COUNT(*) FILTER (WHERE l_quantity > 25) AS big_cnt,
+        | ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS disc_price
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
