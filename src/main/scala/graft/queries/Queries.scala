@@ -302,6 +302,34 @@ object Queries {
           .otherwise(0.0)), 2).as("disc_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Q27 — as-of join (graft.operators.AsOfJoin): each event picks the
+    * user's latest signup event at-or-before its timestamp. Oracle-checked
+    * against DuckDB's native ASOF LEFT JOIN. */
+  val q27_asof_join: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val right = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("rts"), col("event_id").as("signup_event"))
+    graft.operators.AsOfJoin(
+        ev.select(col("user_id"), col("ts"), col("event_id")),
+        right, Seq("user_id"), "ts", "rts")
+      .select(col("event_id"), col("signup_event"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q28 — range join (graft.operators.RangeJoin): orders binned into price
+    * bands; the binned equi-join must equal the theta-join the oracle runs. */
+  val q28_range_join: Q = (s, d) => {
+    import s.implicits._
+    val bands = Seq(
+      (0.0, 50000.0, "low"), (50000.0, 150000.0, "mid"),
+      (150000.0, 1000000.0, "high")).toDF("lo", "hi", "band")
+    graft.operators.RangeJoin.binned(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", bands, "lo", "hi", binWidth = 50000.0)
+      .select(col("o_orderkey"), col("band"))
+      .orderBy(col("o_orderkey"), col("band"))
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -329,7 +357,9 @@ object Queries {
     "q23_window_frames" -> q23_window_frames,
     "q24_scalar_math" -> q24_scalar_math,
     "q25_date_arith" -> q25_date_arith,
-    "q26_conditional_agg" -> q26_conditional_agg)
+    "q26_conditional_agg" -> q26_conditional_agg,
+    "q27_asof_join" -> q27_asof_join,
+    "q28_range_join" -> q28_range_join)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -469,5 +499,18 @@ object Queries {
         | COUNT(*) FILTER (WHERE l_quantity > 25) AS big_cnt,
         | ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS disc_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q27_asof_join" ->
+      """SELECT e.event_id, l.signup_event
+        | FROM (SELECT user_id, ts, event_id FROM events) e
+        | ASOF LEFT JOIN (SELECT user_id, ts AS rts, event_id AS signup_event
+        |   FROM events WHERE event_type = 'signup') l
+        | ON e.user_id = l.user_id AND e.ts >= l.rts
+        | ORDER BY e.event_id""",
+    "q28_range_join" ->
+      """SELECT o.o_orderkey, b.band FROM orders o
+        | JOIN (VALUES (0.0, 50000.0, 'low'), (50000.0, 150000.0, 'mid'),
+        |   (150000.0, 1000000.0, 'high')) AS b(lo, hi, band)
+        | ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        | ORDER BY o.o_orderkey, b.band""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
