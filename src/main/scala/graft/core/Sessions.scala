@@ -15,11 +15,12 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       appName: String = "graft"): SparkSession = {
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "on") != "off"
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
