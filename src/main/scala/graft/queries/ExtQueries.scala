@@ -167,6 +167,15 @@ object ExtQueries {
         round(col("l_quantity_sum"), 2).as("l_quantity_sum"))
       .orderBy(col("l_returnflag"))
 
+  /** X7 — deterministic hash-sampling: stable ~10% subset selection by
+    * content-hash threshold (how a 100 TB corpus gets a reproducible
+    * training subsample without a full sort or RNG state). */
+  val x7_hash_sample: Q = (s, d) =>
+    t(s, d, "documents")
+      .filter(pmod(xxhash64(col("text")), lit(10)) === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** X5 — frame sampling output (video analog). */
   val x5_frame_sample: Q = (s, d) =>
     Multimodal.sampleFrames(Multimodal.synthesize(s, 100), everyN = 2)
@@ -188,6 +197,7 @@ object ExtQueries {
     "x4_term_freq" -> x4_term_freq,
     "a3_approx_distinct" -> a3_approx_distinct,
     "x6_salted_agg" -> x6_salted_agg,
+    "x7_hash_sample" -> x7_hash_sample,
     "x5_multimodal" -> x5_multimodal,
     "x5_frame_sample" -> x5_frame_sample)
 

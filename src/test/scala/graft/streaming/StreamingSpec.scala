@@ -41,6 +41,33 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful dedup drops cross-batch duplicates within the watermark") {
+    val dir = Files.createTempDirectory("graft_sdedup").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    // two files → two micro-batches with maxFilesPerTrigger=1
+    Seq((1L, "alpha beta", ts("2024-05-01 10:00:00")),
+      (2L, "gamma delta", ts("2024-05-01 10:01:00")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/f1")
+    Seq((3L, "ALPHA  beta", ts("2024-05-01 10:02:00")), // dup after normalization
+      (4L, "epsilon zeta", ts("2024-05-01 10:03:00")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/f2")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/f*")
+    val deduped = StreamingDedup.exactByContent(stream, "text", "ts")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sdedup_out").select("doc_id").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L, 4L)) // doc 3 dropped as duplicate of 1
+  }
+}
+
 class QueryRegistrySpec extends SparkSpec {
   import graft.queries.QueryRegistry
   import spark.implicits._
