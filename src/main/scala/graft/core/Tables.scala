@@ -32,8 +32,12 @@ object Tables {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    // Only ns-encoded files surface as LongType under nanosAsLong; a µs/ms
+    // timestamp column reads natively and needs no conversion.
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    } else df
   }
 
   /** Register every table as a temp view (the engine's "catalog"),
