@@ -45,6 +45,11 @@ object PlanCheck {
       p.contains("BroadcastNestedLoopJoin") && p.contains("WindowGroupLimit"))
     check("q21_etl_hourly_by_user", "partial agg + one shuffle")(p =>
       p.contains("partial_") && "Exchange hashpartitioning".r.findAllIn(p).size <= 1)
+    check("q27_asof_join", "as-of join = one hash shuffle, no crossJoin")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 2)
+    check("q28_range_join", "range join = equi-join on bins, no crossJoin")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
 
     // full plans for the record
     Seq("q06_multi_agg", "q07_dim_joins", "q05_window_topk").foreach { n =>
