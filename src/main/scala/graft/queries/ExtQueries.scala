@@ -176,6 +176,26 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** X4 — token-window chunking (training-sequence packing). */
+  val x4_chunking: Q = (s, d) =>
+    graft.ext.TextChunk.chunkTokens(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", maxTokens = 32, overlap = 4)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** X7 — deterministic weighted source mixing (training-mix op). */
+  val x7_weighted_mix: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    graft.ext.Mixing.weightedUnion(Seq(
+        "en_heavy" -> (docs.filter(col("lang") === "en"), 0.9),
+        "rest_light" -> (docs.filter(col("lang") =!= "en"), 0.3)),
+        keyCol = "doc_id")
+      .groupBy(col("mix_source"))
+      .agg(count(lit(1)).as("docs"))
+      .orderBy(col("mix_source"))
+  }
+
   /** X5 — frame sampling output (video analog). */
   val x5_frame_sample: Q = (s, d) =>
     Multimodal.sampleFrames(Multimodal.synthesize(s, 100), everyN = 2)
@@ -198,6 +218,8 @@ object ExtQueries {
     "a3_approx_distinct" -> a3_approx_distinct,
     "x6_salted_agg" -> x6_salted_agg,
     "x7_hash_sample" -> x7_hash_sample,
+    "x4_chunking" -> x4_chunking,
+    "x7_weighted_mix" -> x7_weighted_mix,
     "x5_multimodal" -> x5_multimodal,
     "x5_frame_sample" -> x5_frame_sample)
 
