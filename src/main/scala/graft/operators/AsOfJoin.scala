@@ -39,6 +39,10 @@ object AsOfJoin {
       if (payload.nonEmpty) payload
       else right.columns.toSeq.diff(keyCols :+ rightTime)
     val leftCols = left.columns.toSeq
+    val clash = payloadCols.intersect(leftCols)
+    require(clash.isEmpty,
+      s"as-of payload columns collide with left columns: ${clash.mkString(", ")} " +
+        "- rename the right side before joining")
 
     // tagged union: right rows carry payload, left rows carry nulls
     val unifiedTime = "__t"
