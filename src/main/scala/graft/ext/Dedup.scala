@@ -79,11 +79,13 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
     }
 
-  /** MinHash signature: each shingle is string-hashed ONCE (builtin
-    * xxhash64), then the per-permutation min-loop runs inside the native
-    * codegen'd [[graft.functions.MinHashSignature]] kernel — the
-    * O(numPerm·|shingles|) inner loop never touches interpreted
-    * higher-order-function evaluation. */
+  /** MinHash signature of a string-shingle array: each shingle is
+    * string-hashed ONCE (builtin xxhash64), then the per-permutation
+    * min-loop runs inside the native codegen'd
+    * [[graft.functions.MinHashSignature]] kernel — the O(numPerm·|shingles|)
+    * inner loop never touches interpreted higher-order-function evaluation.
+    * (The pipeline in [[candidatePairs]]/[[nearDupPairs]] skips the string
+    * stage entirely and feeds the kernel pre-hashed sets.) */
   def minhashSignature(shingleArr: Column, numPerm: Int): Column =
     graft.functions.HashFunctions.minhashSignature(
       transform(shingleArr, s => xxhash64(s)), numPerm)
@@ -98,16 +100,22 @@ object Dedup {
         b => xxhash64(b, concat_ws(",", slice(sig, b * p.rowsPerBand + 1, lit(p.rowsPerBand)))))
     }
 
-  /** (id, shingles, band-key array) computed ONCE and cached — the sketch
-    * table every downstream stage (banding self-join, Jaccard verify) reads.
-    * At 100 TB this is the materialization you want anyway: sketches are
-    * ~1% the size of the text and are consumed multiple times. */
+  /** (id, sorted shingle-hash array, band-key array) computed ONCE and
+    * cached — the sketch table every downstream stage (banding self-join,
+    * Jaccard verify) reads. Shingle strings are hashed to sorted 64-bit sets
+    * immediately: signatures come from the same hashes, and the verify stage
+    * compares hash-sets with the merge-based [[graft.functions.JaccardSorted]]
+    * kernel — the text never leaves the first projection. At 100 TB this is
+    * the materialization you want anyway: sketches are ~1% of the text size
+    * and are consumed multiple times. */
   private def sketchTable(df: DataFrame, idCol: String, textCol: String,
       p: MinHashParams): DataFrame =
     df.select(
         col(idCol).as("id"),
-        shingles(col(textCol), p.shingleSize).as("sh"))
-      .withColumn("bk", bandKeys(minhashSignature(col("sh"), p.numPerm), p))
+        array_sort(transform(
+          shingles(col(textCol), p.shingleSize), s => xxhash64(s))).as("shh"))
+      .withColumn("bk", bandKeys(
+        graft.functions.HashFunctions.minhashSignature(col("shh"), p.numPerm), p))
       .cache()
 
   /** Candidate pairs (idA < idB) that share at least one LSH band bucket. */
@@ -126,19 +134,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Near-dup pairs with exact Jaccard verification over shingle sets:
+  /** Near-dup pairs with exact Jaccard verification over shingle-hash sets:
     * candidates from LSH banding, then joins back to the cached sketch
-    * table for both shingle arrays and |A∩B| / |A∪B|. */
+    * table and a single merge pass per pair
+    * ([[graft.functions.JaccardSorted]]). Identical results to string-set
+    * Jaccard up to 64-bit hash collisions (~2^-64 per shingle pair). */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams()): DataFrame = {
     val sketch = sketchTable(df, idCol, textCol, p)
-    val sh = sketch.select(col("id"), col("sh"))
+    val sh = sketch.select(col("id"), col("shh"))
     candidatesFromSketch(sketch)
       .join(sh.toDF("id_a", "sh_a"), "id_a")
       .join(sh.toDF("id_b", "sh_b"), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        graft.functions.HashFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= p.threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
