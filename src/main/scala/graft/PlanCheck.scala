@@ -50,6 +50,8 @@ object PlanCheck {
         "Exchange hashpartitioning".r.findAllIn(p).size <= 2)
     check("q28_range_join", "range join = equi-join on bins, no crossJoin")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("x2_minhash_neardup", "LSH banding = equi-joins only, no crossJoin")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
 
     // full plans for the record
     Seq("q06_multi_agg", "q07_dim_joins", "q05_window_topk").foreach { n =>

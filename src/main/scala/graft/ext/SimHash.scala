@@ -70,7 +70,11 @@ object NgramJaccard {
   def pairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.7,
       maxShingleFreq: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), Dedup.shingles(col(textCol), n).as("sh"))
+    // shingles hashed to 64-bit immediately: the inverted index joins and
+    // groups on 8-byte keys, never strings (same counts up to 2^-64
+    // collisions)
+    val sh = df.select(col(idCol).as("id"),
+        transform(Dedup.shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     val filtered = inv.join(
