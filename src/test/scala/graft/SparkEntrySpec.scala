@@ -1,0 +1,22 @@
+package graft
+
+/** Driver-contract guards: the smoke check and the queries↔oracle key
+  * consistency the per-round harness depends on. */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry answers with rows on sf0.001 (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle SQL key has a matching query entry") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
+  }
+
+  test("query names are unique and stable-format") {
+    val names = (queries.Queries.queries ++ queries.ExtQueries.queries).map(_._1)
+    assert(names.distinct.size === names.size)
+    names.foreach(n => assert(n.matches("[a-z][a-z0-9_]+"), n))
+  }
+}
