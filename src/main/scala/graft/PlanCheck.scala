@@ -50,8 +50,17 @@ object PlanCheck {
         "Exchange hashpartitioning".r.findAllIn(p).size <= 2)
     check("q28_range_join", "range join = equi-join on bins, no crossJoin")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    check("x2_minhash_neardup", "LSH banding = equi-joins only, no crossJoin")(p =>
-      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // minhash: assert on the LAZY pair plan (the public entry point now
+    // eagerly checkpoints, so its executed plan is just an RDD scan)
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val s = ext.Dedup.nearDupPairsFromSketch(
+        ext.Dedup.sketch(docs, "doc_id", "text"))
+        .queryExecution.executedPlan.toString
+      val ok = !s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin")
+      println(s"PLAN ${if (ok) "OK  " else "FAIL"} x2_minhash_neardup: LSH banding = equi-joins only, no crossJoin")
+      if (!ok) println(s.linesIterator.take(40).mkString("\n"))
+    }
 
     // full plans for the record
     Seq("q06_multi_agg", "q07_dim_joins", "q05_window_topk").foreach { n =>

@@ -23,6 +23,14 @@ object JobRunner {
 
   final case class Result(dataOut: String, metadataOut: String, ledger: Ledger.Report)
 
+  /** Per-job output subdir. The reference keys every output object by its
+    * ORIGINAL source key under the run root (`upload.py:55`:
+    * `<out_dir>/<ts>/<original key>`), so two jobs can never clobber each
+    * other — their source keys differ in release/year/state. We reproduce
+    * that isolation at directory granularity. */
+  private def jobDir(spec: JobSpec): String =
+    s"${spec.releaseName}/${spec.releaseYear}/${spec.state}"
+
   /** @param runId run-stamp for the output dir (reference `main.py:58-60`);
     *              caller-supplied so runs are reproducible/testable. */
   def run(spark: SparkSession, spec: JobSpec, outputRoot: String, runId: String): Result = {
@@ -39,7 +47,7 @@ object JobRunner {
       // nothing listed for this job (reference: the ledger reports zeros and
       // the run succeeds — README.md:345-361 counts start at listed=0)
       return Result(
-        s"$outputRoot/$runId/data", s"$outputRoot/$runId/metadata",
+        s"$outputRoot/$runId/data/${jobDir(spec)}", s"$outputRoot/$runId/metadata",
         graft.ledger.Ledger.Report(0, 0, 0, 0, 0, Nil))
     }
 
@@ -80,12 +88,17 @@ object JobRunner {
       byId = spec.byId,
       extraKeys = Seq("upgrade", "state"))
 
-    // -- 4. Sink (S5): snappy parquet, hive layout preserved, run-stamped root.
-    val dataOut = s"$outputRoot/$runId/data"
+    // -- 4. Sink (S5): snappy parquet, hive layout preserved, run-stamped
+    //    root, one subdir per job (see jobDir: jobs in one runAll must not
+    //    clobber each other). partitionOverwriteMode=dynamic additionally
+    //    confines an overwrite to the upgrade=/state= partitions this job
+    //    actually writes — re-running one upgrade leaves siblings intact.
+    val dataOut = s"$outputRoot/$runId/data/${jobDir(spec)}"
     val outObs = new Observation("etl_output")
     aggregated
       .observe(outObs, count(lit(1)).as("rows"))
       .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .option("compression", "snappy")
       .partitionBy("upgrade", "state")
       .parquet(dataOut)

@@ -100,30 +100,34 @@ object Dedup {
         b => xxhash64(b, concat_ws(",", slice(sig, b * p.rowsPerBand + 1, lit(p.rowsPerBand)))))
     }
 
-  /** (id, sorted shingle-hash array, band-key array) computed ONCE and
-    * cached — the sketch table every downstream stage (banding self-join,
-    * Jaccard verify) reads. Shingle strings are hashed to sorted 64-bit sets
-    * immediately: signatures come from the same hashes, and the verify stage
-    * compares hash-sets with the merge-based [[graft.functions.JaccardSorted]]
+  /** (id, sorted shingle-hash array, band-key array) — the sketch table
+    * every downstream stage (banding self-join, Jaccard verify) reads.
+    * Shingle strings are hashed to sorted 64-bit sets immediately:
+    * signatures come from the same hashes, and the verify stage compares
+    * hash-sets with the merge-based [[graft.functions.JaccardSorted]]
     * kernel — the text never leaves the first projection. At 100 TB this is
     * the materialization you want anyway: sketches are ~1% of the text size
-    * and are consumed multiple times. */
-  private def sketchTable(df: DataFrame, idCol: String, textCol: String,
-      p: MinHashParams): DataFrame =
+    * and are consumed multiple times.
+    *
+    * Lazy and UNPERSISTED: callers composing [[candidatePairsFromSketch]] /
+    * [[nearDupPairsFromSketch]] own the cache lifecycle. The convenience
+    * entry points ([[candidatePairs]], [[nearDupPairs]]) cache it, force the
+    * (small) pair result, and unpersist — nothing outlives the call. */
+  def sketch(df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame =
     df.select(
         col(idCol).as("id"),
         array_sort(transform(
           shingles(col(textCol), p.shingleSize), s => xxhash64(s))).as("shh"))
       .withColumn("bk", bandKeys(
         graft.functions.HashFunctions.minhashSignature(col("shh"), p.numPerm), p))
-      .cache()
 
   /** Candidate pairs (idA < idB) that share at least one LSH band bucket. */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams()): DataFrame =
-    candidatesFromSketch(sketchTable(df, idCol, textCol, p))
+    withCachedSketch(df, idCol, textCol, p)(candidatePairsFromSketch)
 
-  private def candidatesFromSketch(sketch: DataFrame): DataFrame = {
+  def candidatePairsFromSketch(sketch: DataFrame): DataFrame = {
     val exploded = sketch
       .select(col("id"), posexplode(col("bk")).as(Seq("band", "key")))
     val a = exploded.as("a")
@@ -140,16 +144,31 @@ object Dedup {
     * ([[graft.functions.JaccardSorted]]). Identical results to string-set
     * Jaccard up to 64-bit hash collisions (~2^-64 per shingle pair). */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame =
+    withCachedSketch(df, idCol, textCol, p)(nearDupPairsFromSketch(_, p))
+
+  def nearDupPairsFromSketch(sketch: DataFrame,
       p: MinHashParams = MinHashParams()): DataFrame = {
-    val sketch = sketchTable(df, idCol, textCol, p)
     val sh = sketch.select(col("id"), col("shh"))
-    candidatesFromSketch(sketch)
+    candidatePairsFromSketch(sketch)
       .join(sh.toDF("id_a", "sh_a"), "id_a")
       .join(sh.toDF("id_b", "sh_b"), "id_b")
       .withColumn("jaccard",
         graft.functions.HashFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= p.threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Cache the sketch for the duration of `f`'s plan, force the (small) pair
+    * result into a lineage-truncated local checkpoint, then unpersist the
+    * sketch. The checkpointed pair blocks are reference-tracked by the
+    * ContextCleaner and reclaimed on GC — unlike `.cache()`, which pins
+    * blocks in the CacheManager for the session lifetime. */
+  private def withCachedSketch(df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams)(f: DataFrame => DataFrame): DataFrame = {
+    val sk = sketch(df, idCol, textCol, p).cache()
+    try f(sk).localCheckpoint(true)
+    finally sk.unpersist(false)
   }
 
   // ------------------------------------------------- cluster merge / dedup
@@ -187,7 +206,8 @@ object Dedup {
       val labels = parent.keys.toSeq.map(id => (id, find(id)))
       return spark.createDataset(labels).toDF("id", "cluster")
     }
-    distributedComponents(cachedPairs, maxIter)
+    try distributedComponents(cachedPairs, maxIter)
+    finally cachedPairs.unpersist(false)
   }
 
   private def distributedComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
@@ -218,8 +238,12 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // checkpoint the (small) label table so the loop's last cache and the
+    // edge cache can both be released before returning
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(false)
     edges.unpersist()
-    labels
+    out
   }
 
   /** Full near-dup dedup: keep the min-id representative of every near-dup

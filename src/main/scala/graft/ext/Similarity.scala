@@ -58,14 +58,18 @@ object Similarity {
         when(dotProduct(vec, typedlit(p)) > 0, shiftleft(lit(1L), b)).otherwise(0L))
     }
 
-  /** XOR masks for all buckets within Hamming `radius` of a query bucket. */
-  private def probeMasks(bits: Int, radius: Int): Seq[Long] = {
-    val r0 = Seq(0L)
-    val r1 = (0 until bits).map(b => 1L << b)
-    radius match {
-      case 0 => r0
-      case _ => r0 ++ r1
-    }
+  /** XOR masks for all buckets within Hamming `radius` of a query bucket:
+    * every mask with at most `radius` of the low `bits` set — sum of
+    * C(bits, r) masks for r = 0..radius. Probe count (and thus candidate
+    * volume) grows ~bits^radius, so radius > 2 is rarely worth it over
+    * adding tables. */
+  private[ext] def probeMasks(bits: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= bits,
+      s"probeRadius must be in [0, $bits], got $radius")
+    def combos(start: Int, r: Int): Seq[Long] =
+      if (r == 0) Seq(0L)
+      else (start until bits).flatMap(b => combos(b + 1, r - 1).map(_ | (1L << b)))
+    (0 to radius).flatMap(r => combos(0, r))
   }
 
   /** Per-table (tableId, bucket) ids for a vector: standard multi-table LSH.

@@ -78,10 +78,13 @@ object AsOfJoin {
     val withPayload = payloadCols.foldLeft(filled)((df, c) =>
       df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w)))
 
+    // staleness compared at microsecond precision (timestamp resolution):
+    // cast("long") would truncate to whole seconds and void sub-second
+    // tolerances entirely
     val stale: Column = toleranceMs match {
       case Some(tol) =>
         col("__match_t").isNull ||
-          col(unifiedTime).cast("long") - col("__match_t").cast("long") > tol / 1000
+          unix_micros(col(unifiedTime)) - unix_micros(col("__match_t")) > tol * 1000L
       case None => col("__match_t").isNull
     }
     val result = withPayload

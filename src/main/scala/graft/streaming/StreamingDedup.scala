@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.ext.TextStats
 
 /** Streaming exact dedup at ingestion (X1 on an unbounded feed): content
-  * fingerprint + stateful `dropDuplicates` keyed on it. State is bounded by
-  * the watermark — duplicates arriving later than `retention` after the
-  * first copy are not caught (the standard at-scale tradeoff; unbounded
-  * retention would grow state forever on a 100 TB/day feed).
+  * fingerprint + stateful `dropDuplicatesWithinWatermark` keyed on it.
+  * State IS evicted by the watermark (plain `dropDuplicates` on a non-time
+  * key would keep every fingerprint forever): a fingerprint's state row is
+  * dropped once the watermark passes its first-seen event time plus
+  * `retention`. Duplicates arriving later than `retention` after the first
+  * copy are therefore not caught — the standard at-scale tradeoff;
+  * unbounded retention would grow state forever on a 100 TB/day feed.
   */
 object StreamingDedup {
 
@@ -21,6 +24,6 @@ object StreamingDedup {
     stream
       .withColumn("__fp", TextStats.fingerprint64(col(textCol)))
       .withWatermark(timeCol, retention)
-      .dropDuplicates("__fp")
+      .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 }

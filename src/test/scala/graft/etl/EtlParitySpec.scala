@@ -67,8 +67,33 @@ class EtlParitySpec extends SparkSpec {
       assert(json.contains("\"listed\""))
       assert(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json) != null)
     }
-    // both runs landed under the same run-stamped root
-    assert(results.map(_.dataOut).distinct.length === 1)
+    // each job has its own subdir under the run-stamped root — the second
+    // job's mode(overwrite) must NOT have destroyed the first job's output
+    assert(results.map(_.dataOut).distinct.length === 2)
+    results.zip(Seq("AK", "CA")).foreach { case (r, st) =>
+      val surviving = spark.read.parquet(r.dataOut)
+      assert(surviving.count() === 4)
+      assert(surviving.select("state").distinct().collect().map(_.getString(0)).toSeq === Seq(st))
+    }
+  }
+
+  test("re-running one upgrade leaves sibling upgrade partitions intact") {
+    val root = Files.createTempDirectory("graft_dyn").toString
+    val df = energyFixture()
+    for (u <- Seq(0, 1)) {
+      df.withColumn("upgrade", lit(u)).withColumn("state", lit("AK"))
+        .write.mode("append").partitionBy("upgrade", "state")
+        .parquet(s"$root/src")
+    }
+    def spec(us: Seq[Int]) =
+      JobSpec("r", "2024", "AK", us, s"$root/src", s"$root/meta")
+    // write both upgrades, then overwrite only upgrade=1
+    JobRunner.run(spark, spec(Seq(0, 1)), s"$root/out", "runx")
+    val res = JobRunner.run(spark, spec(Seq(1)), s"$root/out", "runx")
+    val out = spark.read.parquet(res.dataOut)
+    // upgrade=0 output survived the upgrade=1-only overwrite
+    assert(out.select("upgrade").distinct().collect().map(_.getInt(0)).toSet === Set(0, 1))
+    assert(out.count() === 8)
   }
 
   test("job with zero matching partitions yields an empty, well-formed result") {

@@ -216,6 +216,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"recall@10 = $recall")
   }
 
+  test("probeMasks enumerates the full <=radius Hamming ball") {
+    assert(Similarity.probeMasks(8, 0) === Seq(0L))
+    assert(Similarity.probeMasks(8, 1).length === 1 + 8)
+    val r2 = Similarity.probeMasks(8, 2)
+    assert(r2.length === 1 + 8 + 28) // C(8,0)+C(8,1)+C(8,2)
+    assert(r2.distinct.length === r2.length)
+    assert(r2.forall(m => java.lang.Long.bitCount(m) <= 2))
+    intercept[IllegalArgumentException](Similarity.probeMasks(8, 9))
+  }
+
+  test("radius-2 probing finds at least the radius-1 candidate set") {
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val r1 = Similarity.lshTopK(emb, queries, k = 5, probeRadius = 1)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val r2 = Similarity.lshTopK(emb, queries, k = 5, probeRadius = 2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    // radius-2 candidate superset can only improve (or tie) the top-k score,
+    // and with the same scoring it must recover every exact-radius-1 self hit
+    assert(r2.count(p => p._1 == p._2) >= r1.count(p => p._1 == p._2))
+  }
+
   test("near-dup pairs finds planted exact copy") {
     val planted = emb.unionByName(
       emb.filter($"vec_id" === 7).withColumn("vec_id", lit(999999L)))

@@ -50,6 +50,22 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, null)))
   }
 
+  test("sub-second tolerance works at microsecond precision") {
+    val ev = Seq((1L, new Timestamp(1700000001500L), 1.0)) // t+1.5s
+      .toDF("id", "ts", "v")
+    val md = Seq((1L, new Timestamp(1700000000000L), "m"), // 1500 ms stale
+      (1L, new Timestamp(1700000001300L), "fresh")) // 200 ms stale
+      .toDF("id", "rts", "label")
+    // 200 ms staleness allowed by a 250 ms tolerance, voided by 100 ms —
+    // whole-second truncation would get both of these wrong
+    val within = AsOfJoin(ev, md, Seq("id"), "ts", "rts",
+      toleranceMs = Some(250L)).select("label").collect().head.getString(0)
+    assert(within === "fresh")
+    val voided = AsOfJoin(ev, md, Seq("id"), "ts", "rts",
+      toleranceMs = Some(100L)).select("label").collect().head.getString(0)
+    assert(voided === null)
+  }
+
   test("brute-force differential on random data") {
     val rnd = new scala.util.Random(7)
     val ev = (1 to 300).map(_ => (rnd.nextInt(5).toLong,

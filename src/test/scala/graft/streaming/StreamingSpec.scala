@@ -66,6 +66,38 @@ class StreamingDedupSpec extends SparkSpec {
     val ids = spark.table("sdedup_out").select("doc_id").as[Long].collect().sorted
     assert(ids === Array(1L, 2L, 4L)) // doc 3 dropped as duplicate of 1
   }
+
+  test("dedup state is evicted by the watermark (bounded-state contract)") {
+    val dir = Files.createTempDirectory("graft_sdedup_evict").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    // batch 1: first copy at 10:00
+    Seq((1L, "alpha beta", ts("2024-05-01 10:00:00")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/f1")
+    // batch 2: unrelated event at 13:00 advances the watermark to 12:00
+    // (1 h retention) — past the 11:00 expiry of doc 1's fingerprint state
+    Seq((2L, "gamma delta", ts("2024-05-01 13:00:00")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/f2")
+    // batch 3: eviction runs during the batch AFTER the watermark advances —
+    // this batch's end-of-batch cleanup removes doc 1's expired state row
+    Seq((4L, "eta theta", ts("2024-05-01 14:00:00")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/f3")
+    // batch 4: a late duplicate of doc 1 — its state is gone, so it emits
+    Seq((3L, "alpha beta", ts("2024-05-01 14:01:00")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/f4")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/f*")
+    val deduped = StreamingDedup.exactByContent(stream, "text", "ts", "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_evict_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sdedup_evict_out").select("doc_id").as[Long].collect().sorted
+    // doc 3 re-emits: its duplicate arrived beyond the retention horizon,
+    // proving the state row was dropped (not retained forever)
+    assert(ids === Array(1L, 2L, 3L, 4L))
+  }
 }
 
 class QueryRegistrySpec extends SparkSpec {
