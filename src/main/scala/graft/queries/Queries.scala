@@ -330,6 +330,164 @@ object Queries {
       .orderBy(col("o_orderkey"), col("band"))
   }
 
+  /** Q29 — pivot: one column per l_linestatus value. The value list is
+    * declared (not discovered), so the plan is a single pass — no extra
+    * distinct-scan job, the shape that matters when the fact table is
+    * 100 TB. */
+  val q29_pivot: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy(col("l_returnflag"))
+
+  /** Q30 — statistical aggregates: sample stddev/variance + exact median
+    * (interpolated percentile, matching DuckDB's MEDIAN on numerics). */
+  val q30_stats_agg: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(median(col("l_quantity")), 2).as("med_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Q31 — full outer join of two pre-aggregated sides with key coalesce. */
+  val q31_full_outer: Q = (s, d) => {
+    val f = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("cnt_f"))
+    val c = t(s, d, "customer").filter(col("c_acctbal") < -500)
+      .select(col("c_custkey").as("k"), round(col("c_acctbal"), 2).as("bal"))
+    f.join(c, f("k") === c("k"), "full_outer")
+      .select(coalesce(f("k"), c("k")).as("custkey"), col("cnt_f"), col("bal"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Q32 — explicit GROUPING SETS with grouping() indicators (beyond the
+    * rollup/cube shapes of Q17/Q22), via the Dataset groupingSets API. */
+  val q32_grouping_sets: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Q33 — regex functions: capture-group extract, global replace, rlike
+    * row filter. */
+  val q33_regex: Q = (s, d) =>
+    t(s, d, "customer")
+      .filter(col("c_custkey") <= 100 && col("c_name").rlike("[0-9]$"))
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "#(\\d+)", 1).cast("long").as("cust_num"),
+        regexp_replace(col("c_name"), "0+", "*").as("squeezed"))
+      .orderBy(col("c_custkey"))
+
+  /** Q34 — NULL handling scalars: NULLIF, COALESCE, null-safe equality. */
+  val q34_null_fns: Q = (s, d) =>
+    t(s, d, "orders")
+      .filter(col("o_orderkey") <= 200)
+      .select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("ns"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status2"),
+        (col("o_orderstatus") <=> "F").as("is_f"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q35 — ordered-argument aggregates max_by/min_by (DuckDB arg_max/arg_min);
+    * ordering key is the unique c_custkey so both engines are deterministic. */
+  val q35_arg_minmax: Q = (s, d) =>
+    t(s, d, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max_by(col("c_name"), col("c_custkey")).as("last_name"),
+        min_by(col("c_name"), col("c_custkey")).as("first_name"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Q36 — ordered string aggregation: collect + sort + join gives the
+    * deterministic equivalent of DuckDB's string_agg(... ORDER BY ...). */
+  val q36_string_agg: Q = (s, d) =>
+    t(s, d, "customer")
+      .filter(col("c_custkey") <= 100)
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(array_sort(collect_list(col("c_name"))), "|").as("names"))
+      .orderBy(col("c_nationkey"))
+
+  /** Q37 — HAVING (post-aggregation predicate on the aggregate itself). */
+  val q37_having: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 5)
+      .orderBy(col("o_custkey"))
+
+  /** Q38 — unpivot (wide → long), the melt shape; values stay typed double. */
+  val q38_unpivot: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_orderkey") <= 50)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .withColumn("val", round(col("val"), 2))
+      // (l_orderkey, l_linenumber) is not unique in the synthetic lineitem —
+      // val joins the sort to make the row order total
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("val"))
+
+  /** Q39 — TPC-H Q3 shape: selective dim filter → two joins → grouped
+    * revenue → global top-k. The customer side is broadcast after its
+    * segment filter; the final ORDER BY+LIMIT plans TakeOrderedAndProject. */
+  val q39_revenue_topk: Q = (s, d) => {
+    val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+    broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** Q40 — correlated scalar subquery (customers above their nation's mean),
+    * decorrelated Spark-first into a window average — one shuffle on the
+    * correlation key instead of a per-row subquery. */
+  val q40_correlated_scalar: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+    t(s, d, "customer")
+      .withColumn("__nation_avg", avg(col("c_acctbal")).over(w))
+      .filter(col("c_acctbal") > col("__nation_avg"))
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q41 — date offset arithmetic: day add, month add, day difference. */
+  val q41_date_offsets: Q = (s, d) =>
+    t(s, d, "orders")
+      .filter(col("o_orderkey") <= 100)
+      .select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate"), 30).as("plus30"),
+        add_months(col("o_orderdate"), 2).as("plus2m"),
+        datediff(lit("1996-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q42 — JSON extraction from a string column (events.props carries JSON). */
+  val q42_json: Q = (s, d) =>
+    t(s, d, "events")
+      .filter(col("event_id") <= 200)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -359,7 +517,21 @@ object Queries {
     "q25_date_arith" -> q25_date_arith,
     "q26_conditional_agg" -> q26_conditional_agg,
     "q27_asof_join" -> q27_asof_join,
-    "q28_range_join" -> q28_range_join)
+    "q28_range_join" -> q28_range_join,
+    "q29_pivot" -> q29_pivot,
+    "q30_stats_agg" -> q30_stats_agg,
+    "q31_full_outer" -> q31_full_outer,
+    "q32_grouping_sets" -> q32_grouping_sets,
+    "q33_regex" -> q33_regex,
+    "q34_null_fns" -> q34_null_fns,
+    "q35_arg_minmax" -> q35_arg_minmax,
+    "q36_string_agg" -> q36_string_agg,
+    "q37_having" -> q37_having,
+    "q38_unpivot" -> q38_unpivot,
+    "q39_revenue_topk" -> q39_revenue_topk,
+    "q40_correlated_scalar" -> q40_correlated_scalar,
+    "q41_date_offsets" -> q41_date_offsets,
+    "q42_json" -> q42_json)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -512,5 +684,79 @@ object Queries {
         |   (150000.0, 1000000.0, 'high')) AS b(lo, hi, band)
         | ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
         | ORDER BY o.o_orderkey, b.band""",
+    "q29_pivot" ->
+      """SELECT l_returnflag,
+        | ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus='F'), 2) AS F,
+        | ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus='O'), 2) AS O
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q30_stats_agg" ->
+      """SELECT l_returnflag, ROUND(STDDEV_SAMP(l_quantity),4) AS sd_qty,
+        | ROUND(VAR_SAMP(l_quantity),4) AS var_qty,
+        | ROUND(MEDIAN(l_quantity),2) AS med_qty
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q31_full_outer" ->
+      """SELECT COALESCE(f.k, c.k) AS custkey, f.cnt_f, c.bal
+        | FROM (SELECT o_custkey AS k, COUNT(*) AS cnt_f FROM orders
+        |   WHERE o_orderstatus='F' GROUP BY o_custkey) f
+        | FULL OUTER JOIN (SELECT c_custkey AS k, ROUND(c_acctbal,2) AS bal
+        |   FROM customer WHERE c_acctbal < -500) c
+        | ON f.k = c.k ORDER BY custkey""",
+    "q32_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+        | FROM lineitem GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),())
+        | ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q33_regex" ->
+      """SELECT c_custkey,
+        | CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT) AS cust_num,
+        | regexp_replace(c_name, '0+', '*', 'g') AS squeezed
+        | FROM customer WHERE c_custkey <= 100 AND regexp_matches(c_name, '[0-9]$')
+        | ORDER BY c_custkey""",
+    "q34_null_fns" ->
+      """SELECT o_orderkey, NULLIF(o_orderstatus,'O') AS ns,
+        | COALESCE(NULLIF(o_orderstatus,'O'),'open') AS status2,
+        | o_orderstatus IS NOT DISTINCT FROM 'F' AS is_f
+        | FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""",
+    "q35_arg_minmax" ->
+      """SELECT c_mktsegment, arg_max(c_name, c_custkey) AS last_name,
+        | arg_min(c_name, c_custkey) AS first_name FROM customer
+        | GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q36_string_agg" ->
+      """SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS names
+        | FROM customer WHERE c_custkey <= 100
+        | GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q37_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        | GROUP BY o_custkey HAVING COUNT(*) >= 5 ORDER BY o_custkey""",
+    "q38_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m.metric, ROUND(m.val, 2) AS val
+        | FROM lineitem, LATERAL (VALUES
+        |   ('l_quantity', l_quantity), ('l_discount', l_discount),
+        |   ('l_tax', l_tax)) AS m(metric, val)
+        | WHERE l_orderkey <= 50
+        | ORDER BY l_orderkey, l_linenumber, m.metric, ROUND(m.val, 2)""",
+    "q39_revenue_topk" ->
+      """SELECT l_orderkey, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | o_orderdate, o_orderpriority
+        | FROM customer JOIN orders ON c_custkey=o_custkey
+        | JOIN lineitem ON l_orderkey=o_orderkey
+        | WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |   AND l_shipdate > TIMESTAMP '1996-01-01'
+        | GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        | ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q40_correlated_scalar" ->
+      """SELECT c_custkey FROM customer c
+        | WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        |   WHERE c2.c_nationkey = c.c_nationkey)
+        | ORDER BY c_custkey""",
+    "q41_date_offsets" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        | date_diff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS days_to
+        | FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
+    "q42_json" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        | FROM events WHERE event_id <= 200 ORDER BY event_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
