@@ -50,6 +50,12 @@ object PlanCheck {
         "Exchange hashpartitioning".r.findAllIn(p).size <= 2)
     check("q28_range_join", "range join = equi-join on bins, no crossJoin")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("q29_pivot", "pivot = single-pass agg, no extra value-discovery scan")(p =>
+      "FileScan".r.findAllIn(p).size <= 1)
+    check("q39_revenue_topk", "dim filter broadcast + top-k, no global sort")(p =>
+      p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject"))
+    check("q40_correlated_scalar", "decorrelated to window: one shuffle, no per-row subquery join")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 1 && p.contains("Window"))
     // minhash: assert on the LAZY pair plan (the public entry point now
     // eagerly checkpoints, so its executed plan is just an RDD scan)
     locally {
