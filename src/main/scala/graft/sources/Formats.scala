@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Text source/sink parity (SURVEY §2.1 widened): CSV and JSON-lines
+  * ingestion/egress with the same partitioned-layout contract as the
+  * parquet path.
+  *
+  * Scale rules baked in:
+  *  - schemas are DECLARED, never inferred — `inferSchema`/sampling reads
+  *    the data twice, and on a 100 TB feed the second read is the bill;
+  *  - malformed rows go to a capture column (PERMISSIVE + columnNameOfCorruptRecord)
+  *    instead of killing the job — the file-level analog of the reference's
+  *    per-file failure tolerance (`/root/reference/etl/oedi_etl/transform.py:121-122`);
+  *  - writes preserve hive partitioning so partition pruning keeps working
+  *    downstream regardless of format.
+  */
+object Formats {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Schema-explicit CSV read; malformed lines land in [[CorruptCol]]. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+
+  /** Schema-explicit JSON-lines read; malformed lines land in [[CorruptCol]]. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Rows whose source line failed to parse (for a discrepancy ledger).
+    * Spark disallows querying ONLY the corrupt-record column straight off a
+    * text scan (column pruning would leave nothing to parse), so the rows
+    * are materialized once via local checkpoint — which is what a ledger
+    * pass wants anyway: one read serving both the parsed and corrupt
+    * streams. */
+  def corruptRows(df: DataFrame): DataFrame = {
+    // materialize the full parse once; the corrupt-only projection is then
+    // served from the checkpointed rows, not the raw text scan (Spark
+    // refuses a scan whose required schema is the corrupt column alone —
+    // corruptness is only defined relative to parsing the data columns)
+    val fixed = df.localCheckpoint(true)
+    fixed.filter(fixed(CorruptCol).isNotNull)
+  }
+
+  /** Parsed rows with the capture column dropped. Lazy and pruning-friendly
+    * — the common transform path. NOTE: counting these rows prunes the scan
+    * down to the corrupt column alone, which Spark rejects for the reason
+    * above; use [[parseLedger]] for counts. */
+  def parsedRows(df: DataFrame): DataFrame =
+    df.filter(df(CorruptCol).isNull).drop(CorruptCol)
+
+  final case class ParseLedger(parsed: Long, corrupt: Long)
+
+  /** Parsed/corrupt counts off ONE full materialized parse (the per-file
+    * discrepancy accounting of the reference's ledger, at row granularity). */
+  def parseLedger(df: DataFrame): ParseLedger = {
+    val fixed = df.localCheckpoint(true)
+    val corrupt = fixed.filter(fixed(CorruptCol).isNotNull).count()
+    ParseLedger(fixed.count() - corrupt, corrupt)
+  }
+
+  def writeCsv(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      header: Boolean = true, compression: String = "gzip"): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("header", header.toString)
+      .option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).csv(path)
+  }
+
+  def writeJson(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      compression: String = "gzip"): Unit = {
+    val w = df.write.mode("overwrite").option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).json(path)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  test("CSV round-trip preserves rows and partitioned layout") {
+    val root = Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1L, "a", 1.5, "x"), (2L, "b", 2.5, "x"), (3L, "c", 3.5, "y"))
+      .toDF("id", "name", "score", "part")
+    Formats.writeCsv(df, s"$root/out", partitionBy = Seq("part"))
+    // hive layout on disk
+    assert(Files.exists(Paths.get(s"$root/out/part=x")))
+    val back = Formats.readCsv(spark, s"$root/out", schema)
+    val rows = Formats.parsedRows(back).orderBy("id")
+      .select("id", "name", "score", "part")
+      .as[(Long, String, Double, String)].collect().toSeq
+    assert(rows === Seq((1L, "a", 1.5, "x"), (2L, "b", 2.5, "x"), (3L, "c", 3.5, "y")))
+  }
+
+  test("JSON round-trip matches the parquet path exactly") {
+    val root = Files.createTempDirectory("graft_json").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    Formats.writeJson(df, s"$root/j")
+    df.write.parquet(s"$root/p")
+    val viaJson = Formats.parsedRows(Formats.readJson(spark, s"$root/j", schema))
+      .orderBy("id").collect().toSeq
+    val viaParquet = spark.read.parquet(s"$root/p")
+      .select("id", "name", "score").orderBy("id").collect().toSeq
+    assert(viaJson === viaParquet)
+  }
+
+  test("malformed lines are captured, not fatal (ledger parity)") {
+    val root = Files.createTempDirectory("graft_badcsv").toString
+    Files.write(Paths.get(root, "data.csv"),
+      "id,name,score\n1,a,1.5\nnot-a-long,b,oops\n3,c,3.5\n".getBytes)
+    val back = Formats.readCsv(spark, s"$root/data.csv", schema)
+    val ledger = Formats.parseLedger(back)
+    assert(ledger === Formats.ParseLedger(parsed = 2, corrupt = 1))
+    // the lazy parsed path works for any query touching a data column
+    assert(Formats.parsedRows(back).select("id").as[Long].collect().sorted === Array(1L, 3L))
+    val bad = Formats.corruptRows(back).select(Formats.CorruptCol)
+      .as[String].collect()
+    assert(bad.length === 1 && bad.head.startsWith("not-a-long"))
+  }
+}
