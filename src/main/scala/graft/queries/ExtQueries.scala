@@ -111,6 +111,18 @@ object ExtQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** X3 — IVF (inverted-file) approximate top-k: centroid-partitioned
+    * probe join (same queries; the second scale path). */
+  val x3_ann_ivf: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val model = graft.ext.Ivf.train(emb, k = 16, iters = 3)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.ext.Ivf.topK(emb, queries, model, k = 5, nprobe = 4)
+      .select(col("query_id"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** X4 — language-ID histogram over the enriched documents table. */
   val x4_langid: Q = (s, d) =>
     TextStats.enrich(t(s, d, "documents"))
@@ -211,6 +223,7 @@ object ExtQueries {
     "x2_minhash_dedup" -> x2_minhash_dedup,
     "x3_ann_bruteforce" -> x3_ann_bruteforce,
     "x3_ann_lsh" -> x3_ann_lsh,
+    "x3_ann_ivf" -> x3_ann_ivf,
     "x4_text_stats" -> x4_text_stats,
     "x4_langid" -> x4_langid,
     "x4_fingerprint" -> x4_fingerprint,

@@ -247,6 +247,53 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("training is deterministic and produces k centroids of the right dim") {
+    val m1 = Ivf.train(emb, k = 8, iters = 2, seed = 7)
+    val m2 = Ivf.train(emb, k = 8, iters = 2, seed = 7)
+    assert(m1.k === 8)
+    assert(m1.centroids.forall(_.length === m1.centroids.head.length))
+    assert(m1.centroids === m2.centroids)
+  }
+
+  test("every corpus vector lands in exactly one list; self is its own neighbor") {
+    val model = Ivf.train(emb, k = 16, iters = 3)
+    val assigned = Ivf.assign(emb, model)
+    assert(assigned.count() === emb.count())
+    assert(assigned.filter($"list_id" < 0 || $"list_id" >= 16).count() === 0)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = Ivf.topK(emb, queries, model, k = 3, nprobe = 2)
+    // a query probes its own vector's list first → rank-1 hit is itself
+    val r1 = top.filter($"rank" === 1).select($"query_id", $"id", $"score")
+      .as[(Long, Long, Double)].collect()
+    assert(r1.length === 10)
+    r1.foreach { case (q, id, s) => assert(q === id && s > 0.999999) }
+  }
+
+  test("ivf recall vs brute force is reasonable on clustered data") {
+    val model = Ivf.train(emb, k = 16, iters = 3)
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val ivf4 = Ivf.topK(emb, queries, model, k = 10, nprobe = 4)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall4 = (bf intersect ivf4).size.toDouble / bf.size
+    assert(recall4 > 0.5, s"recall@10 nprobe=4 = $recall4")
+    // recall must rise monotonically-ish with probe width
+    val ivf8 = Ivf.topK(emb, queries, model, k = 10, nprobe = 8)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall8 = (bf intersect ivf8).size.toDouble / bf.size
+    assert(recall8 >= recall4, s"recall@10 nprobe=8 = $recall8 < nprobe=4 = $recall4")
+    assert(recall8 > 0.7, s"recall@10 nprobe=8 = $recall8")
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
   test("synthesize → batched decode: valid geometry, corrupt items flagged") {
