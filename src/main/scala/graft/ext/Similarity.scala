@@ -44,6 +44,29 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact top-k via the single-pass [[graft.functions.TopKByScore]]
+    * aggregate instead of a rank window: partial aggregation keeps a
+    * k-element heap per (query, map task), so the exchange after scoring
+    * carries at most k pairs per query per task — no per-partition sort,
+    * no scored-matrix shuffle. Same results as [[bruteForceTopK]]
+    * (identical tie-breaking: score desc, id asc). */
+  def bruteForceTopKAgg(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", qidCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.TopKFunctions.topKBy
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("qvec"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"),
+        cosineSim(col("cvec"), col("qvec")).as("score"))
+      .groupBy(col("query_id"))
+      .agg(topKBy(col("score"), col("id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "hit")))
+      .select(col("query_id"), col("hit.id").as("id"),
+        col("hit.score").as("score"), (col("r") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic random hyperplanes (seeded), as a literal nested array —
     * shipped in the plan, no broadcast variable needed. */
   private def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Seq[Float]] = {

@@ -111,6 +111,17 @@ object ExtQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** X3 — exact top-k via the single-pass TopKByScore aggregate (same
+    * queries/results as x3_ann_bruteforce; heap-merge shuffle, no window). */
+  val x3_ann_topk_agg: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.bruteForceTopKAgg(emb, queries, k = 5)
+      .select(col("query_id"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** X3 — IVF (inverted-file) approximate top-k: centroid-partitioned
     * probe join (same queries; the second scale path). */
   val x3_ann_ivf: Q = (s, d) => {
@@ -224,6 +235,7 @@ object ExtQueries {
     "x3_ann_bruteforce" -> x3_ann_bruteforce,
     "x3_ann_lsh" -> x3_ann_lsh,
     "x3_ann_ivf" -> x3_ann_ivf,
+    "x3_ann_topk_agg" -> x3_ann_topk_agg,
     "x4_text_stats" -> x4_text_stats,
     "x4_langid" -> x4_langid,
     "x4_fingerprint" -> x4_fingerprint,

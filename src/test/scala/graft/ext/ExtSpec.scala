@@ -216,6 +216,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"recall@10 = $recall")
   }
 
+  test("single-pass top-k aggregate equals the window top-k exactly") {
+    val queries = emb.filter($"vec_id" < 15)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val win = Similarity.bruteForceTopK(emb, queries, k = 7)
+      .select("query_id", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val agg = Similarity.bruteForceTopKAgg(emb, queries, k = 7)
+      .select("query_id", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(agg === win)
+    // plan shape: no Window operator, partial aggregation present
+    val plan = Similarity.bruteForceTopKAgg(emb, queries, k = 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowGroupLimit") && plan.contains("ObjectHashAggregate"))
+  }
+
   test("probeMasks enumerates the full <=radius Hamming ball") {
     assert(Similarity.probeMasks(8, 0) === Seq(0L))
     assert(Similarity.probeMasks(8, 1).length === 1 + 8)
