@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, SimHash64, TopCentroids, TopKByScore}
 
 /** SparkSessionExtensions injection point (SURVEY §4): registers the
   * engine's native expressions so any session built with
@@ -43,5 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 64-bit SimHash of array<bigint>"),
       (es: Seq[Expression]) => SimHash64(es(0))))
+    e.injectFunction((
+      FunctionIdentifier("top_centroids"),
+      info("top_centroids",
+        "top_centroids(vec, centroids, n) - indices of the n most cosine-similar centroids"),
+      (es: Seq[Expression]) => TopCentroids(es(0), es(1), es(2))))
+    e.injectFunction((
+      FunctionIdentifier("top_k_by"),
+      info("top_k_by",
+        "top_k_by(score, id, k) - aggregate: k best (id, score) pairs, best first"),
+      (es: Seq[Expression]) => TopKByScore(es(0), es(1), es(2))))
   }
 }

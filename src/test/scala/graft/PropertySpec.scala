@@ -129,6 +129,47 @@ class EtlConfigSpec extends SparkSpec {
   }
 }
 
+class TopKBufferPropertySpec extends SparkSpec {
+
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 25)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(7L + i)))
+    }
+
+  private val pairsGen: Gen[(Int, List[(Double, Long)])] = for {
+    k <- Gen.choose(1, 8)
+    // narrow score/id ranges force ties so tie-breaking is exercised
+    pairs <- Gen.listOf(for {
+      s <- Gen.choose(0, 5).map(_.toDouble)
+      id <- Gen.choose(0L, 20L)
+    } yield (s, id))
+  } yield (k, pairs)
+
+  private def oracle(pairs: List[(Double, Long)], k: Int): List[(Double, Long)] =
+    pairs.sortBy { case (s, i) => (-s, i) }.take(k)
+
+  test("heap top-k == sort top-k under arbitrary ties; merge == union; serde round-trips") {
+    forAllSeeded(pairsGen) { case (k, pairs) =>
+      val buf = new graft.functions.TopKBuffer(k)
+      pairs.foreach { case (s, i) => buf.add(s, i) }
+      assert(buf.sortedDesc.toList === oracle(pairs, k))
+
+      // split arbitrarily, build two buffers, merge — same result
+      val (l, r) = pairs.splitAt(pairs.length / 2)
+      val bl = new graft.functions.TopKBuffer(k)
+      l.foreach { case (s, i) => bl.add(s, i) }
+      val br = new graft.functions.TopKBuffer(k)
+      r.foreach { case (s, i) => br.add(s, i) }
+      bl.mergeFrom(br)
+      assert(bl.sortedDesc.toList === oracle(pairs, k))
+
+      // serialization round-trip preserves contents
+      val back = graft.functions.TopKBuffer.fromBytes(bl.toBytes)
+      assert(back.sortedDesc.toList === bl.sortedDesc.toList)
+    }
+  }
+}
+
 class ExtensionsSpec extends SparkSpec {
   test("GraftExtensions injects SQL functions") {
     org.apache.spark.sql.TestExtensionsBridge
@@ -145,6 +186,21 @@ class ExtensionsSpec extends SparkSpec {
       assert(r.getDouble(1) === 6.0)
       assert(r.getLong(2) === 5L) // single hash: sign bits = its bits
       assert(r.getInt(3) === 16)
+    }
+    locally {
+      // top_centroids: vec aligned with centroid 1, orthogonal to centroid 0
+      val r = spark.sql(
+        """SELECT top_centroids(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |         array(array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)),
+          |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 1) AS t
+          |""".stripMargin).collect().head
+      assert(r.getSeq[Int](0) === Seq(1))
+      val agg = spark.sql(
+        """SELECT top_k_by(CAST(v AS DOUBLE), CAST(v AS BIGINT), 2) AS top
+          | FROM VALUES (1), (9), (5), (7) AS t(v)
+          |""".stripMargin).collect().head
+      val top = agg.getSeq[org.apache.spark.sql.Row](0)
+      assert(top.map(_.getLong(0)) === Seq(9L, 7L))
     }
   }
 }

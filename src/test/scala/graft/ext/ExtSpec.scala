@@ -289,6 +289,21 @@ class IvfSpec extends SparkSpec {
     r1.foreach { case (q, id, s) => assert(q === id && s > 0.999999) }
   }
 
+  test("list-partitioned IVF layout gives partition-pruned probe scans") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+    val model = Ivf.train(emb, k = 8, iters = 2)
+    Ivf.assign(emb, model).write.partitionBy("list_id").parquet(s"$root/index")
+    val index = spark.read.parquet(s"$root/index")
+    val probed = index.filter($"list_id".isin(0, 1))
+    val plan = probed.queryExecution.executedPlan.toString
+    // the probe filter reaches the scan as a partition filter → only the
+    // probed lists' directories are read (the nprobe/k scan-cost claim)
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"), plan.take(800))
+    val prunedParts = probed.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(prunedParts.subsetOf(Set(0, 1)))
+  }
+
   test("ivf recall vs brute force is reasonable on clustered data") {
     val model = Ivf.train(emb, k = 16, iters = 3)
     val queries = emb.filter($"vec_id" < 20)
