@@ -488,6 +488,19 @@ object Queries {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy(col("event_id"))
 
+  /** Q43 — array functions: split, size, slice, distinct, sort, join,
+    * contains. Arrays are compared portably by joining back to strings. */
+  val q43_array_fns: Q = (s, d) =>
+    t(s, d, "customer")
+      .filter(col("c_custkey") <= 50)
+      .select(
+        col("c_custkey"),
+        size(split(col("c_name"), "0")).cast("long").as("n_parts"),
+        array_join(slice(split(col("c_name"), "0"), 1, 3), "|").as("first3"),
+        array_join(array_sort(array_distinct(split(col("c_name"), "0"))), "|").as("uniq"),
+        array_contains(split(col("c_name"), "0"), "1").as("has_one"))
+      .orderBy(col("c_custkey"))
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -531,7 +544,8 @@ object Queries {
     "q39_revenue_topk" -> q39_revenue_topk,
     "q40_correlated_scalar" -> q40_correlated_scalar,
     "q41_date_offsets" -> q41_date_offsets,
-    "q42_json" -> q42_json)
+    "q42_json" -> q42_json,
+    "q43_array_fns" -> q43_array_fns)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -758,5 +772,12 @@ object Queries {
     "q42_json" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
         | FROM events WHERE event_id <= 200 ORDER BY event_id""",
+    "q43_array_fns" ->
+      """SELECT c_custkey,
+        | CAST(len(string_split(c_name, '0')) AS BIGINT) AS n_parts,
+        | array_to_string(list_slice(string_split(c_name, '0'), 1, 3), '|') AS first3,
+        | array_to_string(list_sort(list_distinct(string_split(c_name, '0'))), '|') AS uniq,
+        | list_contains(string_split(c_name, '0'), '1') AS has_one
+        | FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -61,6 +61,25 @@ object StreamingHourly {
     q
   }
 
+  /** Production sink: append closed hourly windows to snappy parquet with a
+    * checkpoint — exactly-once file output across restarts (offsets + sink
+    * commit log live in `checkpointDir`; a crashed batch is re-run, its
+    * half-written files ignored by the commit protocol). The streaming
+    * mirror of the batch JobRunner sink (S5). Drains what is available,
+    * then terminates; re-invoke on a schedule (or swap the trigger for a
+    * continuous service) — state carries over through the checkpoint. */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("compression", "snappy")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** M4 idle watchdog: stop the query after `idleTimeoutMs` with no progress
     * (no new input rows). The reference default is 5 minutes. */
   class IdleTimeoutListener(query: => StreamingQuery, idleTimeoutMs: Long)

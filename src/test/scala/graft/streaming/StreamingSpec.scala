@@ -41,6 +41,44 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+class StreamingParquetSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("checkpointed parquet sink: restart resumes, no duplicate windows") {
+    val root = Files.createTempDirectory("graft_psink").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    def rows(b: Long, h: Int, v: Double) =
+      Seq((new Timestamp(ts("2024-05-01 00:00:00").getTime + h * 3600 * 1000L), b, v))
+    // run 1: hours 0-1 for building 1 + sentinel at hour 4 → watermark
+    // hour 2 (2 h delay) closes hours 0-1 but keeps later hours live
+    (rows(1L, 0, 1.0) ++ rows(1L, 1, 2.0) ++ rows(99L, 4, 0.0))
+      .toDF("timestamp", "bldg_id", "m")
+      .write.mode("append").parquet(s"$root/in")
+    val schema = spark.read.parquet(s"$root/in").schema
+    def stream() = StreamingHourly.query(
+      spark, s"$root/in", schema, measureCols = Seq("m"), watermark = "2 hours")
+    StreamingHourly.runToParquet(stream(), s"$root/out", s"$root/ckpt")
+    val afterFirst = spark.read.parquet(s"$root/out")
+      .filter($"bldg_id_min" =!= 99L).count()
+    assert(afterFirst === 2) // both closed hours emitted
+
+    // run 2 (restart from checkpoint): hour 3 (inside the watermark) + a
+    // sentinel at hour 8 that closes it
+    (rows(1L, 3, 3.0) ++ rows(98L, 8, 0.0))
+      .toDF("timestamp", "bldg_id", "m")
+      .write.mode("append").parquet(s"$root/in")
+    StreamingHourly.runToParquet(stream(), s"$root/out", s"$root/ckpt")
+    val out = spark.read.parquet(s"$root/out")
+      .filter($"bldg_id_min" =!= 99L && $"bldg_id_min" =!= 98L)
+      .select($"timestamp", $"m_mean").orderBy($"timestamp")
+      .as[(Timestamp, Double)].collect()
+    // exactly one row per closed hour — the restart neither re-emitted old
+    // windows nor dropped the new one
+    assert(out.map(_._2).toSeq === Seq(1.0, 2.0, 3.0))
+    assert(out.map(_._1).distinct.length === 3)
+  }
+}
+
 class StreamingDedupSpec extends SparkSpec {
   import spark.implicits._
 
