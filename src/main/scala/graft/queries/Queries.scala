@@ -32,7 +32,10 @@ object Queries {
     t(s, d, "lineitem")
       .filter(col("l_quantity") > 45)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem;
+      // l_quantity joins the sort so row order is total (caught at 10×
+      // scale where the tie order finally diverged between engines)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
   /** Q02 — the core ETL hour aggregation (A1+A2): date_trunc to hour, min id,
     * mean measure, `_min`/`_mean` suffix contract of
@@ -279,7 +282,10 @@ object Queries {
         ceil(col("l_extendedprice") / 1000).as("price_k"),
         (col("l_linenumber") % 3).cast("long").as("ln_mod"),
         round(pow(col("l_tax") + 1.0, 2), 4).as("tax_sq"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // total order: (l_orderkey, l_linenumber) ties broken by every
+      // output column (see q01 note)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("abs_disc"),
+        col("sqrt_qty"), col("price_k"), col("ln_mod"), col("tax_sq"))
 
   /** Q25 — date arithmetic: quarter extraction, month truncation, last_day. */
   val q25_date_arith: Q = (s, d) =>
@@ -551,7 +557,8 @@ object Queries {
   val oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        | WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""",
+        | WHERE l_quantity > 45
+        | ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "q02_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS timestamp,
         | MIN(event_id) AS event_id_min, ROUND(AVG(value), 4) AS value_mean
@@ -673,7 +680,8 @@ object Queries {
         | CAST(MOD(l_linenumber, 3) AS BIGINT) AS ln_mod,
         | ROUND(POWER(l_tax + 1.0, 2), 4) AS tax_sq
         | FROM lineitem WHERE l_orderkey <= 100
-        | ORDER BY l_orderkey, l_linenumber""",
+        | ORDER BY l_orderkey, l_linenumber, abs_disc, sqrt_qty,
+        |   price_k, ln_mod, tax_sq""",
     "q25_date_arith" ->
       """SELECT o_orderkey,
         | CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
