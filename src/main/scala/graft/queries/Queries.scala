@@ -507,6 +507,25 @@ object Queries {
         array_contains(split(col("c_name"), "0"), "1").as("has_one"))
       .orderBy(col("c_custkey"))
 
+  /** Q44 — more scalar functions: least/greatest, sign, ln/exp/log10,
+    * floor division. Total ORDER BY over every output column (q01 note). */
+  val q44_misc_scalars: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_orderkey") <= 80)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // +1e-9 before ROUND: pushes values off exact .5 boundaries where
+        // Spark (half-up) and DuckDB disagree; deterministic on both sides
+        round(least(col("l_quantity"), col("l_extendedprice") / 1000) + 1e-9, 4).as("lo"),
+        round(greatest(col("l_discount"), col("l_tax")) + 1e-9, 4).as("hi"),
+        signum(col("l_discount") - 0.05).cast("long").as("sgn"),
+        round(log(col("l_quantity") + 1) + 1e-9, 4).as("ln_q"),
+        round(exp(col("l_discount")) + 1e-9, 4).as("exp_d"),
+        round(log10(col("l_extendedprice")) + 1e-9, 4).as("log_p"),
+        floor(col("l_quantity") / 7).cast("long").as("q7"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("lo"), col("hi"),
+        col("sgn"), col("ln_q"), col("exp_d"), col("log_p"), col("q7"))
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -551,7 +570,8 @@ object Queries {
     "q40_correlated_scalar" -> q40_correlated_scalar,
     "q41_date_offsets" -> q41_date_offsets,
     "q42_json" -> q42_json,
-    "q43_array_fns" -> q43_array_fns)
+    "q43_array_fns" -> q43_array_fns,
+    "q44_misc_scalars" -> q44_misc_scalars)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -787,5 +807,16 @@ object Queries {
         | array_to_string(list_sort(list_distinct(string_split(c_name, '0'))), '|') AS uniq,
         | list_contains(string_split(c_name, '0'), '1') AS has_one
         | FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""",
+    "q44_misc_scalars" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ROUND(LEAST(l_quantity, l_extendedprice / 1000) + 1e-9, 4) AS lo,
+        | ROUND(GREATEST(l_discount, l_tax) + 1e-9, 4) AS hi,
+        | CAST(SIGN(l_discount - 0.05) AS BIGINT) AS sgn,
+        | ROUND(LN(l_quantity + 1) + 1e-9, 4) AS ln_q,
+        | ROUND(EXP(l_discount) + 1e-9, 4) AS exp_d,
+        | ROUND(LOG10(l_extendedprice) + 1e-9, 4) AS log_p,
+        | CAST(FLOOR(l_quantity / 7) AS BIGINT) AS q7
+        | FROM lineitem WHERE l_orderkey <= 80
+        | ORDER BY l_orderkey, l_linenumber, lo, hi, sgn, ln_q, exp_d, log_p, q7""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
