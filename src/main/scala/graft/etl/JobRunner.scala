@@ -140,6 +140,27 @@ object JobRunner {
     * independent Spark jobs and may share the session). */
   def runAll(spark: SparkSession, cfg: EtlConfig, runId: String): Seq[Result] =
     cfg.jobs.map(run(spark, _, cfg.outputRoot, runId))
+
+  /** Concurrent fan-out (reference `asyncio.gather`, `main.py:108` — which
+    * its README flags as "untested in parallel"; here it is tested). Each
+    * job runs on its own driver thread in a FAIR scheduler pool so one
+    * job's stages can't starve the others; executors are shared. Output
+    * isolation comes from the per-job subdirs (see [[jobDir]]), so
+    * concurrency needs no extra coordination. */
+  def runAllParallel(spark: SparkSession, cfg: EtlConfig, runId: String,
+      poolName: String = "graft-etl"): Seq[Result] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = cfg.jobs.map { spec =>
+      Future {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", poolName)
+        try run(spark, spec, cfg.outputRoot, runId)
+        finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      }
+    }
+    Await.result(Future.sequence(futures), Duration.Inf)
+  }
 }
 
 /** Raw passthrough copy of metadata files (S4). The reference S3-copies

@@ -77,6 +77,28 @@ class EtlParitySpec extends SparkSpec {
     }
   }
 
+  test("parallel runAll produces the same outputs as sequential") {
+    val root = Files.createTempDirectory("graft_par").toString
+    val df = energyFixture()
+    for (st <- Seq("AK", "CA", "TX")) {
+      df.withColumn("upgrade", lit(0)).withColumn("state", lit(st))
+        .write.mode("append").partitionBy("upgrade", "state")
+        .parquet(s"$root/src_$st")
+    }
+    val jobs = Seq("AK", "CA", "TX").map(st =>
+      JobSpec("r", "2024", st, Seq(0), s"$root/src_$st", s"$root/meta"))
+    val cfg = EtlConfig(s"$root/out", jobs)
+    val par = JobRunner.runAllParallel(spark, cfg, "runp")
+    assert(par.length === 3)
+    par.foreach { r =>
+      assert(r.ledger.discrepancies.isEmpty)
+      assert(r.ledger.outputRows === 4)
+      assert(spark.read.parquet(r.dataOut).count() === 4)
+    }
+    // results come back in job order regardless of completion order
+    assert(par.map(_.dataOut).map(_.split('/').last) === Seq("AK", "CA", "TX"))
+  }
+
   test("re-running one upgrade leaves sibling upgrade partitions intact") {
     val root = Files.createTempDirectory("graft_dyn").toString
     val df = energyFixture()

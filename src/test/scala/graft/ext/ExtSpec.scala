@@ -323,6 +323,37 @@ class IvfSpec extends SparkSpec {
   }
 }
 
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one-pass profile: nulls, distincts, ranges, means per column") {
+    val df = Seq(
+      (1L, Some("aa"), Some(10.0)),
+      (2L, None, Some(20.0)),
+      (3L, Some("cccc"), None),
+      (4L, Some("aa"), Some(30.0))
+    ).toDF("id", "s", "v")
+    val p = Profile.describe(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(2) === 4) // rows
+    assert(p("s").getLong(3) === 1 && p("s").getDouble(4) === 0.25) // nulls
+    assert(p("v").getLong(5) === 3) // distinct (exact at this size)
+    assert(p("v").getString(6) === "10.0" && p("v").getString(7) === "30.0")
+    assert(math.abs(p("v").getAs[Double]("mean") - 20.0) < 1e-9)
+    assert(math.abs(p("s").getAs[Double]("mean") - (2 + 4 + 2) / 3.0) < 1e-9)
+    assert(p("id").getString(6) === "1" && p("id").getString(7) === "4")
+  }
+
+  test("profile runs one scan over a real table") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val prof = Profile.describe(docs)
+    assert(prof.count() === docs.columns.length)
+    val byCol = prof.collect().map(r => r.getString(0) -> r).toMap
+    assert(byCol("doc_id").getLong(3) === 0) // ids never null
+    assert(byCol("lang").getLong(5) >= 2) // at least two languages
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
   test("synthesize → batched decode: valid geometry, corrupt items flagged") {
