@@ -194,6 +194,14 @@ object ExtQueries {
         round(median(col("l_extendedprice")), 2).as("exact_p50"))
       .orderBy(col("l_returnflag"))
 
+  /** X8 — one-pass dataset profile over documents (Tier B: HLL distinct
+    * estimates are engine-specific). */
+  val x8_profile: Q = (s, d) =>
+    graft.ext.Profile.describe(t(s, d, "documents"))
+      .select(col("column"), col("type"), col("rows"), col("nulls"),
+        round(col("null_frac"), 4).as("null_frac"))
+      .orderBy(col("column"))
+
   /** Skew-mitigation surface: salted two-phase aggregation must equal the
     * plain group-by (checked against the SQL oracle). */
   val x6_salted_agg: Q = (s, d) =>
@@ -257,6 +265,7 @@ object ExtQueries {
     "x4_term_freq" -> x4_term_freq,
     "a3_approx_distinct" -> a3_approx_distinct,
     "a4_approx_quantile" -> a4_approx_quantile,
+    "x8_profile" -> x8_profile,
     "x6_salted_agg" -> x6_salted_agg,
     "x7_hash_sample" -> x7_hash_sample,
     "x4_chunking" -> x4_chunking,

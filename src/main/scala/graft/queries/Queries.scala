@@ -526,6 +526,33 @@ object Queries {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("lo"), col("hi"),
         col("sgn"), col("ln_q"), col("exp_d"), col("log_p"), col("q7"))
 
+  /** Q45 — bitwise operators: and, xor, shift-left, or. */
+  val q45_bit_ops: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_orderkey") <= 40)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_linenumber").bitwiseAND(3).cast("long").as("band"),
+        col("l_linenumber").bitwiseXOR(5).cast("long").as("x5"),
+        shiftleft(col("l_linenumber"), 2).cast("long").as("shl"),
+        col("l_linenumber").bitwiseOR(8).cast("long").as("orr"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("band"),
+        col("x5"), col("shl"), col("orr"))
+
+  /** Q46 — time-of-day and day-of-year extraction (DuckDB DOW is Sunday=0,
+    * Spark dayofweek is Sunday=1 — aligned with -1). */
+  val q46_time_parts: Q = (s, d) =>
+    t(s, d, "events")
+      .filter(col("event_id") <= 300)
+      .select(
+        col("event_id"),
+        hour(col("ts")).cast("long").as("h"),
+        minute(col("ts")).cast("long").as("mi"),
+        second(col("ts")).cast("long").as("sec"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        dayofyear(col("ts")).cast("long").as("doy"))
+      .orderBy(col("event_id"))
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -571,7 +598,9 @@ object Queries {
     "q41_date_offsets" -> q41_date_offsets,
     "q42_json" -> q42_json,
     "q43_array_fns" -> q43_array_fns,
-    "q44_misc_scalars" -> q44_misc_scalars)
+    "q44_misc_scalars" -> q44_misc_scalars,
+    "q45_bit_ops" -> q45_bit_ops,
+    "q46_time_parts" -> q46_time_parts)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -818,5 +847,21 @@ object Queries {
         | CAST(FLOOR(l_quantity / 7) AS BIGINT) AS q7
         | FROM lineitem WHERE l_orderkey <= 80
         | ORDER BY l_orderkey, l_linenumber, lo, hi, sgn, ln_q, exp_d, log_p, q7""",
+    "q45_bit_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(l_linenumber & 3 AS BIGINT) AS band,
+        | CAST(xor(l_linenumber, 5) AS BIGINT) AS x5,
+        | CAST(l_linenumber << 2 AS BIGINT) AS shl,
+        | CAST(l_linenumber | 8 AS BIGINT) AS orr
+        | FROM lineitem WHERE l_orderkey <= 40
+        | ORDER BY l_orderkey, l_linenumber, band, x5, shl, orr""",
+    "q46_time_parts" ->
+      """SELECT event_id,
+        | CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS h,
+        | CAST(EXTRACT(MINUTE FROM ts) AS BIGINT) AS mi,
+        | CAST(EXTRACT(SECOND FROM ts) AS BIGINT) AS sec,
+        | CAST(EXTRACT(DOW FROM ts) AS BIGINT) AS dow,
+        | CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS doy
+        | FROM events WHERE event_id <= 300 ORDER BY event_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
