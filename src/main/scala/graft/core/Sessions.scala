@@ -20,6 +20,10 @@ object Sessions {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", "32")
+      // FAIR so concurrent driver threads (JobRunner.runAllParallel) share
+      // executors instead of queueing whole jobs FIFO; no effect on
+      // single-job runs
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")

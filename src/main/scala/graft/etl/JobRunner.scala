@@ -143,18 +143,20 @@ object JobRunner {
 
   /** Concurrent fan-out (reference `asyncio.gather`, `main.py:108` — which
     * its README flags as "untested in parallel"; here it is tested). Each
-    * job runs on its own driver thread in a FAIR scheduler pool so one
-    * job's stages can't starve the others; executors are shared. Output
-    * isolation comes from the per-job subdirs (see [[jobDir]]), so
+    * job runs on its own driver thread in its OWN scheduler pool: under
+    * FAIR mode (set in [[graft.core.Sessions]]) fairness applies BETWEEN
+    * pools, while jobs sharing one pool would queue FIFO inside it — a
+    * large first job would still starve the rest. Executors are shared;
+    * output isolation comes from the per-job subdirs (see [[jobDir]]), so
     * concurrency needs no extra coordination. */
   def runAllParallel(spark: SparkSession, cfg: EtlConfig, runId: String,
       poolName: String = "graft-etl"): Seq[Result] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val futures = cfg.jobs.map { spec =>
+    val futures = cfg.jobs.zipWithIndex.map { case (spec, i) =>
       Future {
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", poolName)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"$poolName-$i")
         try run(spark, spec, cfg.outputRoot, runId)
         finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
       }

@@ -122,7 +122,12 @@ object Dedup {
       .withColumn("bk", bandKeys(
         graft.functions.HashFunctions.minhashSignature(col("shh"), p.numPerm), p))
 
-  /** Candidate pairs (idA < idB) that share at least one LSH band bucket. */
+  /** Candidate pairs (idA < idB) that share at least one LSH band bucket.
+    * EAGER: executes the LSH pipeline at call time and returns the (small)
+    * pair set checkpoint-backed, so the sketch cache can be released before
+    * returning. Callers that need a lazy plan (staged execution, plan
+    * inspection) compose [[sketch]] + [[candidatePairsFromSketch]] and own
+    * the cache lifecycle. */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams()): DataFrame =
     withCachedSketch(df, idCol, textCol, p)(candidatePairsFromSketch)
@@ -142,7 +147,9 @@ object Dedup {
     * candidates from LSH banding, then joins back to the cached sketch
     * table and a single merge pass per pair
     * ([[graft.functions.JaccardSorted]]). Identical results to string-set
-    * Jaccard up to 64-bit hash collisions (~2^-64 per shingle pair). */
+    * Jaccard up to 64-bit hash collisions (~2^-64 per shingle pair).
+    * EAGER — see [[candidatePairs]]; lazy variant:
+    * [[nearDupPairsFromSketch]]. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams()): DataFrame =
     withCachedSketch(df, idCol, textCol, p)(nearDupPairsFromSketch(_, p))

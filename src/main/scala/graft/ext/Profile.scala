@@ -26,11 +26,19 @@ object Profile {
     val fields = df.schema.fields
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: fields.flatMap { f =>
       val c = col(s"`${f.name}`")
+      // min/max need an ordering — skip them (null) for unorderable types
+      // like map<> instead of failing the whole profile
+      val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType)
       val base = Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"),
-        approx_count_distinct(c).as(s"__dist_${f.name}"),
-        min(c).cast("string").as(s"__min_${f.name}"),
-        max(c).cast("string").as(s"__max_${f.name}"))
+        // HLL needs a hashable input — maps aren't; report 0 distinct there
+        (if (orderable) approx_count_distinct(c) else lit(0L))
+          .as(s"__dist_${f.name}"),
+        (if (orderable) min(c).cast("string") else lit(null).cast("string"))
+          .as(s"__min_${f.name}"),
+        (if (orderable) max(c).cast("string") else lit(null).cast("string"))
+          .as(s"__max_${f.name}"))
       val typed = f.dataType match {
         case _: NumericType => Seq(avg(c.cast("double")).as(s"__mean_${f.name}"))
         case StringType => Seq(avg(length(c).cast("double")).as(s"__mean_${f.name}"))

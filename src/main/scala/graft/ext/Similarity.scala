@@ -49,13 +49,15 @@ object Similarity {
     * k-element heap per (query, map task), so the exchange after scoring
     * carries at most k pairs per query per task — no per-partition sort,
     * no scored-matrix shuffle. Same results as [[bruteForceTopK]]
-    * (identical tie-breaking: score desc, id asc). */
+    * (identical tie-breaking: score desc, id asc). Ids must be integral
+    * (the aggregate buffer stores them as 64-bit longs — int ids are cast
+    * up); use [[bruteForceTopK]] for string or other non-integral ids. */
   def bruteForceTopKAgg(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", qidCol: String = "query_id",
       vecCol: String = "embedding"): DataFrame = {
     import graft.functions.TopKFunctions.topKBy
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("cvec"))
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("qvec"))
     c.crossJoin(broadcast(q))
       .select(col("query_id"), col("id"),

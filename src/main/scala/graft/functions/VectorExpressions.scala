@@ -149,7 +149,10 @@ case class TopCentroids(vec: Expression, centroids: Expression, n: Expression)
     val a = v.asInstanceOf[ArrayData]
     val cents = cs.asInstanceOf[ArrayData]
     val k = cents.numElements()
-    val top = math.max(1, math.min(nn.asInstanceOf[Int], k))
+    val top = math.min(nn.asInstanceOf[Int], k)
+    if (top <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyIntArray)
     val bs = Array.fill(top)(Double.NegativeInfinity)
     val bi = Array.fill(top)(-1)
     var j = 0
@@ -187,12 +190,13 @@ case class TopCentroids(vec: Expression, centroids: Expression, n: Expression)
       val out = ctx.freshName("out")
       s"""
          |int $k = $cs.numElements();
-         |int $top = Math.max(1, Math.min($nn, $k));
+         |int $top = Math.min($nn, $k);
+         |if ($top < 0) $top = 0;
          |double[] $bs = new double[$top];
          |int[] $bi = new int[$top];
          |java.util.Arrays.fill($bs, Double.NEGATIVE_INFINITY);
          |java.util.Arrays.fill($bi, -1);
-         |for (int $j = 0; $j < $k; $j++) {
+         |for (int $j = 0; $top > 0 && $j < $k; $j++) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $c = $cs.getArray($j);
          |  int $len = Math.min($a.numElements(), $c.numElements());
          |  double $dot = 0.0, $na = 0.0, $nc = 0.0;

@@ -45,12 +45,21 @@ object Formats {
     * are materialized once via local checkpoint — which is what a ledger
     * pass wants anyway: one read serving both the parsed and corrupt
     * streams. */
+  /** ONE full materialized parse serving every ledger-style consumer:
+    * pass the result to [[corruptRows]] AND [[parseLedger]] to avoid
+    * re-parsing (each materializes on its own when handed a raw read).
+    * Materialization is required for corrupt-record queries — Spark
+    * refuses a scan whose required schema is the corrupt column alone,
+    * since corruptness is only defined relative to parsing the data
+    * columns. */
+  def materialize(df: DataFrame): DataFrame =
+    if (isMaterialized(df)) df else df.localCheckpoint(true)
+
+  private def isMaterialized(df: DataFrame): Boolean =
+    df.queryExecution.logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
   def corruptRows(df: DataFrame): DataFrame = {
-    // materialize the full parse once; the corrupt-only projection is then
-    // served from the checkpointed rows, not the raw text scan (Spark
-    // refuses a scan whose required schema is the corrupt column alone —
-    // corruptness is only defined relative to parsing the data columns)
-    val fixed = df.localCheckpoint(true)
+    val fixed = materialize(df)
     fixed.filter(fixed(CorruptCol).isNotNull)
   }
 
@@ -63,10 +72,12 @@ object Formats {
 
   final case class ParseLedger(parsed: Long, corrupt: Long)
 
-  /** Parsed/corrupt counts off ONE full materialized parse (the per-file
-    * discrepancy accounting of the reference's ledger, at row granularity). */
+  /** Parsed/corrupt counts off a full materialized parse (the per-file
+    * discrepancy accounting of the reference's ledger, at row granularity).
+    * Hand it a [[materialize]]d frame to share the parse with
+    * [[corruptRows]]. */
   def parseLedger(df: DataFrame): ParseLedger = {
-    val fixed = df.localCheckpoint(true)
+    val fixed = materialize(df)
     val corrupt = fixed.filter(fixed(CorruptCol).isNotNull).count()
     ParseLedger(fixed.count() - corrupt, corrupt)
   }

@@ -240,6 +240,15 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.probeMasks(8, 9))
   }
 
+  test("top_centroids with n <= 0 returns an empty array, not a phantom hit") {
+    val df = emb.limit(3).select(
+      graft.functions.VectorFunctions.topCentroids(
+        $"embedding",
+        typedlit(Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))),
+        lit(0)).as("t"))
+    assert(df.collect().forall(_.getSeq[Int](0).isEmpty))
+  }
+
   test("radius-2 probing finds at least the radius-1 candidate set") {
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding")
@@ -342,6 +351,15 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(p("v").getAs[Double]("mean") - 20.0) < 1e-9)
     assert(math.abs(p("s").getAs[Double]("mean") - (2 + 4 + 2) / 3.0) < 1e-9)
     assert(p("id").getString(6) === "1" && p("id").getString(7) === "4")
+  }
+
+  test("unorderable columns (map) profile without failing; min/max null") {
+    val df = Seq((1L, Map("a" -> "b")), (2L, Map("c" -> "d")))
+      .toDF("id", "m")
+    val p = Profile.describe(df).collect().map(r => r.getString(0) -> r).toMap
+    assert(p("m").getLong(2) === 2)
+    assert(p("m").isNullAt(6) && p("m").isNullAt(7)) // min/max skipped
+    assert(p("id").getString(6) === "1")
   }
 
   test("profile runs one scan over a real table") {
