@@ -553,6 +553,36 @@ object Queries {
         dayofyear(col("ts")).cast("long").as("doy"))
       .orderBy(col("event_id"))
 
+  /** Q47 — distribution window functions: ntile, percent_rank, cume_dist,
+    * dense_rank (total per-partition order on the unique key). */
+  val q47_window_dist: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+    t(s, d, "customer")
+      .filter(col("c_custkey") <= 400)
+      .select(
+        col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        dense_rank().over(w).cast("long").as("dr"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q48 — string functions, second batch: lpad/rpad, trim, replace,
+    * reverse, split_part. */
+  val q48_string_fns2: Q = (s, d) =>
+    t(s, d, "customer")
+      .filter(col("c_custkey") <= 60)
+      .select(
+        col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        rpad(col("c_mktsegment"), 12, ".").as("rpadded"),
+        trim(rpad(col("c_mktsegment"), 12, " ")).as("trimmed"),
+        regexp_replace(col("c_name"), "Customer", "C").as("replaced"),
+        reverse(col("c_mktsegment")).as("rev"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("num_part"))
+      .orderBy(col("c_custkey"))
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -600,7 +630,9 @@ object Queries {
     "q43_array_fns" -> q43_array_fns,
     "q44_misc_scalars" -> q44_misc_scalars,
     "q45_bit_ops" -> q45_bit_ops,
-    "q46_time_parts" -> q46_time_parts)
+    "q46_time_parts" -> q46_time_parts,
+    "q47_window_dist" -> q47_window_dist,
+    "q48_string_fns2" -> q48_string_fns2)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -863,5 +895,21 @@ object Queries {
         | CAST(EXTRACT(DOW FROM ts) AS BIGINT) AS dow,
         | CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS doy
         | FROM events WHERE event_id <= 300 ORDER BY event_id""",
+    "q47_window_dist" ->
+      """SELECT c_custkey,
+        | CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS BIGINT) AS quartile,
+        | ROUND(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey), 6) AS pr,
+        | ROUND(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey), 6) AS cd,
+        | CAST(dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS BIGINT) AS dr
+        | FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey""",
+    "q48_string_fns2" ->
+      """SELECT c_custkey,
+        | lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        | rpad(c_mktsegment, 12, '.') AS rpadded,
+        | trim(rpad(c_mktsegment, 12, ' ')) AS trimmed,
+        | replace(c_name, 'Customer', 'C') AS replaced,
+        | reverse(c_mktsegment) AS rev,
+        | split_part(c_name, '#', 2) AS num_part
+        | FROM customer WHERE c_custkey <= 60 ORDER BY c_custkey""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
