@@ -583,6 +583,21 @@ object Queries {
         split_part(col("c_name"), lit("#"), lit(2)).as("num_part"))
       .orderBy(col("c_custkey"))
 
+  /** Q49 — MapType: parse JSON into a map, enumerate keys, access values
+    * (map surface compared portably via joined key strings). */
+  val q49_map_fns: Q = (s, d) => {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+    t(s, d, "events")
+      .filter(col("event_id") <= 150)
+      .select(
+        col("event_id"),
+        array_join(map_keys(m), ",").as("ks"),
+        size(map_keys(m)).cast("long").as("nk"),
+        (element_at(m, "k") + 1).as("kv1"))
+      .orderBy(col("event_id"))
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -632,7 +647,8 @@ object Queries {
     "q45_bit_ops" -> q45_bit_ops,
     "q46_time_parts" -> q46_time_parts,
     "q47_window_dist" -> q47_window_dist,
-    "q48_string_fns2" -> q48_string_fns2)
+    "q48_string_fns2" -> q48_string_fns2,
+    "q49_map_fns" -> q49_map_fns)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -911,5 +927,11 @@ object Queries {
         | reverse(c_mktsegment) AS rev,
         | split_part(c_name, '#', 2) AS num_part
         | FROM customer WHERE c_custkey <= 60 ORDER BY c_custkey""",
+    "q49_map_fns" ->
+      """SELECT event_id,
+        | array_to_string(json_keys(props), ',') AS ks,
+        | CAST(json_array_length(json_keys(props)) AS BIGINT) AS nk,
+        | CAST(props->>'$.k' AS BIGINT) + 1 AS kv1
+        | FROM events WHERE event_id <= 150 ORDER BY event_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
