@@ -43,12 +43,26 @@ object JobRunner {
     val partDirs = spec.upgrades.map(u => s"${spec.srcRoot}/upgrade=$u/state=${spec.state}")
       .filter(p => fs.exists(new Path(p)))
 
+    // Metadata bypass (S4) runs regardless of whether data partitions
+    // exist — the reference appends metadata keys to the partition list
+    // unconditionally (fetch.py:60-81), so a metadata-only job still
+    // copies. Output is per-job (same isolation argument as jobDir: the
+    // reference keys every copy by its full original source key, and two
+    // releases share state_label metadata FILENAMES).
+    val metadataOut = s"$outputRoot/$runId/metadata/${jobDir(spec)}"
+    def copyMetadata(): Long = {
+      val metaKeys = spec.upgrades.flatMap(u =>
+        PartitionPaths.metadataKeys(spec.metadataRoot, u, spec.state))
+      MetadataBypass.copyAll(conf, metaKeys, metadataOut)
+    }
+
     if (partDirs.isEmpty) {
       // nothing listed for this job (reference: the ledger reports zeros and
       // the run succeeds — README.md:345-361 counts start at listed=0)
+      val bypassed = copyMetadata()
       return Result(
-        s"$outputRoot/$runId/data/${jobDir(spec)}", s"$outputRoot/$runId/metadata",
-        graft.ledger.Ledger.Report(0, 0, 0, 0, 0, Nil))
+        s"$outputRoot/$runId/data/${jobDir(spec)}", metadataOut,
+        graft.ledger.Ledger.Report(0, 0, bypassed, 0, 0, Nil))
     }
 
     val listedFiles: Seq[String] = partDirs.flatMap { dir =>
@@ -105,20 +119,23 @@ object JobRunner {
 
     // Files that actually contributed rows — distinct _metadata.file_path.
     // Separate lightweight action (file-path column only, no measure decode).
+    // _metadata.file_path is the full URI (file:/…, s3a://bucket/…) while
+    // the listing above uses toUri.getPath (scheme+authority stripped) —
+    // normalize BOTH forms: scheme://authority first, then scheme-only
+    // (local file: paths have no authority).
     val processedPaths = spark.read
       .option("basePath", spec.srcRoot)
       .option("ignoreCorruptFiles", "true")
       .parquet(partDirs: _*)
       .select(col("_metadata.file_path").as("path"))
       .distinct()
-      .withColumn("path", regexp_replace(col("path"), "^file:", ""))
+      .withColumn("path", regexp_replace(
+        regexp_replace(col("path"), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""))
 
     // -- 5. Metadata bypass (S4): raw byte copy, never decoded
     //    (fetch.py:143-149,161-196).
-    val metadataOut = s"$outputRoot/$runId/metadata"
-    val metaKeys = spec.upgrades.flatMap(u =>
-      PartitionPaths.metadataKeys(spec.metadataRoot, u, spec.state))
-    val bypassed = MetadataBypass.copyAll(conf, metaKeys, metadataOut)
+    val bypassed = copyMetadata()
 
     // -- 6. Ledger (M3): listed vs processed anti-join + counters.
     val listedDf = Ledger.pathsDf(spark, listedFiles)

@@ -65,7 +65,9 @@ object Multimodal {
       if (data == null || data.length < 16) return None
       val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val w = bb.getInt(0); val h = bb.getInt(4); val f = bb.getInt(8)
-      if (w <= 0 || h <= 0 || f <= 0 || data.length < 16 + w * h) return None
+      // length check in Long math: huge header dims would overflow Int
+      // (w*h wraps to <=0) and slip a truncated buffer past the guard
+      if (w <= 0 || h <= 0 || f <= 0 || data.length < 16L + w.toLong * h) return None
       var sum = 0L
       var i = 16
       while (i < 16 + w * h) { sum = sum * 31 + (data(i) & 0xff); i += 1 }

@@ -31,21 +31,23 @@ object Skew {
       maxCols: Seq[String] = Nil): DataFrame = {
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
+    // backtick-quote user names: the engine's energy measures are dotted
+    def qc(c: String) = col(s"`$c`")
     val phase1 =
-      countCols.map(c => count(col(c)).as(s"__cnt_$c")) ++
-        sumCols.map(c => sum(col(c)).as(s"__sum_$c")) ++
-        minCols.map(c => min(col(c)).as(s"__min_$c")) ++
-        maxCols.map(c => max(col(c)).as(s"__max_$c"))
+      countCols.map(c => count(qc(c)).as(s"__cnt_$c")) ++
+        sumCols.map(c => sum(qc(c)).as(s"__sum_$c")) ++
+        minCols.map(c => min(qc(c)).as(s"__min_$c")) ++
+        maxCols.map(c => max(qc(c)).as(s"__max_$c"))
     require(phase1.nonEmpty, "no aggregates requested")
     val p1 = salted
-      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .groupBy((keys.map(qc) :+ col("__salt")): _*)
       .agg(phase1.head, phase1.tail: _*)
     val phase2 =
-      countCols.map(c => sum(col(s"__cnt_$c")).as(s"${c}_count")) ++
-        sumCols.map(c => sum(col(s"__sum_$c")).as(s"${c}_sum")) ++
-        minCols.map(c => min(col(s"__min_$c")).as(s"${c}_min")) ++
-        maxCols.map(c => max(col(s"__max_$c")).as(s"${c}_max"))
-    p1.groupBy(keys.map(col): _*).agg(phase2.head, phase2.tail: _*)
+      countCols.map(c => sum(qc(s"__cnt_$c")).as(s"${c}_count")) ++
+        sumCols.map(c => sum(qc(s"__sum_$c")).as(s"${c}_sum")) ++
+        minCols.map(c => min(qc(s"__min_$c")).as(s"${c}_min")) ++
+        maxCols.map(c => max(qc(s"__max_$c")).as(s"${c}_max"))
+    p1.groupBy(keys.map(qc): _*).agg(phase2.head, phase2.tail: _*)
   }
 
   /** Salted broadcast join for a skewed LEFT against a small RIGHT: the left

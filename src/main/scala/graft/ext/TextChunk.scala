@@ -22,7 +22,7 @@ object TextChunk {
     require(maxTokens > overlap,
       s"maxTokens ($maxTokens) must exceed overlap ($overlap)")
     val stride = maxTokens - overlap
-    val chunks = letCol(TextStats.tokens(col(textCol))) { toks =>
+    val chunks = letCol(TextStats.tokens(col(s"`$textCol`"))) { toks =>
       when(size(toks) === 0, array().cast("array<string>"))
         .otherwise(transform(
           // window starts: 0, stride, 2·stride, … while start < size
@@ -52,8 +52,10 @@ object Mixing {
     require(sources.nonEmpty)
     sources.map { case (name, (df, frac)) =>
       require(frac >= 0 && frac <= 1, s"fraction for $name out of range: $frac")
-      val threshold = (frac * 10000).toLong
-      df.filter(pmod(xxhash64(col(keyCol), lit(name)), lit(10000L)) < threshold)
+      // round, don't truncate: 0.29 * 10000 is 2899.999… in binary — toLong
+      // would keep 28.99% instead of the requested 29%
+      val threshold = math.round(frac * 10000)
+      df.filter(pmod(xxhash64(col(s"`$keyCol`"), lit(name)), lit(10000L)) < threshold)
         .withColumn("mix_source", lit(name))
     }.reduce(_ unionByName _)
   }

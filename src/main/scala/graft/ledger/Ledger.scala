@@ -27,7 +27,14 @@ object Ledger {
 
     /** Reference-shaped summary JSON (monitor.py:108-137). */
     def toJson: String = {
-      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      // control characters (newline/tab are legal in POSIX file names) must
+      // be \u-escaped or the one-line JSON protocol breaks
+      def esc(s: String) = s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       val files = discrepancies.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
       s"""{"counts":{"listed":$listed,"processed":$processed,"bypassed":$bypassed,""" +
         s""""input_rows":$inputRows,"output_rows":$outputRows},""" +

@@ -35,6 +35,11 @@ object AsOfJoin {
       payload: Seq[String] = Nil,
       toleranceMs: Option[Long] = None): DataFrame = {
 
+    // backtick-quote every caller-supplied name: the engine's own metadata
+    // schema has dotted columns (`in.state`, SchemaDefs), which bare col()
+    // would mis-parse as struct access
+    def qcol(name: String): Column = col(s"`$name`")
+
     val payloadCols =
       if (payload.nonEmpty) payload
       else right.columns.toSeq.diff(keyCols :+ rightTime)
@@ -44,56 +49,51 @@ object AsOfJoin {
       s"as-of payload columns collide with left columns: ${clash.mkString(", ")} " +
         "- rename the right side before joining")
 
-    // tagged union: right rows carry payload, left rows carry nulls
+    // tagged union. The match time AND every payload column travel in ONE
+    // struct (null on left rows), so a single last(ignoreNulls) picks the
+    // whole matched right row atomically — per-column last() would
+    // resurrect older revisions' values wherever the matched revision
+    // carries a legitimate NULL, and could mix fields across revisions.
     val unifiedTime = "__t"
-    val l = left
-      .withColumn(unifiedTime, col(leftTime))
-      .withColumn("__is_left", lit(1))
-      .withColumn("__rt", lit(null).cast("timestamp"))
-    val lWithNullPayload = payloadCols.foldLeft(l)((df, c) =>
-      df.withColumn(s"__p_$c", lit(null).cast(right.schema(c).dataType)))
-    val r = right
-      .withColumn(unifiedTime, col(rightTime))
-      .withColumn("__is_left", lit(0))
-      .withColumn("__rt", col(rightTime))
-    val rWithPayload = payloadCols.foldLeft(r)((df, c) =>
-      df.withColumn(s"__p_$c", col(c)))
-    val rProjected = rWithPayload.select(
-      (keyCols.map(col) :+ col(unifiedTime) :+ col("__is_left") :+ col("__rt")) ++
-        payloadCols.map(c => col(s"__p_$c")) ++
+    val packFields = qcol(rightTime).as("rt") +:
+      payloadCols.zipWithIndex.map { case (c, i) => qcol(c).as(s"p_$i") }
+    val rProjected = right.select(
+      (keyCols.map(qcol) :+ qcol(rightTime).as(unifiedTime) :+
+        lit(0).as("__is_left") :+ struct(packFields: _*).as("__pack")) ++
         leftCols.diff(keyCols).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val lProjected = lWithNullPayload.select(
-      (keyCols.map(col) :+ col(unifiedTime) :+ col("__is_left") :+ col("__rt")) ++
-        payloadCols.map(c => col(s"__p_$c")) ++
-        leftCols.diff(keyCols).map(col): _*)
+    val packType = rProjected.schema("__pack").dataType
+    val lProjected = left.select(
+      (keyCols.map(qcol) :+ qcol(leftTime).as(unifiedTime) :+
+        lit(1).as("__is_left") :+ lit(null).cast(packType).as("__pack")) ++
+        leftCols.diff(keyCols).map(qcol): _*)
 
     // right rows sort before left rows at the same instant (a reference row
     // AT the event time is visible to it)
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(qcol): _*)
       .orderBy(col(unifiedTime), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = lProjected.unionByName(rProjected)
-      .withColumn("__match_t", last(col("__rt"), ignoreNulls = true).over(w))
-    val withPayload = payloadCols.foldLeft(filled)((df, c) =>
-      df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w)))
+      .withColumn("__m", last(col("__pack"), ignoreNulls = true).over(w))
+    val matchT = col("__m").getField("rt")
 
     // staleness compared at microsecond precision (timestamp resolution):
     // cast("long") would truncate to whole seconds and void sub-second
     // tolerances entirely
     val stale: Column = toleranceMs match {
       case Some(tol) =>
-        col("__match_t").isNull ||
-          unix_micros(col(unifiedTime)) - unix_micros(col("__match_t")) > tol * 1000L
-      case None => col("__match_t").isNull
+        matchT.isNull ||
+          unix_micros(col(unifiedTime)) - unix_micros(matchT) > tol * 1000L
+      case None => matchT.isNull
     }
-    val result = withPayload
+    filled
       .filter(col("__is_left") === 1)
       .select(
-        (keyCols.map(col) ++ leftCols.diff(keyCols).map(col)) ++
-          payloadCols.map(c => when(stale, lit(null)).otherwise(col(s"__p_$c")).as(c)) :+
-          when(stale, lit(null)).otherwise(col("__match_t")).as("asof_time"): _*)
-    result
+        (keyCols.map(qcol) ++ leftCols.diff(keyCols).map(qcol)) ++
+          payloadCols.zipWithIndex.map { case (c, i) =>
+            when(stale, lit(null)).otherwise(col("__m").getField(s"p_$i")).as(c)
+          } :+
+          when(stale, lit(null)).otherwise(matchT).as("asof_time"): _*)
   }
 }
 

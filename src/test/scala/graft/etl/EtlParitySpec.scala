@@ -126,4 +126,43 @@ class EtlParitySpec extends SparkSpec {
     assert(res.ledger.inputRows === 0)
     assert(res.ledger.discrepancies.isEmpty)
   }
+
+  private def writeMeta(root: String, state: String): Unit = {
+    import spark.implicits._
+    Seq((1L, state)).toDF("bldg_id", "in_state").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/m0_$state")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val src = fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/m0_$state/*.parquet")).head.getPath
+    val mdir = new org.apache.hadoop.fs.Path(s"$root/meta/state=$state/parquet")
+    fs.mkdirs(mdir)
+    fs.copyFromLocalFile(false, true, src,
+      new org.apache.hadoop.fs.Path(mdir, s"${state}_baseline_basic_metadata_and_annual_results.parquet"))
+    fs.copyFromLocalFile(false, true, src,
+      new org.apache.hadoop.fs.Path(mdir, s"${state}_baseline_metadata_and_annual_results.parquet"))
+  }
+
+  test("metadata bypass runs even when no data partitions exist") {
+    val root = Files.createTempDirectory("graft_metaonly").toString
+    writeMeta(root, "AK")
+    val spec = JobSpec("r", "2024", "AK", Seq(0), s"$root/no_data_here", s"$root/meta")
+    val res = JobRunner.run(spark, spec, s"$root/out", "r1")
+    assert(res.ledger.listed === 0)
+    assert(res.ledger.bypassed === 2) // reference copies metadata unconditionally
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"${res.metadataOut}/*.parquet")).length === 2)
+  }
+
+  test("two releases of the same state keep separate metadata outputs") {
+    val root = Files.createTempDirectory("graft_metaiso").toString
+    writeMeta(root, "AK")
+    def spec(rel: String) = JobSpec(rel, "2024", "AK", Seq(0), s"$root/no_data", s"$root/meta")
+    val r23 = JobRunner.run(spark, spec("rel2023"), s"$root/out", "runx")
+    val r24 = JobRunner.run(spark, spec("rel2024"), s"$root/out", "runx")
+    assert(r23.metadataOut !== r24.metadataOut)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    // both copies survive — the shared filename no longer clobbers
+    Seq(r23, r24).foreach { r =>
+      assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"${r.metadataOut}/*.parquet")).length === 2)
+    }
+  }
 }

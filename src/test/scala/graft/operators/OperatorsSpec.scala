@@ -50,6 +50,29 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, null)))
   }
 
+  test("a NULL in the matched revision is NOT backfilled from older revisions") {
+    val ev = Seq((1L, ts("2024-01-01 12:00:00"), 1.0)).toDF("id", "ts", "v")
+    val md = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "555", "old@x"),
+      (1L, ts("2024-01-01 11:00:00"), null, "new@x") // latest: phone cleared
+    ).toDF("id", "rts", "phone", "email")
+    val got = AsOfJoin(ev, md, Seq("id"), "ts", "rts")
+      .select("phone", "email").collect().head
+    // the matched revision's legitimate NULL must survive, and both payload
+    // fields must come from the SAME (latest) revision
+    assert(got.isNullAt(0), s"phone resurrected: ${got.getString(0)}")
+    assert(got.getString(1) === "new@x")
+  }
+
+  test("dotted payload and key names work (engine metadata schema)") {
+    val ev = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("id", "ts")
+    val md = Seq((1L, ts("2024-01-01 09:00:00"), "AK"))
+      .toDF("id", "rts", "in.state")
+    val got = AsOfJoin(ev, md, Seq("id"), "ts", "rts")
+      .select(col("`in.state`")).collect().head.getString(0)
+    assert(got === "AK")
+  }
+
   test("sub-second tolerance works at microsecond precision") {
     val ev = Seq((1L, new Timestamp(1700000001500L), 1.0)) // t+1.5s
       .toDF("id", "ts", "v")
