@@ -19,7 +19,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = core.Sessions.local(appName = "graft-bench")
 
+    // Optional comma-separated subset (e.g. "q15_lag_window,q27_asof_join")
+    // for focused perf iteration; full suite when unset.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val headline: Seq[String] = queries.Queries.queries.map(_._1)
+      .filter(n => only.forall(_.contains(n)))
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
