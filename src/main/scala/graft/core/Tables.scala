@@ -17,7 +17,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Resolved-relation cache. `spark.read.parquet` re-lists the path and
+    * re-reads parquet footers for schema on every call — 50-100 ms of pure
+    * planning overhead per query when each query re-loads its inputs. The
+    * testdata tables are immutable, so the resolved DataFrame (file index +
+    * schema) is reused per (session, dir, table) — the same contract as a
+    * catalog table, which is what this object stands in for (SURVEY §2.1
+    * S6). For paths whose contents change between reads use
+    * [[loadUncached]]. Keyed on the session too so stopped test sessions
+    * never leak plans into new ones. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, sfDir, name), _ => loadUncached(spark, sfDir, name))
+
+  def loadUncached(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
