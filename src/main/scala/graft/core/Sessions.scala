@@ -6,18 +6,22 @@ import org.apache.spark.sql.SparkSession
   *
   * - shuffle.partitions = 32: the local-mode contract (matches cores; at
   *   cluster scale this becomes executors × cores and AQE re-plans anyway).
-  * - AQE on with size-based coalescing (`parallelismFirst=false`): post-
-  *   shuffle partitions target `advisoryPartitionSizeInBytes` instead of
-  *   being pinned to the static number — tiny stages collapse to 1-2 tasks
-  *   (latency win at bench scale), huge stages still fan out (the 100 TB
-  *   story is unchanged: AQE adapts by data size, not a constant).
-  * - advisory size 8 MB, not the 64 MB default: post-shuffle bytes are
-  *   compressed, so a 64 MB target collapses a multi-million-row sort onto
-  *   1-2 tasks and serializes it while the other cores idle (measured 4-6x
-  *   on window/sort-heavy queries at 10x scale). 8 MB keeps those stages
-  *   ~15-30 way parallel while sub-8 MB stages still coalesce to one task.
-  *   On a real cluster the same advisory holds: it bounds per-task sort
-  *   memory, and stage width follows data size.
+  * - AQE on with `parallelismFirst=true` (the Spark default, restored after
+  *   a measured regression): with parallelism-first, AQE coalesces a
+  *   post-shuffle stage only down to `max(totalBytes / defaultParallelism,
+  *   minPartitionSize)` — stage width tracks available cores until the data
+  *   genuinely shrinks. Targeting `advisoryPartitionSizeInBytes` instead
+  *   (`parallelismFirst=false`, tried in round 2) serialized every
+  *   window/sort-heavy stage: those stages are CPU-bound per row but small
+  *   in compressed bytes, so a byte-size target starves them of cores
+  *   (measured 3-6x slowdown on as-of/lag/frame queries at 10x scale).
+  * - minPartitionSize 64k, not the 1 MB default, for the same reason: the
+  *   1 MB floor re-introduces under-parallelism exactly on the CPU-dense
+  *   stages (a 12 MB compressed window input coalesced to 1 MB chunks is
+  *   12 tasks on 32 cores). 64k keeps sub-64k stages collapsing to one
+  *   task (the trivial-query latency win) while CPU-bound mid-size stages
+  *   get full width. At 100 TB the `totalBytes / parallelism` term
+  *   dominates and both knobs are inert — they only govern the small end.
   */
 object Sessions {
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
@@ -32,8 +36,15 @@ object Sessions {
       // single-job runs
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.adaptive.enabled", aqe.toString)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // 32 MB, not the conservative 10 MB default: a dimension that fits
+      // 32 MB on disk hashes to a few hundred MB at most — well inside a
+      // production executor — and broadcasting it removes a full shuffle of
+      // the fact side. Measured: the mid-size-dim join (q14 at 10x) drops
+      // from SMJ (2.5 s) to BHJ (2.1 s); at 100 TB the fact-side shuffle
+      // avoided grows with the data while the broadcast cost stays fixed.
+      .config("spark.sql.autoBroadcastJoinThreshold", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
