@@ -16,12 +16,15 @@ import org.apache.spark.sql.types._
   * partition task; plans that only touch metadata prune it at the parquet
   * reader.
   *
-  * STUB NOTICE: the container has no image/audio codecs, so the byte-level
-  * decoders below are deterministic fakes over a synthetic header layout
-  * (documented at [[SyntheticMedia]]). The Spark-side contract — schema,
-  * encoders, batch shape, partition amortization, null/corrupt handling —
-  * is real and tested; swap [[MediaCodec]] for a real codec binding to go
-  * to production.
+  * Codec bindings: PNG/BMP/GIF decode (and PNG encode / thumbnail resize)
+  * are REAL, via the JRE's `javax.imageio` — bytes are sniffed by magic
+  * number and routed to ImageIO, so a parquet column of actual PNG files
+  * round-trips through [[extractFeatures]] with true pixel geometry and a
+  * checksum over decoded pixels. Formats the JRE cannot decode
+  * (JPEG-XL, video, audio) fall back to the deterministic synthetic-header
+  * codec ([[SyntheticMedia]]) so the pipeline shape stays exercisable
+  * offline; swap those arms of [[MediaCodec]] for real bindings (e.g.
+  * a JNI ffmpeg wrapper) to take them to production.
   */
 object Multimodal {
 
@@ -57,12 +60,89 @@ object Multimodal {
     }
   }
 
-  /** The per-partition "codec". A production build replaces this object with
-    * real decoders; everything else in the module is unchanged. */
+  /** The per-partition codec. Image formats the JRE ships decoders for
+    * (PNG, BMP, GIF) are decoded for real via `javax.imageio`; anything
+    * else falls back to the synthetic-header stub. Dispatch is by magic
+    * number, not mime, so mislabeled bytes are still decoded correctly. */
   object MediaCodec {
-    /** Decode header + checksum payload; None for corrupt/truncated input. */
+
+    private def isPng(d: Array[Byte]): Boolean =
+      d.length >= 8 && d(0) == 0x89.toByte && d(1) == 'P' && d(2) == 'N' && d(3) == 'G'
+    private def isBmp(d: Array[Byte]): Boolean =
+      d.length >= 2 && d(0) == 'B' && d(1) == 'M'
+    private def isGif(d: Array[Byte]): Boolean =
+      d.length >= 4 && d(0) == 'G' && d(1) == 'I' && d(2) == 'F' && d(3) == '8'
+
+    /** Real image decode. ImageIO readers are not thread-safe to share, but
+      * each call constructs its own via the static entry point; the JRE
+      * caches the SPI lookup, so per-partition amortization still applies. */
+    def decodeImage(data: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data)))
+      catch { case _: Exception => None }
+
+    /** Order-dependent checksum over decoded ARGB pixels — the real-image
+      * analog of the stub's payload checksum: identical pixels ⇒ identical
+      * checksum, independent of how the bytes were compressed. */
+    def pixelChecksum(img: java.awt.image.BufferedImage): Long = {
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum = sum * 31 + img.getRGB(x, y); x += 1 }
+        y += 1
+      }
+      sum
+    }
+
+    /** Deterministic PNG encode (LCG gray pixels) — lets tests and the
+      * synthetic table produce REAL image bytes with known geometry. */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var s = seed
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          val g = (s >>> 56).toInt & 0xff
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Real resize: decode → scale to fit `maxDim` (aspect preserved) →
+      * re-encode PNG. None for undecodable bytes. */
+    def thumbnailPng(data: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+      decodeImage(data).map { img =>
+        val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+        val tw = math.max(1, math.round(img.getWidth * scale).toInt)
+        val th = math.max(1, math.round(img.getHeight * scale).toInt)
+        val thumb = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = thumb.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, tw, th, null)
+        g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(thumb, "png", out)
+        out.toByteArray
+      }
+
+    /** Decode geometry + checksum; None for corrupt/truncated input.
+      * Real formats first (by magic), synthetic header otherwise. */
     def decode(data: Array[Byte]): Option[(Int, Int, Int, Long)] = {
       if (data == null || data.length < 16) return None
+      if (isPng(data) || isBmp(data) || isGif(data))
+        return decodeImage(data).map(img =>
+          (img.getWidth, img.getHeight, 1, pixelChecksum(img)))
       val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val w = bb.getInt(0); val h = bb.getInt(4); val f = bb.getInt(8)
       // length check in Long math: huge header dims would overflow Int
@@ -93,6 +173,18 @@ object Multimodal {
     }
   }
 
+  /** Real image resize over the media column: decode → fit to `maxDim` →
+    * re-encode PNG, batched per partition. Non-image/corrupt rows pass
+    * through with a null thumbnail (kept, so callers can audit coverage). */
+  def thumbnails(media: Dataset[MediaRow], maxDim: Int): DataFrame = {
+    implicit val enc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY)
+    media.mapPartitions { rows =>
+      rows.map(r => (r.media_id, r.uri,
+        MediaCodec.thumbnailPng(r.data, maxDim).orNull))
+    }.toDF("media_id", "uri", "thumb_png")
+  }
+
   /** Frame sampling (video analog): emits one row per sampled frame index —
     * `explode` of a per-item frame list computed inside the batched task. */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int): DataFrame = {
@@ -103,17 +195,20 @@ object Multimodal {
       .select(col("media_id"), col("uri"), col("frame_idx"))
   }
 
-  /** Synthesize a deterministic media table (driver of the stub pipeline —
-    * also used by tests and the x5 query). */
+  /** Synthesize a deterministic media table (used by tests and the x5
+    * query). Image rows carry REAL PNG bytes (encoded with the JRE codec,
+    * decoded back by the real ImageIO arm of [[MediaCodec]]); video/audio
+    * rows carry the synthetic container format. */
   def synthesize(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).as[Long].map { i =>
       val w = 8 + (i % 5).toInt * 4
       val h = 8 + (i % 3).toInt * 4
       val frames = 1 + (i % 7).toInt
-      val mime = if (i % 3 == 0) "image/fake" else if (i % 3 == 1) "video/fake" else "audio/fake"
+      val mime = if (i % 3 == 0) "image/png" else if (i % 3 == 1) "video/fake" else "audio/fake"
       val data =
         if (i % 97 == 13) Array[Byte](1, 2, 3) // planted corrupt items
+        else if (i % 3 == 0) MediaCodec.encodePng(w, h, seed = i)
         else SyntheticMedia.encode(w, h, frames, seed = i)
       MediaRow(i, s"synthetic://media/$i", mime, data)
     }

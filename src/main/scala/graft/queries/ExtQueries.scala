@@ -247,6 +247,15 @@ object ExtQueries {
     Multimodal.sampleFrames(Multimodal.synthesize(s, 100), everyN = 2)
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** X5 — real-image resize: every PNG row decodes through ImageIO and
+    * re-encodes as a bounded thumbnail; non-image rows audit as un-thumbed. */
+  val x5_thumbnail: Q = (s, d) =>
+    Multimodal.thumbnails(Multimodal.synthesize(s, 200), maxDim = 4)
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("thumb_png").isNotNull, 1L).otherwise(0L)).as("n_thumbed"),
+        max(length(col("thumb_png"))).cast("long").as("max_thumb_bytes"))
+
   val queries: Seq[(String, Q)] = Seq(
     "x1_dedup_exact" -> x1_dedup_exact,
     "x1_dedup_exact_rows" -> x1_dedup_exact_rows,
@@ -271,7 +280,8 @@ object ExtQueries {
     "x4_chunking" -> x4_chunking,
     "x7_weighted_mix" -> x7_weighted_mix,
     "x5_multimodal" -> x5_multimodal,
-    "x5_frame_sample" -> x5_frame_sample)
+    "x5_frame_sample" -> x5_frame_sample,
+    "x5_thumbnail" -> x5_thumbnail)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
