@@ -18,7 +18,13 @@ final case class JobSpec(
     /** root holding per-state metadata parquet files */
     metadataRoot: String,
     /** reference per-file grouping semantics vs corrected (id, hour) */
-    byId: Boolean = true)
+    byId: Boolean = true,
+    /** When set, the input is read WITH this schema (missing columns →
+      * nulls, extra columns → ignored, output schema pinned) and every
+      * file whose footer deviates is reported in the ledger
+      * ([[SchemaEnforce]]). When None, schema comes from footer merge —
+      * the reference's crawler behavior. */
+    declaredSchema: Option[org.apache.spark.sql.types.StructType] = None)
 
 final case class EtlConfig(
     outputRoot: String,
@@ -46,6 +52,14 @@ object EtlConfig {
             case null => Seq(0)
             case u => (0 until u.size).map(k => u.get(k).asInt)
           }
+          // optional named schema contract; "energy_timeseries" is the
+          // reference's 51-measure layout (SchemaDefs). Unknown names fail
+          // fast rather than silently skipping enforcement.
+          val declared = Option(j.get("declared_schema")).map(_.asText).map {
+            case "energy_timeseries" => SchemaDefs.timeseriesSchema
+            case other => throw new IllegalArgumentException(
+              s"unknown declared_schema '$other' (known: energy_timeseries)")
+          }
           JobSpec(
             releaseName = str(j, "release_name"),
             releaseYear = str(j, "release_year"),
@@ -53,7 +67,8 @@ object EtlConfig {
             upgrades = upgrades,
             srcRoot = str(j, "src_root"),
             metadataRoot = str(j, "metadata_root"),
-            byId = Option(j.get("by_id")).forall(_.asBoolean(true)))
+            byId = Option(j.get("by_id")).forall(_.asBoolean(true)),
+            declaredSchema = declared)
         }
     }
     EtlConfig(outputRoot = str(root, "output_root"), jobs = jobs)

@@ -78,12 +78,29 @@ object JobRunner {
     // -- 2. Scan (S2/S3). ignoreCorruptFiles reproduces the reference's
     //    per-file failure tolerance (a bad file is skipped, surfaces in the
     //    ledger, and never kills the job — README.md:337-361).
-    val obs = new Observation("etl_input")
-    val input: DataFrame = spark.read
+    //    With a declared schema (S2 enforcement) the scan reads THAT schema:
+    //    files missing a declared column yield nulls, extra columns are
+    //    ignored, and the output schema is pinned regardless of which
+    //    footer a crawler-style merge would have picked.
+    //    The observation carries BOTH the row count and the distinct set of
+    //    contributing file paths (collect_set over _metadata.file_path), so
+    //    the ledger needs no second scan of the input — one FileScan per
+    //    job. Path count is file-count-bounded: the driver already holds
+    //    the full listing, so the metric adds no new driver-memory class.
+    //    Observation name is unique per run: concurrent jobs in
+    //    runAllParallel each get their own listener match.
+    val obs = new Observation(s"etl_input_${java.util.UUID.randomUUID()}")
+    val reader0 = spark.read
       .option("basePath", spec.srcRoot)
       .option("ignoreCorruptFiles", "true")
+    val reader = spec.declaredSchema.fold(reader0)(reader0.schema)
+    val input: DataFrame = reader
       .parquet(partDirs: _*)
-      .observe(obs, count(lit(1)).as("rows"))
+      .withColumn("__src_file", col("_metadata.file_path"))
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        collect_set(col("__src_file")).as("paths"))
+      .drop("__src_file")
 
     // -- 3. Transform (A1/A2): group by (upgrade, state[, bldg_id], hour).
     //    Measure columns are schema-on-read: every double column that isn't
@@ -117,30 +134,32 @@ object JobRunner {
       .partitionBy("upgrade", "state")
       .parquet(dataOut)
 
-    // Files that actually contributed rows — distinct _metadata.file_path.
-    // Separate lightweight action (file-path column only, no measure decode).
-    // _metadata.file_path is the full URI (file:/…, s3a://bucket/…) while
-    // the listing above uses toUri.getPath (scheme+authority stripped) —
-    // normalize BOTH forms: scheme://authority first, then scheme-only
-    // (local file: paths have no authority).
-    val processedPaths = spark.read
-      .option("basePath", spec.srcRoot)
-      .option("ignoreCorruptFiles", "true")
-      .parquet(partDirs: _*)
-      .select(col("_metadata.file_path").as("path"))
-      .distinct()
-      .withColumn("path", regexp_replace(
-        regexp_replace(col("path"), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
-        "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""))
-
     // -- 5. Metadata bypass (S4): raw byte copy, never decoded
     //    (fetch.py:143-149,161-196).
     val bypassed = copyMetadata()
 
-    // -- 6. Ledger (M3): listed vs processed anti-join + counters.
-    val listedDf = Ledger.pathsDf(spark, listedFiles)
-    val missing = Ledger.discrepancy(listedDf, processedPaths)
-      .collect().map(_.getString(0)).toSeq.sorted
+    // -- 6. Ledger (M3): listed vs processed set-diff + counters. Processed
+    //    paths come from the main pass's observation (no second scan).
+    //    _metadata.file_path is the full URI (file:/…, s3a://bucket/…)
+    //    while the listing uses toUri.getPath (scheme+authority stripped) —
+    //    normalize: strip scheme://authority first, then bare scheme:
+    //    (local file: paths have no authority).
+    val processed: Set[String] = obs.get("paths") match {
+      case s: Seq[_] => s.map(p =>
+        p.toString
+          .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+          .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "")).toSet
+      case other => sys.error(s"unexpected observation payload: $other")
+    }
+    val missing = listedFiles.filterNot(processed.contains).sorted
+
+    // -- 7. Schema enforcement report (S2): footer-only diff vs the
+    //    declared columns, distributed; empty when no schema is declared.
+    val drift = spec.declaredSchema match {
+      case Some(schema) =>
+        SchemaEnforce.detect(spark, listedFiles, schema.fieldNames.toSeq)
+      case None => Nil
+    }
 
     val report = Ledger.Report(
       listed = listedFiles.size,
@@ -148,7 +167,8 @@ object JobRunner {
       bypassed = bypassed,
       inputRows = obs.get("rows").asInstanceOf[Long],
       outputRows = outObs.get("rows").asInstanceOf[Long],
-      discrepancies = missing)
+      discrepancies = missing,
+      schemaDrift = drift)
 
     Result(dataOut, metadataOut, report)
   }

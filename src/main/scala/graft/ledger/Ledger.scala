@@ -8,12 +8,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * "Listed but not Uploaded" (worked example
   * `/root/reference/README.md:339-362`).
   *
-  * Spark re-expression: counters come from `Observation` metrics collected
-  * during the single pass over the data (no second scan); the set-diff is a
-  * left-anti join between the driver's file listing and the distinct
-  * `_metadata.file_path` values actually read. The anti-join runs as a
-  * DataFrame plan, so a 100 TB run with millions of input files never
-  * materializes the file sets on the driver.
+  * Spark re-expression: counters AND the processed-file set come from
+  * `Observation` metrics (count + collect_set of `_metadata.file_path`)
+  * collected during the single pass over the data — the job's physical
+  * plan has exactly one FileScan, no ledger re-scan. The set-diff then
+  * runs driver-side against the listing the driver already holds
+  * (file-count-bounded, the same memory class as the listing itself).
+  * [[discrepancy]]/[[pathsDf]] remain for callers whose listings live in
+  * DataFrames (e.g. a manifest table too large to enumerate on the
+  * driver) — there the anti-join runs distributed.
   */
 object Ledger {
 
@@ -23,7 +26,8 @@ object Ledger {
       bypassed: Long,
       inputRows: Long,
       outputRows: Long,
-      discrepancies: Seq[String]) {
+      discrepancies: Seq[String],
+      schemaDrift: Seq[graft.etl.SchemaEnforce.Drift] = Nil) {
 
     /** Reference-shaped summary JSON (monitor.py:108-137). */
     def toJson: String = {
@@ -35,10 +39,14 @@ object Ledger {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       }
-      val files = discrepancies.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
+      def arr(xs: Seq[String]) = xs.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
+      val drift = schemaDrift.map(d =>
+        s"""{"file":"${esc(d.path)}","missing":${arr(d.missing)},"extra":${arr(d.extra)}}""")
+        .mkString("[", ",", "]")
       s"""{"counts":{"listed":$listed,"processed":$processed,"bypassed":$bypassed,""" +
         s""""input_rows":$inputRows,"output_rows":$outputRows},""" +
-        s""""discrepancy":{"stage":"Listed but not Uploaded","files":$files}}"""
+        s""""discrepancy":{"stage":"Listed but not Uploaded","files":${arr(discrepancies)}},""" +
+        s""""schema_drift":$drift}"""
     }
   }
 

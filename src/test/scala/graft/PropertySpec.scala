@@ -127,6 +127,22 @@ class EtlConfigSpec extends SparkSpec {
       EtlConfig.fromJson("""{"job_specific": []}""") // missing output_root
     }
   }
+
+  test("declared_schema opts a job into schema enforcement") {
+    val cfg = EtlConfig.fromJson(
+      """{"output_root": "/tmp/out", "job_specific": [
+        |  {"release_name": "r", "release_year": "2024", "state": "AK",
+        |   "src_root": "/s", "metadata_root": "/m",
+        |   "declared_schema": "energy_timeseries"}]}""".stripMargin)
+    assert(cfg.jobs.head.declaredSchema.get === graft.etl.SchemaDefs.timeseriesSchema)
+    intercept[IllegalArgumentException] {
+      EtlConfig.fromJson(
+        """{"output_root": "/o", "job_specific": [
+          |  {"release_name": "r", "release_year": "2024", "state": "AK",
+          |   "src_root": "/s", "metadata_root": "/m",
+          |   "declared_schema": "nope"}]}""".stripMargin)
+    }
+  }
 }
 
 class TopKBufferPropertySpec extends SparkSpec {

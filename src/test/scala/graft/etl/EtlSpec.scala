@@ -199,6 +199,82 @@ class JobRunnerSpec extends SparkSpec {
     assert(res.ledger.toJson.contains("\"Listed but not Uploaded\""))
   }
 
+  test("schema drift: added+missing columns reported, output schema pinned") {
+    val root = Files.createTempDirectory("graft_etl_drift").toString
+    val src = s"$root/src"
+    // upgrade=0 conforms to the declared schema (timestamp, bldg_id, m)
+    Seq((ts("2024-03-01 00:00:00"), 1L, 2.0, 0, "AK"),
+      (ts("2024-03-01 00:15:00"), 1L, 4.0, 0, "AK"))
+      .toDF("timestamp", "bldg_id", "m", "upgrade", "state")
+      .write.partitionBy("upgrade", "state").parquet(src)
+    // upgrade=1 drifted: column m MISSING, column zz_extra ADDED
+    Seq((ts("2024-03-01 00:00:00"), 2L, "surprise", 1, "AK"))
+      .toDF("timestamp", "bldg_id", "zz_extra", "upgrade", "state")
+      .write.mode("append").partitionBy("upgrade", "state").parquet(src)
+
+    val declared = StructType(Seq(
+      StructField("timestamp", TimestampType),
+      StructField("bldg_id", LongType),
+      StructField("m", DoubleType)))
+    val spec = JobSpec("rel", "2024", "AK", Seq(0, 1), src, s"$root/nometa",
+      declaredSchema = Some(declared))
+    val res = JobRunner.run(spark, spec, s"$root/out", "run1")
+
+    // job succeeded; output schema is the declared contract — no zz_extra
+    val got = spark.read.parquet(res.dataOut)
+    assert(got.columns.sorted ===
+      Array("bldg_id_min", "m_mean", "state", "timestamp", "timestamp_min", "upgrade"))
+    // conforming partition aggregated normally
+    assert(got.filter($"upgrade" === 0).collect().head.getAs[Double]("m_mean") === 3.0)
+    // drifted partition still processed: its m reads as null, row group kept
+    assert(got.filter($"upgrade" === 1).count() === 1)
+    assert(got.filter($"upgrade" === 1).collect().head.isNullAt(got.columns.indexOf("m_mean")))
+    // and the drifted FILE is reported, reference-style, in the ledger
+    assert(res.ledger.schemaDrift.size === 1)
+    val d = res.ledger.schemaDrift.head
+    assert(d.path.contains("upgrade=1") && d.missing === Seq("m") && d.extra === Seq("zz_extra"))
+    assert(res.ledger.discrepancies.isEmpty) // drift is not a read failure
+    assert(res.ledger.toJson.contains("\"schema_drift\":[{\"file\""))
+  }
+
+  test("single pass: the job's SQL executions contain exactly one FileScan") {
+    val root = Files.createTempDirectory("graft_etl_onescan").toString
+    val src = s"$root/src"
+    Seq((ts("2024-03-01 00:00:00"), 1L, 1.0, 0, "AK"),
+      (ts("2024-03-01 00:15:00"), 1L, 3.0, 0, "AK"))
+      .toDF("timestamp", "bldg_id", "m", "upgrade", "state")
+      .write.partitionBy("upgrade", "state").parquet(src)
+
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = plans.add(f -> qe.executedPlan.toString)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    // drain any stray events from earlier actions in this shared session
+    org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
+    spark.listenerManager.register(listener)
+    try {
+      JobRunner.run(spark, JobSpec("rel", "2024", "AK", Seq(0), src, s"$root/nometa"),
+        s"$root/out", "run1")
+      // listener bus is async — wait for the write's plan to land
+      org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
+      import scala.jdk.CollectionConverters._
+      val counted = plans.asScala.map { case (f, p) =>
+        // AQE's toString prints the Initial Plan below the Final Plan —
+        // count scans in the final section only, or the same scan doubles
+        val finalOnly = p.split("== Initial Plan ==").head
+        (f, "FileScan parquet".r.findAllIn(finalOnly).length,
+          p.linesIterator.take(3).mkString(" | "))
+      }
+      val scans = counted.map(_._2).sum
+      assert(scans === 1,
+        s"expected exactly one FileScan across the job, got $scans: " +
+          counted.map(c => s"[${c._1} scans=${c._2}] ${c._3}").mkString(" ;; "))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("corrupt file surfaces in the discrepancy ledger, job still succeeds") {
     val root = Files.createTempDirectory("graft_etl_bad").toString
     val src = s"$root/src"
