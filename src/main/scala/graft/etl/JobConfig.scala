@@ -28,7 +28,10 @@ final case class JobSpec(
 
 final case class EtlConfig(
     outputRoot: String,
-    jobs: Seq[JobSpec])
+    jobs: Seq[JobSpec],
+    /** Committer contract override for `outputRoot`; None = detect from
+      * the scheme (see [[JobRunner.run]]). */
+    objectStoreCommit: Option[Boolean] = None)
 
 object EtlConfig {
 
@@ -71,6 +74,9 @@ object EtlConfig {
             declaredSchema = declared)
         }
     }
-    EtlConfig(outputRoot = str(root, "output_root"), jobs = jobs)
+    EtlConfig(
+      outputRoot = str(root, "output_root"),
+      jobs = jobs,
+      objectStoreCommit = Option(root.get("object_store_commit")).map(_.asBoolean))
   }
 }

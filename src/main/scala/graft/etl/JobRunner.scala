@@ -31,9 +31,31 @@ object JobRunner {
   private def jobDir(spec: JobSpec): String =
     s"${spec.releaseName}/${spec.releaseYear}/${spec.state}"
 
+  /** Schemes whose "filesystem" is an object store: rename is a COPY, not
+    * an atomic pointer swap. The committer contract differs there — see
+    * [[run]]'s `objectStoreCommit` and README "Object-store outputs". */
+  private val objectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos", "swift")
+
+  /** True when the path's scheme is an object store (no atomic rename). */
+  def isObjectStore(path: String): Boolean =
+    Option(new Path(path).toUri.getScheme).exists(objectStoreSchemes.contains)
+
   /** @param runId run-stamp for the output dir (reference `main.py:58-60`);
-    *              caller-supplied so runs are reproducible/testable. */
-  def run(spark: SparkSession, spec: JobSpec, outputRoot: String, runId: String): Result = {
+    *              caller-supplied so runs are reproducible/testable.
+    * @param objectStoreCommit committer contract override; None = detect
+    *   from `outputRoot`'s scheme. HDFS/local (false): partitioned
+    *   overwrite is DYNAMIC — re-running one upgrade replaces only the
+    *   partitions it writes, safe because directory rename is atomic.
+    *   Object store (true): dynamic overwrite is disabled — S3A-style
+    *   committers (magic/staging, `PathOutputCommitProtocol`) reject
+    *   dynamicPartitionOverwrite because cleanup-and-rename of partition
+    *   dirs is non-atomic copy there; isolation comes from the
+    *   run-stamped per-job dir instead, and a re-run replaces that whole
+    *   dir (write-once-per-runId semantics, the reference's own model —
+    *   `upload.py:16-25` keys every object under a fresh `<ts>/` root). */
+  def run(spark: SparkSession, spec: JobSpec, outputRoot: String, runId: String,
+      objectStoreCommit: Option[Boolean] = None): Result = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(spec.srcRoot).getFileSystem(conf)
 
@@ -121,16 +143,23 @@ object JobRunner {
 
     // -- 4. Sink (S5): snappy parquet, hive layout preserved, run-stamped
     //    root, one subdir per job (see jobDir: jobs in one runAll must not
-    //    clobber each other). partitionOverwriteMode=dynamic additionally
-    //    confines an overwrite to the upgrade=/state= partitions this job
-    //    actually writes — re-running one upgrade leaves siblings intact.
+    //    clobber each other). On rename-capable filesystems,
+    //    partitionOverwriteMode=dynamic additionally confines an overwrite
+    //    to the upgrade=/state= partitions this job actually writes; on
+    //    object stores that option is withheld (committers there reject
+    //    it) and write-once-per-runId is the contract — see the scaladoc
+    //    on [[run]].
+    val objectStore = objectStoreCommit.getOrElse(isObjectStore(outputRoot))
     val dataOut = s"$outputRoot/$runId/data/${jobDir(spec)}"
     val outObs = new Observation("etl_output")
-    aggregated
+    val writer0 = aggregated
       .observe(outObs, count(lit(1)).as("rows"))
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
       .option("compression", "snappy")
+    val writer =
+      if (objectStore) writer0
+      else writer0.option("partitionOverwriteMode", "dynamic")
+    writer
       .partitionBy("upgrade", "state")
       .parquet(dataOut)
 
@@ -176,7 +205,7 @@ object JobRunner {
   /** Run every job in a config (reference `main.py:64-108` fan-out; jobs are
     * independent Spark jobs and may share the session). */
   def runAll(spark: SparkSession, cfg: EtlConfig, runId: String): Seq[Result] =
-    cfg.jobs.map(run(spark, _, cfg.outputRoot, runId))
+    cfg.jobs.map(run(spark, _, cfg.outputRoot, runId, cfg.objectStoreCommit))
 
   /** Concurrent fan-out (reference `asyncio.gather`, `main.py:108` — which
     * its README flags as "untested in parallel"; here it is tested). Each
@@ -194,7 +223,7 @@ object JobRunner {
     val futures = cfg.jobs.zipWithIndex.map { case (spec, i) =>
       Future {
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"$poolName-$i")
-        try run(spark, spec, cfg.outputRoot, runId)
+        try run(spark, spec, cfg.outputRoot, runId, cfg.objectStoreCommit)
         finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
       }
     }

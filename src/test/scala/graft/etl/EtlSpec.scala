@@ -275,6 +275,47 @@ class JobRunnerSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("committer contract: dynamic overwrite locally, write-once on object stores") {
+    // scheme detection drives the default
+    assert(JobRunner.isObjectStore("s3a://bucket/warehouse/out"))
+    assert(JobRunner.isObjectStore("gs://bucket/out"))
+    assert(!JobRunner.isObjectStore("hdfs://nn/warehouse/out"))
+    assert(!JobRunner.isObjectStore("/tmp/local/out"))
+    assert(!JobRunner.isObjectStore("file:/tmp/local/out"))
+
+    def freshSrc(): String = {
+      val root = Files.createTempDirectory("graft_etl_commit").toString
+      val src = s"$root/src"
+      Seq((ts("2024-03-01 00:00:00"), 1L, 2.0, 0, "AK"),
+        (ts("2024-03-01 00:00:00"), 1L, 4.0, 1, "AK"))
+        .toDF("timestamp", "bldg_id", "m", "upgrade", "state")
+        .write.partitionBy("upgrade", "state").parquet(src)
+      root
+    }
+
+    // rename-capable FS (default here): re-running a SUBSET of upgrades
+    // into the same runId replaces only the partitions it writes —
+    // upgrade=0 survives the second run
+    val r1 = freshSrc()
+    val specAll = JobSpec("rel", "2024", "AK", Seq(0, 1), s"$r1/src", s"$r1/nometa")
+    val resDyn = JobRunner.run(spark, specAll, s"$r1/out", "run1")
+    JobRunner.run(spark, specAll.copy(upgrades = Seq(1)), s"$r1/out", "run1")
+    assert(spark.read.parquet(resDyn.dataOut)
+      .select("upgrade").distinct().as[Int].collect().sorted === Array(0, 1))
+
+    // object-store contract (forced on local FS to exercise the path):
+    // dynamic overwrite is withheld, the whole per-job run dir is
+    // replaced — upgrade=0 is gone, write-once-per-runId semantics
+    val r2 = freshSrc()
+    val specOs = JobSpec("rel", "2024", "AK", Seq(0, 1), s"$r2/src", s"$r2/nometa")
+    val resOs = JobRunner.run(spark, specOs, s"$r2/out", "run1",
+      objectStoreCommit = Some(true))
+    JobRunner.run(spark, specOs.copy(upgrades = Seq(1)), s"$r2/out", "run1",
+      objectStoreCommit = Some(true))
+    assert(spark.read.parquet(resOs.dataOut)
+      .select("upgrade").distinct().as[Int].collect().sorted === Array(1))
+  }
+
   test("corrupt file surfaces in the discrepancy ledger, job still succeeds") {
     val root = Files.createTempDirectory("graft_etl_bad").toString
     val src = s"$root/src"
