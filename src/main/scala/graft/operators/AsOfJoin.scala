@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * key at 100 TB.
   *
   * `tolerance` (ms) optionally voids matches older than `leftTime - tol`.
+  *
+  * Tie semantics: when the right side has MULTIPLE rows at the same
+  * (key, rightTime), which one matches is arbitrary (the window's sort is
+  * not total there) — the same contract as DuckDB/pandas ASOF. For a
+  * deterministic result, pre-aggregate the right side to one row per
+  * (key, time) first (e.g. groupBy(key, time).agg(max(payload))).
   */
 object AsOfJoin {
 

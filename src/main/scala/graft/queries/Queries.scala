@@ -313,8 +313,13 @@ object Queries {
     * against DuckDB's native ASOF LEFT JOIN. */
   val q27_asof_join: Q = (s, d) => {
     val ev = t(s, d, "events")
+    // right side deduped to one row per (user_id, rts) — ties at the same
+    // instant break on max(event_id). Without this the as-of match among
+    // same-timestamp signups is tie-dependent in BOTH engines (surfaces
+    // only at 10x where replicated users collide on identical timestamps).
     val right = ev.filter(col("event_type") === "signup")
-      .select(col("user_id"), col("ts").as("rts"), col("event_id").as("signup_event"))
+      .groupBy(col("user_id"), col("ts").as("rts"))
+      .agg(max(col("event_id")).as("signup_event"))
     graft.operators.AsOfJoin(
         ev.select(col("user_id"), col("ts"), col("event_id")),
         right, Seq("user_id"), "ts", "rts")
@@ -793,8 +798,8 @@ object Queries {
     "q27_asof_join" ->
       """SELECT e.event_id, l.signup_event
         | FROM (SELECT user_id, ts, event_id FROM events) e
-        | ASOF LEFT JOIN (SELECT user_id, ts AS rts, event_id AS signup_event
-        |   FROM events WHERE event_type = 'signup') l
+        | ASOF LEFT JOIN (SELECT user_id, ts AS rts, MAX(event_id) AS signup_event
+        |   FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) l
         | ON e.user_id = l.user_id AND e.ts >= l.rts
         | ORDER BY e.event_id""",
     "q28_range_join" ->
