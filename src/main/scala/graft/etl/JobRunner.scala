@@ -207,6 +207,19 @@ object JobRunner {
   def runAll(spark: SparkSession, cfg: EtlConfig, runId: String): Seq[Result] =
     cfg.jobs.map(run(spark, _, cfg.outputRoot, runId, cfg.objectStoreCommit))
 
+  /** Mint the run stamp the way the reference does (`main.py:58-60`:
+    * a fresh `yyyy-MM-dd'T'HHmm` UTC timestamp per invocation) and run the
+    * whole config under it. The explicit-`runId` overloads stay the
+    * primary API — reproducible runs, testability — this is the
+    * operational convenience entry point. Returns the minted id with the
+    * results so callers can locate/record the output root. */
+  def runAllStamped(spark: SparkSession, cfg: EtlConfig): (String, Seq[Result]) = {
+    val runId = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HHmm")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    (runId, runAll(spark, cfg, runId))
+  }
+
   /** Concurrent fan-out (reference `asyncio.gather`, `main.py:108` — which
     * its README flags as "untested in parallel"; here it is tested). Each
     * job runs on its own driver thread in its OWN scheduler pool: under

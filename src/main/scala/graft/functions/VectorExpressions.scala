@@ -48,7 +48,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i); val y = b.getFloat(i)
+      // widen BEFORE the multiply: float*float rounds each product to
+      // float, which drifts from any double-path implementation (e.g. a
+      // SQL oracle computing over DOUBLE[]) by ~1e-6 over typical dims
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -65,8 +68,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  float $x = $a.getFloat($i);
-         |  float $y = $b.getFloat($i);
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = ($na == 0.0 || $nb == 0.0)
@@ -91,7 +94,7 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += a.getFloat(i) * b.getFloat(i); i += 1 }
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     dot
   }
 
@@ -103,7 +106,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getFloat($i) * $b.getFloat($i);
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $dot;
        """.stripMargin

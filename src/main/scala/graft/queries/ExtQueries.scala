@@ -97,7 +97,8 @@ object ExtQueries {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
     Similarity.bruteForceTopK(emb, queries, k = 5)
-      .select(col("query_id"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .select(col("query_id"), col("id"), round(col("score"), 4).as("score"),
+        col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -107,7 +108,8 @@ object ExtQueries {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
     Similarity.lshTopK(emb, queries, k = 5)
-      .select(col("query_id"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .select(col("query_id"), col("id"), round(col("score"), 4).as("score"),
+        col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -118,7 +120,8 @@ object ExtQueries {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
     Similarity.bruteForceTopKAgg(emb, queries, k = 5)
-      .select(col("query_id"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .select(col("query_id"), col("id"), round(col("score"), 4).as("score"),
+        col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -130,7 +133,8 @@ object ExtQueries {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
     graft.ext.Ivf.topK(emb, queries, model, k = 5, nprobe = 4)
-      .select(col("query_id"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .select(col("query_id"), col("id"), round(col("score"), 4).as("score"),
+        col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -311,5 +315,39 @@ object ExtQueries {
       """SELECT l_returnflag, COUNT(l_quantity) AS l_quantity_count,
         | ROUND(SUM(l_quantity), 2) AS l_quantity_sum
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Exact ANN: both engines do double math over the same float inputs
+    // (CosineSimilarity widens before multiplying; the oracle casts to
+    // DOUBLE[]), and ties break on id, so the top-k SET and ORDER agree.
+    // The same SQL oracles BOTH exact implementations (window-rank and
+    // single-pass heap aggregate) — they are contractually identical.
+    "x3_ann_bruteforce" -> annExactOracle,
+    "x3_ann_topk_agg" -> annExactOracle,
+    "x2_embed_neardup" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10)
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        | FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])) >= 0.95
+        | ORDER BY id_a, id_b""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
+
+  /** Shared oracle for the two exact top-k paths: brute-force cosine per
+    * query (vec_id < 10), k=5, ties on id. Note the LSH/IVF variants stay
+    * Tier B — they are APPROXIMATE by contract, so an exact oracle would
+    * be wrong for them. */
+  private lazy val annExactOracle: String =
+    """SELECT query_id, id, score, rank FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS id,
+      |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |      CAST(q.embedding AS DOUBLE[])), 4) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |        CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+      |  FROM embeddings e, embeddings q WHERE q.vec_id < 10) ranked
+      | WHERE rank <= 5 ORDER BY query_id, rank"""
 }

@@ -275,6 +275,20 @@ class JobRunnerSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("runAllStamped mints a yyyy-MM-dd'T'HHmm run id and runs under it") {
+    val root = Files.createTempDirectory("graft_etl_stamp").toString
+    val src = s"$root/src"
+    Seq((ts("2024-03-01 00:00:00"), 1L, 2.0, 0, "AK"))
+      .toDF("timestamp", "bldg_id", "m", "upgrade", "state")
+      .write.partitionBy("upgrade", "state").parquet(src)
+    val cfg = EtlConfig(s"$root/out",
+      Seq(JobSpec("rel", "2024", "AK", Seq(0), src, s"$root/nometa")))
+    val (runId, results) = JobRunner.runAllStamped(spark, cfg)
+    assert(runId.matches("""\d{4}-\d{2}-\d{2}T\d{4}"""))
+    assert(results.head.dataOut.contains(s"/out/$runId/data/"))
+    assert(spark.read.parquet(results.head.dataOut).count() === 1)
+  }
+
   test("committer contract: dynamic overwrite locally, write-once on object stores") {
     // scheme detection drives the default
     assert(JobRunner.isObjectStore("s3a://bucket/warehouse/out"))
