@@ -38,13 +38,16 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      // 32 MB, not the conservative 10 MB default: a dimension that fits
-      // 32 MB on disk hashes to a few hundred MB at most — well inside a
-      // production executor — and broadcasting it removes a full shuffle of
-      // the fact side. Measured: the mid-size-dim join (q14 at 10x) drops
-      // from SMJ (2.5 s) to BHJ (2.1 s); at 100 TB the fact-side shuffle
-      // avoided grows with the data while the broadcast cost stays fixed.
-      .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+      // autoBroadcastJoinThreshold stays at the 10 MB DEFAULT deliberately.
+      // Raising it to 32 MB was tried (it converts the mid-size-dim SMJ of
+      // q14 into a BHJ) and reverted: the planner compares the threshold
+      // against a size ESTIMATE (file bytes x column-pruning ratio, filters
+      // not discounted), and at 10x scale that estimate let a FILTERED
+      // 3M-row fact table slip under the bar — a 2.7 s broadcast build of
+      // lineitem in q39. Intentional mid-size-dim broadcasts are expressed
+      // per-join with an explicit broadcast() hint instead (q14, q39):
+      // the author knows the true post-filter cardinality; the estimator
+      // does not.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

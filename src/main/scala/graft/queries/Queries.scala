@@ -165,7 +165,12 @@ object Queries {
   val q14_theta_join: Q = (s, d) => {
     val l = t(s, d, "lineitem")
     val o = t(s, d, "orders")
-    l.join(o, l("l_orderkey") === o("o_orderkey")
+    // explicit broadcast: orders is the dim side of this theta join and
+    // stays broadcastable at bench scales (18 MB at 10x), but its size
+    // estimate sits above the default threshold — the hint states the
+    // intent instead of raising the global bar (see core/Sessions).
+    // Removes the fact-side shuffle: measured 2.5 s -> 2.0 s at 10x.
+    l.join(broadcast(o), l("l_orderkey") === o("o_orderkey")
         && l("l_shipdate") > o("o_orderdate"))
       .select(col("l_orderkey"), col("l_linenumber"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -458,7 +463,13 @@ object Queries {
     val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
     val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
-    broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+    // broadcast the (customer ⋈ orders) DIM-SIDE RESULT into the lineitem
+    // join: after the segment + date filters it is a few hundred thousand
+    // narrow rows — the star-join shape where the fact table streams and
+    // never shuffles. Without the hint the estimator either shuffles both
+    // sides or (worse, with a raised threshold) broadcasts the filtered
+    // FACT side on a bytes-guess.
+    broadcast(broadcast(c).join(o, c("c_custkey") === o("o_custkey")))
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
