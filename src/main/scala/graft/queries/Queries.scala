@@ -614,6 +614,75 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Q50 — correlated LATERAL join: per-region top-2 nations by name via a
+    * correlated ordered-limit subquery in FROM (Catalyst plans LateralJoin
+    * + DecorrelateInnerQuery; DuckDB plans a dependent join). */
+  val q50_lateral: Q = (s, d) => {
+    t(s, d, "nation").createOrReplaceTempView("q50_nation")
+    t(s, d, "region").createOrReplaceTempView("q50_region")
+    s.sql(
+      """SELECT r.r_name, l.n_name
+        | FROM q50_region r,
+        | LATERAL (SELECT n.n_name FROM q50_nation n
+        |          WHERE n.n_regionkey = r.r_regionkey
+        |          ORDER BY n.n_name LIMIT 2) l
+        | ORDER BY r.r_name, l.n_name""".stripMargin)
+  }
+
+  /** Q51 — exact interpolated percentiles + median (the stats class beyond
+    * q30's moments; Spark `percentile` ≡ DuckDB `quantile_cont`). */
+  val q51_percentiles: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    // graft.ext.Quantiles: melt + sort/rank/weighted-sum formulation —
+    // Spark's built-in percentile aggregate buffers whole groups in one
+    // heap (slow AND a memory hazard at scale); this plan is pure codegen
+    // + spillable sort, one shuffle for all requested columns.
+    graft.ext.Quantiles.exactQuantiles(
+        li, "l_returnflag",
+        Seq(
+          ("l_quantity", 0.25, "p25"),
+          ("l_quantity", 0.5, "p50"),
+          ("l_quantity", 0.9, "p90"),
+          ("l_extendedprice", 0.5, "med_price")))
+      .select(
+        col("l_returnflag"),
+        round(col("p25"), 4).as("p25"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"),
+        round(col("med_price"), 4).as("med_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Q52 — time-based sliding window: RANGE frame over an INTERVAL of event
+    * time (the timeseries rolling-aggregate shape; deterministic under
+    * duplicate timestamps because RANGE includes all peer rows). */
+  val q52_range_frame: Q = (s, d) => {
+    t(s, d, "events").createOrReplaceTempView("q52_events")
+    s.sql(
+      """SELECT event_id,
+        |   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+        |     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+        |     AS rolling_1h
+        | FROM q52_events WHERE event_id <= 5000
+        | ORDER BY event_id""".stripMargin)
+  }
+
+  /** Q53 — navigation window functions: first/last/nth value over the full
+    * partition frame (total order via the unique event_id tiebreak). */
+  val q53_nav_window: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "events")
+      .filter(col("event_id") <= 5000)
+      .select(
+        col("event_id"),
+        round(first(col("value")).over(w), 4).as("first_v"),
+        round(last(col("value")).over(w), 4).as("last_v"),
+        round(nth_value(col("value"), 3).over(w), 4).as("third_v"))
+      .orderBy(col("event_id"))
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -664,7 +733,11 @@ object Queries {
     "q46_time_parts" -> q46_time_parts,
     "q47_window_dist" -> q47_window_dist,
     "q48_string_fns2" -> q48_string_fns2,
-    "q49_map_fns" -> q49_map_fns)
+    "q49_map_fns" -> q49_map_fns,
+    "q50_lateral" -> q50_lateral,
+    "q51_percentiles" -> q51_percentiles,
+    "q52_range_frame" -> q52_range_frame,
+    "q53_nav_window" -> q53_nav_window)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -949,5 +1022,33 @@ object Queries {
         | CAST(json_array_length(json_keys(props)) AS BIGINT) AS nk,
         | CAST(props->>'$.k' AS BIGINT) + 1 AS kv1
         | FROM events WHERE event_id <= 150 ORDER BY event_id""",
+    "q50_lateral" ->
+      """SELECT r.r_name, l.n_name FROM region r,
+        | LATERAL (SELECT n.n_name FROM nation n
+        |   WHERE n.n_regionkey = r.r_regionkey
+        |   ORDER BY n.n_name LIMIT 2) l
+        | ORDER BY r.r_name, l.n_name""",
+    "q51_percentiles" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        | ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        | ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q52_range_frame" ->
+      """SELECT event_id,
+        | ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+        |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+        |   AS rolling_1h
+        | FROM events WHERE event_id <= 5000 ORDER BY event_id""",
+    "q53_nav_window" ->
+      """SELECT event_id,
+        | ROUND(FIRST_VALUE(value) OVER w, 4) AS first_v,
+        | ROUND(LAST_VALUE(value) OVER w, 4) AS last_v,
+        | ROUND(NTH_VALUE(value, 3) OVER w, 4) AS third_v
+        | FROM events WHERE event_id <= 5000
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        | ORDER BY event_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interpolated quantiles match the quantile_cont definition") {
+    // group a: values 1..4 → p50 = 2.5 (interpolated), p25 = 1.75
+    // group b: single value → every quantile is that value
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 7.0))
+      .toDF("g", "v")
+    val out = Quantiles.exactQuantiles(df, "g",
+        Seq(("v", 0.25, "p25"), ("v", 0.5, "p50"), ("v", 1.0, "p100")))
+      .orderBy("g").collect()
+    assert(out(0).getDouble(1) === 1.75)
+    assert(out(0).getDouble(2) === 2.5)
+    assert(out(0).getDouble(3) === 4.0)
+    assert(out(1).getDouble(1) === 7.0 && out(1).getDouble(2) === 7.0)
+  }
+
+  test("nulls excluded per column; multiple columns in one pass") {
+    val df = Seq(
+      ("a", Some(10.0), Some(1.0)), ("a", None, Some(3.0)),
+      ("a", Some(20.0), None))
+      .toDF("g", "x", "y")
+    val out = Quantiles.exactQuantiles(df, "g",
+        Seq(("x", 0.5, "mx"), ("y", 0.5, "my"))).collect().head
+    assert(out.getDouble(1) === 15.0) // median of (10, 20) — null dropped
+    assert(out.getDouble(2) === 2.0) // median of (1, 3)
+  }
+
+  test("agrees with Spark's builtin percentile on real data") {
+    val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val ours = Quantiles.exactQuantiles(li, "l_returnflag",
+        Seq(("l_quantity", 0.25, "p25"), ("l_extendedprice", 0.9, "p90")))
+      .orderBy("l_returnflag").collect()
+    val builtin = li.groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .orderBy("l_returnflag").collect()
+    ours.zip(builtin).foreach { case (o, b) =>
+      assert(math.abs(o.getDouble(1) - b.getDouble(1)) < 1e-9)
+      assert(math.abs(o.getDouble(2) - b.getDouble(2)) < 1e-9)
+    }
+  }
+}
