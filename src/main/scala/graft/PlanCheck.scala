@@ -56,6 +56,33 @@ object PlanCheck {
       p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject"))
     check("q40_correlated_scalar", "decorrelated to window: one shuffle, no per-row subquery join")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size <= 1 && p.contains("Window"))
+    check("q14_theta_join", "orders dim side broadcast (explicit hint), no SMJ")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    // q39: a lineitem scan under a BroadcastExchange means the planner is
+    // hashing a filtered FACT table from a bytes-guess — walk the actual
+    // tree (pre-AQE sparkPlan) instead of string-matching subtrees
+    locally {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      val plan39 = SparkEntry.queries("q39_revenue_topk")(spark, sfDir)
+        .queryExecution.sparkPlan
+      val bad = plan39.collect { case b: BroadcastExchangeExec =>
+        b.child.collect {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
+        }
+      }.flatten
+      val ok = bad.isEmpty
+      println(s"PLAN ${if (ok) "OK  " else "FAIL"} q39_revenue_topk: lineitem is NEVER the broadcast build side")
+      if (!ok) println(plan39.toString.linesIterator.take(40).mkString("\n"))
+    }
+    check("q50_lateral", "lateral decorrelated: no per-row subquery, no cartesian")(p =>
+      !p.contains("CartesianProduct"))
+    check("q51_percentiles", "quantiles via sort+window, NOT the buffering percentile agg")(p =>
+      !p.toLowerCase.contains("percentile") && p.contains("Window"))
+    check("q52_range_frame", "event-time RANGE frame present, one shuffle")(p =>
+      p.contains("RangeFrame") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 1)
     // minhash: assert on the LAZY pair plan (the public entry point now
     // eagerly checkpoints, so its executed plan is just an RDD scan)
     locally {
