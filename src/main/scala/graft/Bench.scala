@@ -43,7 +43,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = headline :+ "etl_slice"
+    // the subset filter governs etl_slice too — a focused run should not
+    // pay 5 ETL parquet writes it didn't ask for
+    val names = (headline :+ "etl_slice").filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>
       try {
         runOnce(n); runOnce(n) // warm-ups: JIT tiering + codegen + listing caches

@@ -29,8 +29,13 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // sweep entries of stopped sessions so a long-lived JVM that cycles
+    // sessions (test suites, sequential tools) doesn't pin their plans
+    // and file indexes forever
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, sfDir, name), _ => loadUncached(spark, sfDir, name))
+  }
 
   def loadUncached(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") loadEvents(spark, sfDir)

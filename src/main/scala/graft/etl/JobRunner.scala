@@ -37,9 +37,18 @@ object JobRunner {
   private val objectStoreSchemes =
     Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos", "swift")
 
-  /** True when the path's scheme is an object store (no atomic rename). */
+  /** True when the path's scheme is an object store (no atomic rename).
+    * A scheme-less path resolves against `fs.defaultFS` when a conf is
+    * given — on a cluster whose default filesystem IS an object store,
+    * "/warehouse/out" must still get the object-store contract. */
   def isObjectStore(path: String): Boolean =
     Option(new Path(path).toUri.getScheme).exists(objectStoreSchemes.contains)
+
+  def isObjectStore(path: String, conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val scheme = Option(new Path(path).toUri.getScheme)
+      .orElse(Option(org.apache.hadoop.fs.FileSystem.getDefaultUri(conf).getScheme))
+    scheme.exists(objectStoreSchemes.contains)
+  }
 
   /** @param runId run-stamp for the output dir (reference `main.py:58-60`);
     *              caller-supplied so runs are reproducible/testable.
@@ -87,15 +96,21 @@ object JobRunner {
         graft.ledger.Ledger.Report(0, 0, bypassed, 0, 0, Nil))
     }
 
-    val listedFiles: Seq[String] = partDirs.flatMap { dir =>
+    // FULL URIs (scheme intact) — anything that re-opens these files (the
+    // footer-drift pass) must resolve them on the SOURCE filesystem, not
+    // the default one. The ledger compares in scheme-stripped form (see
+    // step 6) because _metadata.file_path and listings render schemes
+    // differently.
+    val listedUris: Seq[String] = partDirs.flatMap { dir =>
       val it = fs.listFiles(new Path(dir), true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toUri.getPath
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
       }
       buf
     }
+    val listedFiles: Seq[String] = listedUris.map(u => new Path(u).toUri.getPath)
 
     // -- 2. Scan (S2/S3). ignoreCorruptFiles reproduces the reference's
     //    per-file failure tolerance (a bad file is skipped, surfaces in the
@@ -149,7 +164,7 @@ object JobRunner {
     //    object stores that option is withheld (committers there reject
     //    it) and write-once-per-runId is the contract — see the scaladoc
     //    on [[run]].
-    val objectStore = objectStoreCommit.getOrElse(isObjectStore(outputRoot))
+    val objectStore = objectStoreCommit.getOrElse(isObjectStore(outputRoot, conf))
     val dataOut = s"$outputRoot/$runId/data/${jobDir(spec)}"
     val outObs = new Observation("etl_output")
     val writer0 = aggregated
@@ -185,8 +200,7 @@ object JobRunner {
     // -- 7. Schema enforcement report (S2): footer-only diff vs the
     //    declared columns, distributed; empty when no schema is declared.
     val drift = spec.declaredSchema match {
-      case Some(schema) =>
-        SchemaEnforce.detect(spark, listedFiles, schema.fieldNames.toSeq)
+      case Some(schema) => SchemaEnforce.detect(spark, listedUris, schema)
       case None => Nil
     }
 

@@ -23,8 +23,11 @@ import org.apache.spark.sql.SparkSession
 object SchemaEnforce {
 
   /** One drifted file: which declared columns its footer lacks, which
-    * undeclared columns it carries. */
-  final case class Drift(path: String, missing: Seq[String], extra: Seq[String])
+    * undeclared columns it carries, and which carry a parquet primitive
+    * type that cannot produce the declared Spark type. */
+  final case class Drift(
+      path: String, missing: Seq[String], extra: Seq[String],
+      typeMismatch: Seq[String] = Nil)
 
   /** Hadoop `Configuration` is not `Serializable`; ship it to executors via
     * its own `Writable` contract (the same trick Spark's internal
@@ -40,18 +43,47 @@ object SchemaEnforce {
     }
   }
 
-  /** Footer-vs-declared column diff for every listed file. Partition
-    * columns (`upgrade=`/`state=` path segments) live in directory names,
-    * not footers, so they are excluded from the declared set before
-    * diffing. Unreadable footers are skipped here — the corrupt-file path
-    * already surfaces them as ledger discrepancies. */
+  /** Parquet primitive type names a declared Spark type may legally be
+    * stored as. Conservative: a pair not listed is reported as a
+    * mismatch only when the declared type IS listed (unknown declared
+    * types are never flagged — no false positives on exotic logical
+    * types). */
+  private val legalPrimitives: Map[String, Set[String]] = Map(
+    "double" -> Set("DOUBLE"),
+    "float" -> Set("FLOAT"),
+    "long" -> Set("INT64"),
+    "integer" -> Set("INT32"),
+    "short" -> Set("INT32"),
+    "byte" -> Set("INT32"),
+    "boolean" -> Set("BOOLEAN"),
+    "string" -> Set("BINARY"),
+    "binary" -> Set("BINARY", "FIXED_LEN_BYTE_ARRAY"),
+    "date" -> Set("INT32"),
+    "timestamp" -> Set("INT64", "INT96"),
+    "timestamp_ntz" -> Set("INT64", "INT96"))
+
+  /** Footer-vs-declared diff for every listed file: missing/extra column
+    * names plus type mismatches (a declared column stored as a parquet
+    * primitive that cannot produce the declared Spark type — those files'
+    * row groups are silently dropped by ignoreCorruptFiles, so the report
+    * is the only place the loss is visible). Partition columns
+    * (`upgrade=`/`state=` path segments) live in directory names, not
+    * footers, and are excluded before diffing. Unreadable footers are
+    * skipped here — the corrupt-file path already surfaces them as ledger
+    * discrepancies.
+    *
+    * `files` must be FULL paths/URIs as listed from the source filesystem
+    * (e.g. `s3a://bucket/...`) — scheme-stripped paths would resolve
+    * against the default filesystem and silently find nothing. */
   def detect(
       spark: SparkSession,
       files: Seq[String],
-      declaredCols: Seq[String],
+      declared: org.apache.spark.sql.types.StructType,
       partitionCols: Set[String] = Set("upgrade", "state")): Seq[Drift] = {
     if (files.isEmpty) return Nil
-    val declared = declaredCols.filterNot(partitionCols.contains).toSet
+    val declaredTypes: Map[String, String] = declared.fields
+      .filterNot(f => partitionCols.contains(f.name))
+      .map(f => f.name -> f.dataType.typeName).toMap
     val confBc = spark.sparkContext.broadcast(
       new SerializableConf(spark.sparkContext.hadoopConfiguration))
     val slices = math.max(1, math.min(files.size, 32))
@@ -63,13 +95,25 @@ object SchemaEnforce {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new Path(p), conf)
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val names =
-            try reader.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+          val fields =
+            try reader.getFileMetaData.getSchema.getFields.asScala.toList
             finally reader.close()
-          val missing = (declared -- names).toSeq.sorted
-          val extra = (names -- declared).toSeq.sorted
-          if (missing.isEmpty && extra.isEmpty) None
-          else Some(Drift(p, missing, extra))
+          val names = fields.map(_.getName).toSet
+          val missing = (declaredTypes.keySet -- names).toSeq.sorted
+          val extra = (names -- declaredTypes.keySet).toSeq.sorted
+          val mismatch = fields.flatMap { f =>
+            declaredTypes.get(f.getName).flatMap { sparkType =>
+              legalPrimitives.get(sparkType).flatMap { legal =>
+                val prim =
+                  if (f.isPrimitive) f.asPrimitiveType().getPrimitiveTypeName.name
+                  else "GROUP"
+                if (legal.contains(prim)) None
+                else Some(s"${f.getName}: declared $sparkType, stored $prim")
+              }
+            }
+          }.sorted
+          if (missing.isEmpty && extra.isEmpty && mismatch.isEmpty) None
+          else Some(Drift(p, missing, extra, mismatch))
         } catch {
           case _: Exception => None // unreadable footer = corrupt-file path
         }

@@ -66,6 +66,11 @@ object Multimodal {
     * number, not mime, so mislabeled bytes are still decoded correctly. */
   object MediaCodec {
 
+    // ImageIO's default stream cache spools through a TEMP FILE per read —
+    // pure overhead when the source is already an in-memory byte array.
+    // JVM-global flag, set once when the codec first loads.
+    javax.imageio.ImageIO.setUseCache(false)
+
     private def isPng(d: Array[Byte]): Boolean =
       d.length >= 8 && d(0) == 0x89.toByte && d(1) == 'P' && d(2) == 'N' && d(3) == 'G'
     private def isBmp(d: Array[Byte]): Boolean =

@@ -73,7 +73,11 @@ object Quantiles {
         sum(col("__c")).over(Window.partitionBy(col("__g"), col("__t")))
           .cast("double"))
 
-    // single final aggregation over the tagged histogram
+    // single final aggregation over the tagged histogram. SQL null
+    // semantics: a group with NO non-null values in a column yields NULL
+    // for that column's quantiles (tracked via per-tag row counts), and a
+    // group is present in the output as long as it exists in the input at
+    // all (restored by the left join below).
     val aggs = specs.map { case (v, p, name) =>
       val pos = lit(1.0) + lit(p) * (col("__n") - 1.0)
       val lo = floor(pos)
@@ -88,8 +92,18 @@ object Quantiles {
           .when(hiIn, col("__v") * frac)
           .otherwise(lit(0.0))).as(name)
     }
-    cums
-      .groupBy(col("__g").as(groupCol))
-      .agg(aggs.head, aggs.tail: _*)
+    val tagCounts = valueCols.map(v =>
+      sum(when(col("__t") === tagOf(v), lit(1L)).otherwise(lit(0L)))
+        .as(s"__cnt_${tagOf(v)}"))
+    val quantiled = cums
+      .groupBy(col("__g"))
+      .agg((aggs ++ tagCounts).head, (aggs ++ tagCounts).tail: _*)
+      .select(col("__g") +: specs.map { case (v, _, name) =>
+        when(col(s"__cnt_${tagOf(v)}") === 0L, lit(null))
+          .otherwise(col(s"`$name`")).as(name)
+      }: _*)
+    df.select(col(s"`$groupCol`").as("__g")).distinct()
+      .join(quantiled, Seq("__g"), "left")
+      .withColumnRenamed("__g", groupCol)
   }
 }

@@ -41,7 +41,8 @@ object Ledger {
       }
       def arr(xs: Seq[String]) = xs.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
       val drift = schemaDrift.map(d =>
-        s"""{"file":"${esc(d.path)}","missing":${arr(d.missing)},"extra":${arr(d.extra)}}""")
+        s"""{"file":"${esc(d.path)}","missing":${arr(d.missing)},""" +
+          s""""extra":${arr(d.extra)},"type_mismatch":${arr(d.typeMismatch)}}""")
         .mkString("[", ",", "]")
       s"""{"counts":{"listed":$listed,"processed":$processed,"bypassed":$bypassed,""" +
         s""""input_rows":$inputRows,"output_rows":$outputRows},""" +

@@ -211,12 +211,18 @@ class JobRunnerSpec extends SparkSpec {
     Seq((ts("2024-03-01 00:00:00"), 2L, "surprise", 1, "AK"))
       .toDF("timestamp", "bldg_id", "zz_extra", "upgrade", "state")
       .write.mode("append").partitionBy("upgrade", "state").parquet(src)
+    // upgrade=2 type-drifted: m present but stored as STRING (the scan
+    // silently drops the file via ignoreCorruptFiles — the drift report
+    // is the only place the loss shows a cause)
+    Seq((ts("2024-03-01 00:00:00"), 3L, "0.5", 2, "AK"))
+      .toDF("timestamp", "bldg_id", "m", "upgrade", "state")
+      .write.mode("append").partitionBy("upgrade", "state").parquet(src)
 
     val declared = StructType(Seq(
       StructField("timestamp", TimestampType),
       StructField("bldg_id", LongType),
       StructField("m", DoubleType)))
-    val spec = JobSpec("rel", "2024", "AK", Seq(0, 1), src, s"$root/nometa",
+    val spec = JobSpec("rel", "2024", "AK", Seq(0, 1, 2), src, s"$root/nometa",
       declaredSchema = Some(declared))
     val res = JobRunner.run(spark, spec, s"$root/out", "run1")
 
@@ -229,12 +235,18 @@ class JobRunnerSpec extends SparkSpec {
     // drifted partition still processed: its m reads as null, row group kept
     assert(got.filter($"upgrade" === 1).count() === 1)
     assert(got.filter($"upgrade" === 1).collect().head.isNullAt(got.columns.indexOf("m_mean")))
-    // and the drifted FILE is reported, reference-style, in the ledger
-    assert(res.ledger.schemaDrift.size === 1)
-    val d = res.ledger.schemaDrift.head
-    assert(d.path.contains("upgrade=1") && d.missing === Seq("m") && d.extra === Seq("zz_extra"))
-    assert(res.ledger.discrepancies.isEmpty) // drift is not a read failure
+    // both drifted FILES are reported, reference-style, in the ledger
+    assert(res.ledger.schemaDrift.size === 2)
+    val d = res.ledger.schemaDrift.find(_.path.contains("upgrade=1")).get
+    assert(d.missing === Seq("m") && d.extra === Seq("zz_extra") && d.typeMismatch.isEmpty)
+    val t2 = res.ledger.schemaDrift.find(_.path.contains("upgrade=2")).get
+    assert(t2.typeMismatch === Seq("m: declared double, stored BINARY"))
+    // the type-drifted file's rows were DROPPED by ignoreCorruptFiles —
+    // it shows in the discrepancy list, and the drift report names why
+    assert(res.ledger.discrepancies.exists(_.contains("upgrade=2")))
+    assert(!res.ledger.discrepancies.exists(_.contains("upgrade=1")))
     assert(res.ledger.toJson.contains("\"schema_drift\":[{\"file\""))
+    assert(res.ledger.toJson.contains("\"type_mismatch\":[\"m: declared double, stored BINARY\"]"))
   }
 
   test("single pass: the job's SQL executions contain exactly one FileScan") {

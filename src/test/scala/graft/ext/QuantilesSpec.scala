@@ -32,6 +32,20 @@ class QuantilesSpec extends SparkSpec {
     assert(out.getDouble(2) === 2.0) // median of (1, 3)
   }
 
+  test("all-null column yields NULL (not 0.0); all-null group is kept") {
+    val df = Seq(
+      ("a", None: Option[Double], Some(1.0)), ("a", None: Option[Double], Some(3.0)),
+      ("b", None: Option[Double], None: Option[Double]))
+      .toDF("g", "x", "y")
+    val out = Quantiles.exactQuantiles(df, "g",
+        Seq(("x", 0.5, "mx"), ("y", 0.5, "my")))
+      .orderBy("g").collect()
+    assert(out.length === 2) // group b survives despite having no values at all
+    assert(out(0).isNullAt(1)) // a.x: no non-null values → NULL, not 0.0
+    assert(out(0).getDouble(2) === 2.0)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
+
   test("agrees with Spark's builtin percentile on real data") {
     val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val ours = Quantiles.exactQuantiles(li, "l_returnflag",
