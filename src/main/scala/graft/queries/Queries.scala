@@ -64,9 +64,17 @@ object Queries {
   val q04_group_distinct: Q = (s, d) => {
     val c = t(s, d, "customer")
     val o = t(s, d, "orders")
-    broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+    // distinct-elimination: c_custkey is unique in customer, so
+    // COUNT(DISTINCT c_custkey) over the join ≡ counting the DISTINCT
+    // order custkeys that exist in customer. Deduplicating orders FIRST
+    // (map-side partial distinct collapses the fact side before any
+    // join) and then broadcast-joining the dim replaces the expand +
+    // two-phase distinct aggregation over the multiplied join output;
+    // the joined relation shrinks from |orders| to |distinct custkeys|.
+    o.select(col("o_custkey")).distinct()
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(countDistinct(col("c_custkey")).as("num_customers"))
+      .agg(count(lit(1)).as("num_customers"))
       .orderBy(col("c_mktsegment"))
   }
 
