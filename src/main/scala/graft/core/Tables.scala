@@ -28,12 +28,24 @@ object Tables {
     * never leak plans into new ones. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val evictionHooked = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // sweep entries of stopped sessions so a long-lived JVM that cycles
-    // sessions (test suites, sequential tools) doesn't pin their plans
-    // and file indexes forever
-    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // evict a session's entries when it stops (listener-driven, not swept
+    // on the next call) so a long-lived JVM that cycles sessions (test
+    // suites, sequential tools) never retains a stopped session's plans
+    // and file indexes — including the last session before shutdown
+    if (evictionHooked.add(spark)) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            cache.keySet.removeIf(k => k._1 eq spark)
+            evictionHooked.remove(spark)
+          }
+        })
+    }
     cache.computeIfAbsent((spark, sfDir, name), _ => loadUncached(spark, sfDir, name))
   }
 

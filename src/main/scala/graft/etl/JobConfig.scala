@@ -57,8 +57,10 @@ object EtlConfig {
           }
           // optional named schema contract; "energy_timeseries" is the
           // reference's 51-measure layout (SchemaDefs). Unknown names fail
-          // fast rather than silently skipping enforcement.
-          val declared = Option(j.get("declared_schema")).map(_.asText).map {
+          // fast rather than silently skipping enforcement. An explicit
+          // JSON null is "absent", not the string "null" (NullNode.asText).
+          val declared = Option(j.get("declared_schema"))
+            .filterNot(_.isNull).map(_.asText).map {
             case "energy_timeseries" => SchemaDefs.timeseriesSchema
             case other => throw new IllegalArgumentException(
               s"unknown declared_schema '$other' (known: energy_timeseries)")
@@ -70,13 +72,15 @@ object EtlConfig {
             upgrades = upgrades,
             srcRoot = str(j, "src_root"),
             metadataRoot = str(j, "metadata_root"),
-            byId = Option(j.get("by_id")).forall(_.asBoolean(true)),
+            byId = Option(j.get("by_id")).filterNot(_.isNull)
+              .forall(_.asBoolean(true)),
             declaredSchema = declared)
         }
     }
     EtlConfig(
       outputRoot = str(root, "output_root"),
       jobs = jobs,
-      objectStoreCommit = Option(root.get("object_store_commit")).map(_.asBoolean))
+      objectStoreCommit = Option(root.get("object_store_commit"))
+        .filterNot(_.isNull).map(_.asBoolean))
   }
 }

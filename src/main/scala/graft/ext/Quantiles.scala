@@ -102,8 +102,13 @@ object Quantiles {
         when(col(s"__cnt_${tagOf(v)}") === 0L, lit(null))
           .otherwise(col(s"`$name`")).as(name)
       }: _*)
-    df.select(col(s"`$groupCol`").as("__g")).distinct()
-      .join(quantiled, Seq("__g"), "left")
+    // null-safe (<=>) restore join: SQL GROUP BY treats NULL as a real
+    // group, so a NULL group key must pick up its computed quantiles, not
+    // fall out of a null-rejecting equi-join.
+    val groups = df.select(col(s"`$groupCol`").as("__g")).distinct()
+    groups
+      .join(quantiled, groups("__g") <=> quantiled("__g"), "left")
+      .drop(quantiled("__g"))
       .withColumnRenamed("__g", groupCol)
   }
 }

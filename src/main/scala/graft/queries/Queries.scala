@@ -173,12 +173,18 @@ object Queries {
   val q14_theta_join: Q = (s, d) => {
     val l = t(s, d, "lineitem")
     val o = t(s, d, "orders")
-    // explicit broadcast: orders is the dim side of this theta join and
-    // stays broadcastable at bench scales (18 MB at 10x), but its size
-    // estimate sits above the default threshold — the hint states the
-    // intent instead of raising the global bar (see core/Sessions).
-    // Removes the fact-side shuffle: measured 2.5 s -> 2.0 s at 10x.
-    l.join(broadcast(o), l("l_orderkey") === o("o_orderkey")
+    // explicit broadcast, gated on the optimizer's size estimate: orders is
+    // the dim side of this theta join and stays broadcastable at bench
+    // scales (18 MB at 10x) but grows linearly with SF, so an unconditional
+    // hint would OOM the broadcast at large scale instead of degrading to
+    // SMJ. The gate reads logical-plan stats (file bytes x pruning ratio —
+    // no job runs) and only hints below a memory-safe cap. Removes the
+    // fact-side shuffle: measured 2.5 s -> 2.0 s at 10x.
+    val oSide =
+      if (o.queryExecution.optimizedPlan.stats.sizeInBytes < (64L << 20))
+        broadcast(o)
+      else o
+    l.join(oSide, l("l_orderkey") === o("o_orderkey")
         && l("l_shipdate") > o("o_orderdate"))
       .select(col("l_orderkey"), col("l_linenumber"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))

@@ -46,6 +46,18 @@ class QuantilesSpec extends SparkSpec {
     assert(out(1).isNullAt(1) && out(1).isNullAt(2))
   }
 
+  test("NULL group key is a real group (SQL GROUP BY semantics)") {
+    val df = Seq(
+      (Some("a"), 1.0), (Some("a"), 3.0),
+      (None: Option[String], 10.0), (None: Option[String], 20.0))
+      .toDF("g", "v")
+    val out = Quantiles.exactQuantiles(df, "g", Seq(("v", 0.5, "med")))
+      .orderBy(col("g").asc_nulls_first).collect()
+    assert(out.length === 2)
+    assert(out(0).isNullAt(0) && out(0).getDouble(1) === 15.0) // NULL group computed, not NULLed out
+    assert(out(1).getString(0) === "a" && out(1).getDouble(1) === 2.0)
+  }
+
   test("agrees with Spark's builtin percentile on real data") {
     val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val ours = Quantiles.exactQuantiles(li, "l_returnflag",
