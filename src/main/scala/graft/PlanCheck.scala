@@ -78,8 +78,8 @@ object PlanCheck {
     }
     check("q50_lateral", "lateral decorrelated: no per-row subquery, no cartesian")(p =>
       !p.contains("CartesianProduct"))
-    check("q51_percentiles", "quantiles via sort+window, NOT the buffering percentile agg")(p =>
-      !p.toLowerCase.contains("percentile") && p.contains("Window"))
+    check("q51_percentiles", "quantiles via bit-bucket distributed selection: no percentile agg, no row-sized shuffle")(p =>
+      !p.toLowerCase.contains("percentile") && p.contains("double_sort_bits"))
     check("q52_range_frame", "event-time RANGE frame present, one shuffle")(p =>
       p.contains("RangeFrame") &&
         "Exchange hashpartitioning".r.findAllIn(p).size <= 1)

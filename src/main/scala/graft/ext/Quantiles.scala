@@ -1,8 +1,10 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnOps.doubleSortBits
 
 /** Exact grouped quantiles as a DATAFRAME PLAN instead of Spark's built-in
   * `percentile` aggregate.
@@ -13,73 +15,137 @@ import org.apache.spark.sql.functions._
   * continuous columns and a memory hazard for large groups (measured 2.1 s
   * on 6 M rows, and the map is as big as the group's distinct count).
   *
-  * This operator uses the COUNT-BY-VALUE formulation: per value column,
-  *  1. histogram: `groupBy(group, value).count()` — a fully parallel
-  *     partial-aggregated shuffle whose output is bounded by the DISTINCT
-  *     value count, not the row count;
-  *  2. rank range: a cumulative-sum window over the histogram assigns each
-  *     distinct value its [lo_rank, hi_rank] span in the sorted group
-  *     (group sizes join in from a broadcast pre-agg);
-  *  3. interpolation: the quantile_cont position `pos = 1 + p (n-1)` takes
-  *     contributions only from the value(s) whose span brackets
-  *     floor(pos)/ceil(pos) — `v_lo (1-frac) + v_hi frac` as a conditional
-  *     weighted SUM, one hash aggregation per column.
+  * This operator is DISTRIBUTED SELECTION — find the values at the target
+  * ranks without ever sorting or shuffling the data. Values bucket by a
+  * PREFIX OF THEIR ORDER-PRESERVING IEEE-754 BITS
+  * ([[graft.functions.DoubleSortBits]]) — monotone by construction, so no
+  * statistics pass (and no second sequential barrier) is needed:
+  *  1. bucket-count pass: melt the requested columns with posexplode (one
+  *     scan for all columns), count rows per (group, column, bucket) —
+  *     codegen'd with partial aggregation, output bounded by occupied
+  *     buckets, not rows. A cumulative sum per (group, column) over this
+  *     TINY relation turns counts into rank spans [off+1, off+bc] per
+  *     bucket, and n = Σ counts rides the same window. The quantile_cont
+  *     position `pos = 1 + p (n-1)` needs ranks floor(pos) and ceil(pos)
+  *     only, so the buckets whose spans contain a target rank — at most 2
+  *     per quantile spec — are selected IN the tiny relation and
+  *     broadcast. Null values keep a null-bucket row here, carrying group
+  *     presence and per-column null accounting for free;
+  *  2. selection pass: rows landing in a target bucket survive (a ~2^-20
+  *     sliver of each group per target for smooth value distributions);
+  *     per distinct surviving value a tiny aggregation + window assigns
+  *     exact global ranks (bucket offset + local cumulative count);
+  *  3. interpolation: `v_lo (1-frac) + v_hi frac` as a conditional
+  *     weighted SUM over the handful of surviving distinct values — one
+  *     hash aggregation for all requested quantiles.
   *
-  * Everything is codegen'd hash-agg + one skinny shared window; the
-  * per-group serial work is O(distinct values), which degrades gracefully:
-  * a 50-distinct column costs next to nothing, and a fully continuous one
-  * (~200 k distinct per group) still beats a row-level sort window ~3x at
-  * 10x scale (2.0 s vs 5.8 s, 6 M rows x 2 columns) because the histogram
-  * shuffle carries partial-aggregated skinny pairs and the serial window
-  * runs over distincts, not rows. Unlike the builtin's per-group map, the
-  * memory profile is bounded: hash-agg partials and window sorts both
-  * spill.
+  * NO row-count-sized shuffle and no row-count-sized window exist in the
+  * plan: the input is scanned twice (bucket counts, selection), both
+  * cheap codegen'd passes with partial aggregation, and everything
+  * shuffled or windowed afterwards is bounded by occupied buckets. That
+  * is what survives a 1000-executor / 100 TB input — sort-based and
+  * histogram-shuffle formulations do not. For an expensive computed
+  * input, cache it first. Degenerate distributions (a point mass at one
+  * double) can crowd a bucket; a crowded TARGET bucket only grows the
+  * selection output, never breaks exactness — and a point mass is its own
+  * answer for any rank inside it.
   */
 object Quantiles {
 
   /** @param specs (valueCol, p, outputName) triples; p in [0,1].
+    * @param bucketBits prefix bits of the sort-ordered value used as the
+    *   bucket id. 20 bits ≈ 256 buckets per binade — selection keeps
+    *   ~0.4% of a smoothly-distributed group per target; lower it if the
+    *   occupied-bucket relation (groups × columns × occupied) must shrink.
     * @return one row per group: groupCol plus one double column per spec. */
   def exactQuantiles(
       df: DataFrame, groupCol: String,
-      specs: Seq[(String, Double, String)]): DataFrame = {
+      specs: Seq[(String, Double, String)],
+      bucketBits: Int = 20): DataFrame = {
     require(specs.nonEmpty, "at least one (column, p, name) spec")
     require(specs.forall { case (_, p, _) => p >= 0.0 && p <= 1.0 },
       s"quantile points must be in [0,1]: ${specs.map(_._2)}")
     require(specs.map(_._3).distinct.length == specs.length,
       "output names must be unique")
+    require(bucketBits >= 1 && bucketBits <= 63, "bucketBits in [1, 63]")
 
     val valueCols = specs.map(_._1).distinct
     val tagOf = valueCols.zipWithIndex.toMap
-    // melt all requested columns into one skinny tagged relation FIRST, so
-    // every downstream stage (histogram, windows, final agg) runs once:
-    // one partial-aggregated histogram shuffle, one window exchange — the
-    // group size rides on a second Window over the SAME partitioning (no
-    // extra shuffle, no size-lookup join).
-    val cums = valueCols
-      .map(v => df.select(
-        col(s"`$groupCol`").as("__g"),
-        lit(tagOf(v)).as("__t"),
-        col(s"`$v`").cast("double").as("__v")))
-      .reduce(_ unionByName _)
-      .filter(col("__v").isNotNull) // per-column SQL null semantics
-      .groupBy(col("__g"), col("__t"), col("__v"))
+    def vcol(v: String): Column = col(s"`$v`").cast("double")
+
+    // melt all requested columns in ONE scan: posexplode of a plain
+    // double array — (pos = tag, col = value)
+    def melt(d: DataFrame): DataFrame = d.select(
+      col(s"`$groupCol`").as("__g"),
+      posexplode(array(valueCols.map(vcol): _*)))
+      .toDF("__g", "__t", "__v")
+
+    // monotone bucket id: top `bucketBits` of the order-preserving bits
+    // (arithmetic shift keeps the sign, hence the order); null for null v
+    def bucketId(v: Column): Column =
+      shiftright(doubleSortBits(v), 64 - bucketBits)
+
+    // (1) bucket row counts → cumulative rank spans and n per (group,
+    // tag); null-value rows keep a null-bucket row for group presence.
+    // Everything below the groupBy is reducer-side work on a TINY
+    // relation, and all its consumers reuse the one shuffle (AQE stage
+    // reuse), so the input is scanned exactly once here.
+    val bucketCounts = melt(df)
+      .select(col("__g"), col("__t"), bucketId(col("__v")).as("__b"))
+      .groupBy(col("__g"), col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__bc"))
+    val wCum = Window.partitionBy(col("__g"), col("__t")).orderBy(col("__b"))
+    val spans = bucketCounts
+      .filter(col("__b").isNotNull)
+      .withColumn("__off", sum(col("__bc")).over(wCum) - col("__bc"))
+      .withColumn("__n", sum(col("__bc")).over(
+        Window.partitionBy(col("__g"), col("__t"))))
+    val targetRank: Seq[Column] = specs.flatMap { case (v, p, _) =>
+      val pos = lit(1.0) + lit(p) * (col("__n").cast("double") - 1.0)
+      Seq(floor(pos), ceil(pos)).map(r =>
+        col("__t") === tagOf(v)
+          && r.between(col("__off") + 1.0, col("__off") + col("__bc")))
+    }
+    val needed = spans
+      .filter(targetRank.reduce(_ || _))
+      .select(col("__g"), col("__t"), col("__b"), col("__off"), col("__n"))
+
+    // (2) selection: only rows in target buckets survive, then exact
+    // ranks for their distinct values — bucket offset + cumulative count
+    // over the tiny survivor relation. The join is broadcast; <=> keeps
+    // NULL group keys (a legal SQL group).
+    val meltedNN = melt(df).filter(col("__v").isNotNull)
+      .select(col("__g"), col("__t"), col("__v"), bucketId(col("__v")).as("__b"))
+      .as("__s")
+    val neededA = needed.as("__nd")
+    val survivors = meltedNN
+      .join(broadcast(neededA),
+        col("__s.__g") <=> col("__nd.__g")
+          && col("__s.__t") === col("__nd.__t")
+          && col("__s.__b") === col("__nd.__b"))
+      .select(col("__s.__g").as("__g"), col("__s.__t").as("__t"),
+        col("__s.__v").as("__v"), col("__nd.__n").as("__n"),
+        col("__s.__b").as("__b"), col("__nd.__off").as("__off"))
+    val ranked = survivors
+      .groupBy(col("__g"), col("__t"), col("__v"), col("__n"),
+        col("__b"), col("__off"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__hi_rank",
-        sum(col("__c")).over(
-          Window.partitionBy(col("__g"), col("__t")).orderBy(col("__v")))
-          .cast("double"))
+        (sum(col("__c")).over(
+          Window.partitionBy(col("__g"), col("__t"), col("__b"))
+            .orderBy(col("__v")))
+          + col("__off")).cast("double"))
       .withColumn("__lo_rank", col("__hi_rank") - col("__c") + 1.0)
-      .withColumn("__n",
-        sum(col("__c")).over(Window.partitionBy(col("__g"), col("__t")))
-          .cast("double"))
+      .withColumn("__nd", col("__n").cast("double"))
 
-    // single final aggregation over the tagged histogram. SQL null
-    // semantics: a group with NO non-null values in a column yields NULL
-    // for that column's quantiles (tracked via per-tag row counts), and a
-    // group is present in the output as long as it exists in the input at
-    // all (restored by the left join below).
+    // (3) single final aggregation. SQL null semantics: a group with NO
+    // non-null values in a column yields NULL for that column's quantiles
+    // (tracked via per-tag survivor counts — a target bucket is non-empty
+    // whenever n > 0), and a group present in the input at all stays in
+    // the output (restored from the tiny bucket relation — not a second
+    // scan of the input).
     val aggs = specs.map { case (v, p, name) =>
-      val pos = lit(1.0) + lit(p) * (col("__n") - 1.0)
+      val pos = lit(1.0) + lit(p) * (col("__nd") - 1.0)
       val lo = floor(pos)
       val hi = ceil(pos)
       val frac = pos - lo
@@ -95,20 +161,23 @@ object Quantiles {
     val tagCounts = valueCols.map(v =>
       sum(when(col("__t") === tagOf(v), lit(1L)).otherwise(lit(0L)))
         .as(s"__cnt_${tagOf(v)}"))
-    val quantiled = cums
+    val quantiled = ranked
       .groupBy(col("__g"))
       .agg((aggs ++ tagCounts).head, (aggs ++ tagCounts).tail: _*)
       .select(col("__g") +: specs.map { case (v, _, name) =>
         when(col(s"__cnt_${tagOf(v)}") === 0L, lit(null))
           .otherwise(col(s"`$name`")).as(name)
       }: _*)
+
     // null-safe (<=>) restore join: SQL GROUP BY treats NULL as a real
     // group, so a NULL group key must pick up its computed quantiles, not
-    // fall out of a null-rejecting equi-join.
-    val groups = df.select(col(s"`$groupCol`").as("__g")).distinct()
+    // fall out of a null-rejecting equi-join. Aliased explicitly — both
+    // sides share the bucket-relation lineage (self-join).
+    val groups = bucketCounts.select(col("__g")).distinct().as("__groups")
+    val quantA = quantiled.as("__quant")
     groups
-      .join(quantiled, groups("__g") <=> quantiled("__g"), "left")
-      .drop(quantiled("__g"))
-      .withColumnRenamed("__g", groupCol)
+      .join(quantA, col("__groups.__g") <=> col("__quant.__g"), "left")
+      .select(col("__groups.__g").as(groupCol) +:
+        specs.map { case (_, _, name) => col(s"__quant.`$name`").as(name) }: _*)
   }
 }

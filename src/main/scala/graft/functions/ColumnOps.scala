@@ -24,4 +24,10 @@ object ColumnOps {
   /** Two-value let-binding. */
   def letCol2(a: Column, b: Column)(body: (Column, Column) => Column): Column =
     letCol(a)(av => letCol(b)(bv => body(av, bv)))
+
+  /** [[DoubleSortBits]] as a Column: bigint whose signed order equals the
+    * double's value order. */
+  def doubleSortBits(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      DoubleSortBits(org.apache.spark.sql.GraftBridge.expression(c)))
 }
