@@ -697,6 +697,99 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Q54 — correlated EXISTS / NOT EXISTS with a non-equi correlation
+    * predicate: Catalyst decorrelates both into semi/anti joins carrying
+    * the extra conjunct (no per-row subquery execution). */
+  val q54_exists_subquery: Q = (s, d) => {
+    t(s, d, "customer").createOrReplaceTempView("q54_customer")
+    t(s, d, "orders").createOrReplaceTempView("q54_orders")
+    s.sql(
+      """SELECT c_custkey, c_acctbal FROM q54_customer c
+        | WHERE EXISTS (SELECT 1 FROM q54_orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_totalprice > c.c_acctbal * 10)
+        |   AND NOT EXISTS (SELECT 1 FROM q54_orders o2
+        |   WHERE o2.o_custkey = c.c_custkey
+        |     AND o2.o_orderstatus = 'F' AND o2.o_totalprice < 5000)
+        | ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Q55 — NOT IN with a nullable probe side: three-valued logic means a
+    * NULL probe never qualifies (NULL NOT IN (...) is NULL, filtered) —
+    * the null-aware anti-join semantics engines are most often wrong on. */
+  val q55_not_in_nulls: Q = (s, d) => {
+    t(s, d, "customer").createOrReplaceTempView("q55_customer")
+    t(s, d, "orders").createOrReplaceTempView("q55_orders")
+    s.sql(
+      """SELECT o_orderkey FROM q55_orders
+        | WHERE CASE WHEN o_totalprice < 1000 THEN NULL ELSE o_custkey END
+        |   NOT IN (SELECT c_custkey FROM q55_customer WHERE c_acctbal < 0)
+        | ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Q56 — linear-regression aggregates (the OLS family): single-pass
+    * algebraic moments, partial-aggregated like any SUM. */
+  val q56_regr_agg: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("regr_count(l_extendedprice, l_quantity)").cast("long").as("n"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+
+  /** Q57 — IGNORE NULLS navigation: last non-null carried forward and the
+    * next non-null lookahead, over a value column with injected nulls
+    * (the gap-fill shape for sensor/event streams). */
+  val q57_ignore_nulls: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .filter(col("event_id") <= 3000)
+      .withColumn("v",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      .select(
+        col("event_id"),
+        round(last(col("v"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+          .as("last_nn"),
+        round(lead(col("v"), 1, null, ignoreNulls = true).over(w), 4)
+          .as("next_nn"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q58 — bag-semantics set operations: EXCEPT ALL keeps max(n−m, 0)
+    * copies per value, INTERSECT ALL min(n, m) — multiplicity the
+    * DISTINCT variants (q10/q11) never exercise. */
+  val q58_except_all: Q = (s, d) => {
+    val o = t(s, d, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k"))
+    val c = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k"))
+    o.exceptAll(c).select(lit("except").as("op"), col("k"))
+      .unionAll(o.intersectAll(c).select(lit("intersect").as("op"), col("k")))
+      .orderBy(col("op"), col("k"))
+  }
+
+  /** Q59 — NTILE deciles + per-decile stats (quantile-bucket profiling).
+    * The global NTILE is a single sort by construction — the downstream
+    * agg re-parallelizes; for a scale-out tiling use Quantiles/ntile per
+    * partition key instead. */
+  val q59_ntile: Q = (s, d) => {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_totalprice"), ntile(10).over(w).cast("long").as("decile"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"),
+        // +1e-9: the interpolated median lands exactly on .xx5 ties where
+        // Spark (half-up) and DuckDB (half-even) round apart
+        round(expr("median(o_totalprice)") + lit(1e-9), 2).as("med"))
+      .orderBy(col("decile"))
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -751,7 +844,13 @@ object Queries {
     "q50_lateral" -> q50_lateral,
     "q51_percentiles" -> q51_percentiles,
     "q52_range_frame" -> q52_range_frame,
-    "q53_nav_window" -> q53_nav_window)
+    "q53_nav_window" -> q53_nav_window,
+    "q54_exists_subquery" -> q54_exists_subquery,
+    "q55_not_in_nulls" -> q55_not_in_nulls,
+    "q56_regr_agg" -> q56_regr_agg,
+    "q57_ignore_nulls" -> q57_ignore_nulls,
+    "q58_except_all" -> q58_except_all,
+    "q59_ntile" -> q59_ntile)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1064,5 +1163,54 @@ object Queries {
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         | ORDER BY event_id""",
+    "q54_exists_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        | WHERE EXISTS (SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_totalprice > c.c_acctbal * 10)
+        |   AND NOT EXISTS (SELECT 1 FROM orders o2
+        |   WHERE o2.o_custkey = c.c_custkey
+        |     AND o2.o_orderstatus = 'F' AND o2.o_totalprice < 5000)
+        | ORDER BY c_custkey""",
+    "q55_not_in_nulls" ->
+      """SELECT o_orderkey FROM orders
+        | WHERE CASE WHEN o_totalprice < 1000 THEN NULL ELSE o_custkey END
+        |   NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        | ORDER BY o_orderkey""",
+    "q56_regr_agg" ->
+      """SELECT l_returnflag,
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        | ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        | ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q57_ignore_nulls" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events WHERE event_id <= 3000)
+        | SELECT event_id,
+        | ROUND(LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS last_nn,
+        | ROUND(LEAD(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id), 4) AS next_nn
+        | FROM e ORDER BY event_id""",
+    "q58_except_all" ->
+      """WITH o AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+        |  c AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+        |  ex AS (SELECT k FROM o EXCEPT ALL SELECT k FROM c),
+        |  ix AS (SELECT k FROM o INTERSECT ALL SELECT k FROM c)
+        | SELECT 'except' AS op, k FROM ex
+        | UNION ALL SELECT 'intersect' AS op, k FROM ix
+        | ORDER BY op, k""",
+    "q59_ntile" ->
+      """WITH d AS (SELECT o_totalprice,
+        |   NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        | SELECT decile, COUNT(*) AS n,
+        | ROUND(MIN(o_totalprice), 2) AS lo,
+        | ROUND(MAX(o_totalprice), 2) AS hi,
+        | ROUND(MEDIAN(o_totalprice) + 1e-9, 2) AS med
+        | FROM d GROUP BY decile ORDER BY decile""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
