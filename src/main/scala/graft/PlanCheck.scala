@@ -80,6 +80,8 @@ object PlanCheck {
       !p.contains("CartesianProduct"))
     check("q51_percentiles", "quantiles via bit-bucket distributed selection: no percentile agg, no row-sized shuffle")(p =>
       !p.toLowerCase.contains("percentile") && p.contains("double_sort_bits"))
+    check("x9_bloom_semi", "bloom probe filters the fact scan below the residual semi join")(p =>
+      p.contains("bloom_might_contain") && p.contains("LeftSemi"))
     check("q52_range_frame", "event-time RANGE frame present, one shuffle")(p =>
       p.contains("RangeFrame") &&
         "Exchange hashpartitioning".r.findAllIn(p).size <= 1)

@@ -260,6 +260,44 @@ object ExtQueries {
         sum(when(col("thumb_png").isNotNull, 1L).otherwise(0L)).as("n_thumbed"),
         max(length(col("thumb_png"))).cast("long").as("max_thumb_bytes"))
 
+  /** X9 — Bloom-pruned semi join: exact semantics (oracle = plain IN); the
+    * fact side dies against a 128 KB bitset of the dim keys before any
+    * join machinery runs. */
+  val x9_bloom_semi: Q = (s, d) =>
+    graft.ext.BloomPrune.semiJoinPruned(
+        t(s, d, "orders"),
+        t(s, d, "customer").filter(col("c_acctbal") > 8000),
+        "o_custkey", "c_custkey")
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+
+  /** X3 — int8 quantization audit: per-vector scale plus exact integer
+    * sums of the quantized codes (integer arithmetic → hash-exact across
+    * engines; the float-level error bound lives in the spec). */
+  val x3_quantize: Q = (s, d) => {
+    val q = graft.ext.Quantize.quantizeInt8(t(s, d, "embeddings"))
+    q.select(
+        col("vec_id"),
+        round(col("qscale"), 6).as("qscale"),
+        aggregate(col("qvec"), lit(0L), _ + _).as("qsum"),
+        aggregate(col("qvec"), lit(0L), (a, x) => a + x * x).as("qnorm"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** X8 — mergeable cardinality sketches: per-segment HLL estimates plus
+    * the union-merged global estimate (the re-aggregatable form a rollup
+    * store needs — exact COUNT(DISTINCT) cannot merge). */
+  val x8_hll_merge: Q = (s, d) => {
+    val sk = t(s, d, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+    val per = sk.select(col("c_mktsegment").as("segment"),
+      expr("hll_sketch_estimate(sk)").as("est"))
+    val all = sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .select(lit("ALL").as("segment"), col("est"))
+    per.unionByName(all).orderBy(col("segment"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x1_dedup_exact" -> x1_dedup_exact,
     "x1_dedup_exact_rows" -> x1_dedup_exact_rows,
@@ -285,7 +323,10 @@ object ExtQueries {
     "x7_weighted_mix" -> x7_weighted_mix,
     "x5_multimodal" -> x5_multimodal,
     "x5_frame_sample" -> x5_frame_sample,
-    "x5_thumbnail" -> x5_thumbnail)
+    "x5_thumbnail" -> x5_thumbnail,
+    "x9_bloom_semi" -> x9_bloom_semi,
+    "x3_quantize" -> x3_quantize,
+    "x8_hll_merge" -> x8_hll_merge)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -334,6 +375,29 @@ object ExtQueries {
         | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |     CAST(b.embedding AS DOUBLE[])) >= 0.95
         | ORDER BY id_a, id_b""",
+    // Bloom pruning is exact by construction (no false negatives +
+    // residual semi join) — the oracle is the plain IN-subquery.
+    "x9_bloom_semi" ->
+      """SELECT o_orderkey FROM orders
+        | WHERE o_custkey IN
+        |   (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+        | ORDER BY o_orderkey""",
+    // Integer sums of the int8 codes are exact in both engines; both
+    // widen float -> double before dividing, and round() is half-away-
+    // from-zero in both.
+    "x3_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |   GREATEST(list_max(list_transform(embedding,
+        |     x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127 AS scale
+        |  FROM embeddings),
+        | q AS (SELECT vec_id, scale,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS qv
+        |  FROM s)
+        | SELECT vec_id, ROUND(scale, 6) AS qscale,
+        |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm
+        | FROM q ORDER BY vec_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Shared oracle for the two exact top-k paths: brute-force cosine per
