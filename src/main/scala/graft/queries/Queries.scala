@@ -772,13 +772,14 @@ object Queries {
   }
 
   /** Q59 — NTILE deciles + per-decile stats (quantile-bucket profiling).
-    * The global NTILE is a single sort by construction — the downstream
-    * agg re-parallelizes; for a scale-out tiling use Quantiles/ntile per
-    * partition key instead. */
+    * NOT the window NTILE — that plans a single-partition global sort.
+    * [[graft.ext.Tiling.ntileByValue]] computes the identical tile from
+    * an exact global rank assembled out of bit-bucket counts + parallel
+    * per-bucket windows, so no stage owns the whole relation. */
   val q59_ntile: Q = (s, d) => {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, d, "orders")
-      .select(col("o_totalprice"), ntile(10).over(w).cast("long").as("decile"))
+    graft.ext.Tiling.ntileByValue(
+        t(s, d, "orders").select(col("o_totalprice"), col("o_orderkey")),
+        10, "o_totalprice", "o_orderkey", tileCol = "decile")
       .groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n"),
