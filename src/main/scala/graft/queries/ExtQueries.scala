@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -298,6 +299,28 @@ object ExtQueries {
     per.unionByName(all).orderBy(col("segment"))
   }
 
+  /** X4 — BM25 relevance ranking against a fixed term set: the full
+    * tf/df/dl/avgdl pipeline, reproduced term-for-term by the oracle. */
+  val x4_bm25: Q = (s, d) =>
+    graft.ext.Bm25.score(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "window", "hash"))
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
+  /** X7 — exact stratified sampling: deterministically keep N rows per
+    * stratum, ordered by a portable hash (md5 — identical text in both
+    * engines, so the SAMPLE ITSELF is oracle-checked, not just its size). */
+  val x7_stratified: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+    t(s, d, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("c_mktsegment"), col("c_custkey"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x1_dedup_exact" -> x1_dedup_exact,
     "x1_dedup_exact_rows" -> x1_dedup_exact_rows,
@@ -326,7 +349,9 @@ object ExtQueries {
     "x5_thumbnail" -> x5_thumbnail,
     "x9_bloom_semi" -> x9_bloom_semi,
     "x3_quantize" -> x3_quantize,
-    "x8_hll_merge" -> x8_hll_merge)
+    "x8_hll_merge" -> x8_hll_merge,
+    "x4_bm25" -> x4_bm25,
+    "x7_stratified" -> x7_stratified)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -398,6 +423,37 @@ object ExtQueries {
         |  CAST(list_sum(qv) AS BIGINT) AS qsum,
         |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm
         | FROM q ORDER BY vec_id""",
+    // Okapi BM25 with k1=1.2, b=0.75; whitespace+lowercase tokens; scores
+    // rounded BEFORE the ordering so near-equal ranks tie-break on doc_id
+    // identically in both engines.
+    "x4_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        | toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        | dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+        | g AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+        |   WHERE term IN ('spark', 'window', 'hash') GROUP BY doc_id, term),
+        | dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        | scored AS (
+        |  SELECT tf.doc_id,
+        |    SUM(ln((g.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl))) AS s
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |    JOIN dfq ON tf.term = dfq.term CROSS JOIN g
+        |  GROUP BY tf.doc_id)
+        | SELECT doc_id, ROUND(s, 4) AS score FROM scored
+        | ORDER BY score DESC, doc_id LIMIT 20""",
+    "x7_stratified" ->
+      """WITH r AS (SELECT c_mktsegment, c_custkey,
+        |   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |     ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+        |  FROM customer)
+        | SELECT c_mktsegment, c_custkey FROM r WHERE rn <= 5
+        | ORDER BY c_mktsegment, c_custkey""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Shared oracle for the two exact top-k paths: brute-force cosine per
