@@ -85,6 +85,15 @@ object PlanCheck {
     check("q52_range_frame", "event-time RANGE frame present, one shuffle")(p =>
       p.contains("RangeFrame") &&
         "Exchange hashpartitioning".r.findAllIn(p).size <= 1)
+    check("q60_sessionize", "session_window agg: partial agg, no window-function global sort")(p =>
+      p.contains("partial_") && !p.contains("Window ["))
+    check("q61_recursive_spine", "recursive CTE plans a UnionLoop, orders side joined once")(p =>
+      p.contains("UnionLoop") && "FileScan".r.findAllIn(p).size <= 1)
+    check("q62_upsert", "upsert = anti join on change keys + union, no full-outer")(p =>
+      p.contains("LeftAnti") && !p.contains("FullOuter"))
+    check("x4_contamination", "gram membership probe is a broadcast join; grams built row-local (no UDF, no token window)")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("BatchEvalPython") &&
+        !p.contains("Window ["))
     // minhash: assert on the LAZY pair plan (the public entry point now
     // eagerly checkpoints, so its executed plan is just an RDD scan)
     locally {

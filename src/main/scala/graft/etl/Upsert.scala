@@ -1,0 +1,39 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** MERGE/upsert semantics as a batch operator: apply a change set to a
+  * base table — matched keys are REPLACED by their change row, unmatched
+  * change rows are INSERTED, all other base rows pass through. The
+  * reference never mutates published partitions (each run writes a fresh
+  * run-stamped tree — `main.py:58-60`), but any incremental pipeline on
+  * top of that layout needs exactly this operator to roll a new snapshot
+  * from the previous one plus a delta.
+  *
+  * Plan shape (the 100 TB consideration): NOT a full-outer join.
+  * `base ANTI JOIN changes.keys` + `UNION ALL changes` touches the wide
+  * base rows once and shuffles only the change KEYS against them — the
+  * anti join's build side is the projected key set of the delta, which
+  * AQE broadcasts when small (the common case: deltas ≪ base). A
+  * full-outer-join formulation would shuffle the entire wide base AND
+  * pay a coalesce per column; this shape is also what Delta/Iceberg
+  * rewrite MERGE into when there is no update expression.
+  *
+  * Contract: `changes` must be unique per key (one change per key per
+  * batch — the same precondition SQL MERGE enforces with
+  * "cannot update the same row twice"); enforce upstream with
+  * [[graft.ext.Dedup]] / last-writer-wins when deltas carry versions.
+  */
+object Upsert {
+
+  /** @param keys join key columns, present in both frames; schemas must
+    *   union (same columns, any order). */
+  def upsert(base: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val keyCols = keys.map(k => col(s"`$k`"))
+    base
+      .join(changes.select(keyCols: _*).distinct(), keys, "left_anti")
+      .unionByName(changes)
+  }
+}

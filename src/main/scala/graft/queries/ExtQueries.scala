@@ -321,6 +321,21 @@ object ExtQueries {
       .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
 
+  /** X4 — benchmark-contamination screen, oracle-checked: trigram overlap
+    * of every corpus document against the benchmark split (doc_id%17=0).
+    * The engine computes in xxhash64 gram space (nothing but 8-byte
+    * fingerprints leaves a row — see [[Contamination]]); the oracle does
+    * the same computation in string space, so gram construction,
+    * distinct-ing AND the hit counts are all pinned exactly. */
+  val x4_contamination: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    graft.ext.Contamination.report(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x1_dedup_exact" -> x1_dedup_exact,
     "x1_dedup_exact_rows" -> x1_dedup_exact_rows,
@@ -351,7 +366,8 @@ object ExtQueries {
     "x3_quantize" -> x3_quantize,
     "x8_hll_merge" -> x8_hll_merge,
     "x4_bm25" -> x4_bm25,
-    "x7_stratified" -> x7_stratified)
+    "x7_stratified" -> x7_stratified,
+    "x4_contamination" -> x4_contamination)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -447,6 +463,30 @@ object ExtQueries {
         |  GROUP BY tf.doc_id)
         | SELECT doc_id, ROUND(s, 4) AS score FROM scored
         | ORDER BY score DESC, doc_id LIMIT 20""",
+    // Trigram construction reproduced in string space: tokenize on
+    // non-alphanumeric runs after lower() (identical in both engines —
+    // non-ascii is stripped by the token class, so unicode lowercasing
+    // differences cannot surface), windowed LEAD concatenation, DISTINCT
+    // per doc, membership against the benchmark split's gram set.
+    "x4_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+        |  FROM (SELECT doc_id, list_filter(
+        |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0) AS l
+        |    FROM documents)),
+        | tri AS (
+        |  SELECT doc_id,
+        |    tok || ' ' || LEAD(tok,1) OVER w || ' ' || LEAD(tok,2) OVER w AS g
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        | trid AS (SELECT DISTINCT doc_id, g FROM tri WHERE g IS NOT NULL),
+        | bench AS (SELECT DISTINCT g FROM trid WHERE doc_id % 17 = 0),
+        | corp AS (SELECT doc_id, g FROM trid WHERE doc_id % 17 <> 0)
+        | SELECT doc_id, COUNT(*) AS n_grams,
+        |  COUNT(*) FILTER (WHERE g IN (SELECT g FROM bench)) AS n_hit,
+        |  ROUND(CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM bench))
+        |      AS DOUBLE) / COUNT(*) + 1e-9, 4) AS ratio
+        | FROM corp GROUP BY doc_id ORDER BY doc_id""",
     "x7_stratified" ->
       """WITH r AS (SELECT c_mktsegment, c_custkey,
         |   ROW_NUMBER() OVER (PARTITION BY c_mktsegment

@@ -791,6 +791,60 @@ object Queries {
       .orderBy(col("decile"))
   }
 
+  /** Q60 — gap-based sessionization, oracle-checked: the SAME
+    * [[graft.streaming.Sessionize.sessions]] operator that runs the
+    * streaming path (builtin `session_window`, gap-merged by Spark's
+    * session aggregation operator) driven as a batch query. The oracle is
+    * the gaps-and-islands SQL analog (LAG gap flag + cumulative sum =
+    * session id), so the operator's merge rule — a new session starts
+    * when ts ≥ prev + gap — is pinned against an independent
+    * formulation, not another session_window. */
+  val q60_sessionize: Q = (s, d) =>
+    graft.streaming.Sessionize
+      .sessions(t(s, d, "events"), "user_id", "ts", "value", gap = "6 hours")
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Q61 — recursive CTE (Spark 4's `UnionLoopExec`): calendar-spine
+    * densification — build the month spine by recursion, left-join
+    * monthly revenue so order-less months surface as explicit zero rows
+    * (the densification shape reporting pipelines need; a GROUP BY alone
+    * cannot produce rows for months with no orders). */
+  val q61_recursive_spine: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("q61_orders")
+    s.sql(
+      """WITH RECURSIVE spine(mo) AS (
+        | SELECT CAST('1994-10-01' AS TIMESTAMP)
+        | UNION ALL
+        | SELECT mo + INTERVAL 1 MONTH FROM spine
+        |  WHERE mo < CAST('2001-11-01' AS TIMESTAMP))
+        | SELECT s.mo, COUNT(o.o_orderkey) AS n_orders,
+        |  ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS revenue
+        | FROM spine s LEFT JOIN q61_orders o
+        |   ON date_trunc('month', o.o_orderdate) = s.mo
+        | GROUP BY s.mo ORDER BY s.mo""".stripMargin)
+  }
+
+  /** Q62 — MERGE/upsert snapshot roll via [[graft.etl.Upsert]]: matched
+    * keys replaced, new keys inserted, base otherwise passed through —
+    * anti-join + union, NOT a full-outer join (see the operator's scale
+    * note). Change set: every %10=3 order repriced ('U'), every %100=7
+    * order re-keyed +1e8 as an insert ('N') — disjoint key classes, so
+    * the one-change-per-key contract holds by construction. */
+  val q62_upsert: Q = (s, d) => {
+    val o = t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = o.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = o.filter(col("o_orderkey") % 100 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    graft.etl.Upsert.upsert(o, updates.unionByName(inserts), Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -851,7 +905,10 @@ object Queries {
     "q56_regr_agg" -> q56_regr_agg,
     "q57_ignore_nulls" -> q57_ignore_nulls,
     "q58_except_all" -> q58_except_all,
-    "q59_ntile" -> q59_ntile)
+    "q59_ntile" -> q59_ntile,
+    "q60_sessionize" -> q60_sessionize,
+    "q61_recursive_spine" -> q61_recursive_spine,
+    "q62_upsert" -> q62_upsert)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1213,5 +1270,45 @@ object Queries {
         | ROUND(MAX(o_totalprice), 2) AS hi,
         | ROUND(MEDIAN(o_totalprice) + 1e-9, 2) AS med
         | FROM d GROUP BY decile ORDER BY decile""",
+    "q60_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, value,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | s AS (SELECT user_id, ts, value,
+        |   SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        | SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 6 HOUR AS session_end,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+        | FROM s GROUP BY user_id, sid
+        | ORDER BY user_id, session_start""",
+    "q61_recursive_spine" ->
+      """WITH RECURSIVE spine(mo) AS (
+        | SELECT CAST('1994-10-01' AS TIMESTAMP)
+        | UNION ALL
+        | SELECT mo + INTERVAL 1 MONTH FROM spine
+        |  WHERE mo < CAST('2001-11-01' AS TIMESTAMP))
+        | SELECT s.mo, COUNT(o.o_orderkey) AS n_orders,
+        |  ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS revenue
+        | FROM spine s LEFT JOIN orders o
+        |   ON date_trunc('month', o.o_orderdate) = s.mo
+        | GROUP BY s.mo ORDER BY s.mo""",
+    "q62_upsert" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 7),
+        | merged AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        |  UNION ALL SELECT * FROM changes)
+        | SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  ROUND(o_totalprice, 2) AS total
+        | FROM merged ORDER BY o_orderkey""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
