@@ -39,6 +39,27 @@ object TextStats {
     when(length(text) === 0, lit(0.0))
       .otherwise(regexp_count(text, lit("\\p{Punct}")).cast("double") / length(text))
 
+  /** PII scrub patterns: the regex subset shared verbatim by Java and
+    * RE2 regex engines, so the identical pattern drives the engine and
+    * any SQL oracle. Deliberately simple — a production scrubber layers
+    * more patterns through the same replace chain. */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails and phone-shaped numbers (training-data PII scrub).
+    * Order matters: emails first, so a phone-like local part is already
+    * gone when the phone pass runs. Pure regexp_replace chain — codegen'd,
+    * zero shuffle, one scan at any scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Count of PII matches (emails + phones) BEFORE redaction. */
+  def piiCount(text: Column): Column =
+    (regexp_count(text, lit(emailPattern)) +
+      regexp_count(text, lit(phonePattern))).cast("long")
+
   /** Per-language stopword profiles for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: the operator contract is "deterministic
     * heuristic language-ID", not a trained model. */

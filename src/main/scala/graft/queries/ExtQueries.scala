@@ -336,6 +336,59 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** X8 — the stream-stream interval join's BATCH face, oracle-checked:
+    * even-id events as "impressions", odd-id as "clicks", attributed
+    * within a 1-hour horizon per user. The identical plan runs the
+    * watermarked streaming path (StreamJoinSpec parity), so the streaming
+    * operator's semantics are pinned by SQL rather than self-consistency. */
+  val x8_stream_join: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val imps = ev.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("ts").as("imp_ts"), col("event_id").as("imp_id"))
+    val clicks = ev.filter(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    graft.streaming.StreamJoin
+      .within(imps, clicks, "user_id", "imp_ts", "click_ts", horizon = "1 hour")
+      .select(col("imp_id"), col("click_id"))
+      .orderBy(col("imp_id"), col("click_id"))
+  }
+
+  /** X4 — PII scrub, oracle-checked: deterministic email+phone planted
+    * into every document, then redacted via the shared Java/RE2-portable
+    * patterns ([[TextStats.redactPii]]). The oracle re-plants and
+    * re-redacts in DuckDB, so pattern semantics AND replacement output
+    * are pinned string-for-string. */
+  val x4_redact: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("planted",
+        concat(col("text"), lit(" reach u"), col("doc_id"),
+          lit("@ex.com or 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .select(
+        col("doc_id"),
+        TextStats.piiCount(col("planted")).as("n_pii"),
+        TextStats.redactPii(col("planted")).as("red"))
+      .orderBy(col("doc_id"))
+
+  /** X4 — sequence packing (concatenate-and-chunk): documents are laid
+    * end-to-end per shard (lang) in doc_id order; fixed 1000-token
+    * context windows are cut across the concatenation, and each doc is
+    * attributed to the window its first token lands in. The per-shard
+    * window keeps the running offset parallel across shards — the shape
+    * a pretraining tokenizer-packer runs at scale (with a finer shard key
+    * than lang when shards must bound memory). */
+  val x4_pack: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    t(s, d, "documents")
+      .select(col("lang"), col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("toks"))
+      .withColumn("off", sum(col("toks")).over(w) - col("toks"))
+      .withColumn("pack", floor(col("off") / 1000).cast("long"))
+      .groupBy(col("lang"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("lang"), col("pack"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x1_dedup_exact" -> x1_dedup_exact,
     "x1_dedup_exact_rows" -> x1_dedup_exact_rows,
@@ -367,7 +420,10 @@ object ExtQueries {
     "x8_hll_merge" -> x8_hll_merge,
     "x4_bm25" -> x4_bm25,
     "x7_stratified" -> x7_stratified,
-    "x4_contamination" -> x4_contamination)
+    "x4_contamination" -> x4_contamination,
+    "x8_stream_join" -> x8_stream_join,
+    "x4_redact" -> x4_redact,
+    "x4_pack" -> x4_pack)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -487,6 +543,41 @@ object ExtQueries {
         |  ROUND(CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM bench))
         |      AS DOUBLE) / COUNT(*) + 1e-9, 4) AS ratio
         | FROM corp GROUP BY doc_id ORDER BY doc_id""",
+    // DuckDB regexp_replace replaces the FIRST match unless the 'g'
+    // flag is passed; patterns are the shared Java/RE2-portable subset.
+    "x4_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |   text || ' reach u' || CAST(doc_id AS VARCHAR)
+        |     || '@ex.com or 555-867-'
+        |     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS planted
+        |  FROM documents)
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(planted,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |    + len(regexp_extract_all(planted,
+        |      '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_pii,
+        |  regexp_replace(regexp_replace(planted,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+        | FROM p ORDER BY doc_id""",
+    "x4_pack" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |   len(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents),
+        | o AS (SELECT lang, doc_id, toks,
+        |   SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) - toks AS off
+        |  FROM t)
+        | SELECT lang, CAST(floor(off / 1000) AS BIGINT) AS pack,
+        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
+        | FROM o GROUP BY lang, pack ORDER BY lang, pack""",
+    "x8_stream_join" ->
+      """SELECT a.event_id AS imp_id, b.event_id AS click_id
+        | FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        | ORDER BY imp_id, click_id""",
     "x7_stratified" ->
       """WITH r AS (SELECT c_mktsegment, c_custkey,
         |   ROW_NUMBER() OVER (PARTITION BY c_mktsegment

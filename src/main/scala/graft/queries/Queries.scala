@@ -870,6 +870,32 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Q63 — SCD Type 2 history roll via [[graft.etl.Scd2]]: one snapshot
+    * applied to a freshly-seeded history. Change classes exercised:
+    * repriced rows (%7=0 → close + reopen), deleted keys (%13=0 → close),
+    * new keys (+1e6 → open), everything else passes through. The oracle
+    * reproduces the full close/open/pass-through algebra in SQL, so the
+    * operator's interval semantics are pinned row-for-row. */
+  val q63_scd2: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val hist = c.select(
+        col("c_custkey").as("k"), col("c_name").as("nm"), col("c_acctbal").as("bal"))
+      .withColumn("valid_from", lit("2020-01-01 00:00:00").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val snap = c.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey").as("k"), col("c_name").as("nm"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1000)
+          .otherwise(col("c_acctbal")).as("bal"))
+      .unionByName(c.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("k"),
+          col("c_name").as("nm"), lit(-5.0).as("bal")))
+    graft.etl.Scd2(hist, snap, Seq("k"),
+        lit("2021-06-01 00:00:00").cast("timestamp"))
+      .select(col("k"), col("nm"), round(col("bal"), 2).as("bal"),
+        col("valid_from"), col("valid_to"))
+      .orderBy(col("k"), col("valid_from"))
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -933,7 +959,8 @@ object Queries {
     "q59_ntile" -> q59_ntile,
     "q60_sessionize" -> q60_sessionize,
     "q61_recursive_spine" -> q61_recursive_spine,
-    "q62_upsert" -> q62_upsert)
+    "q62_upsert" -> q62_upsert,
+    "q63_scd2" -> q63_scd2)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1335,5 +1362,35 @@ object Queries {
         | SELECT o_orderkey, o_custkey, o_orderstatus,
         |  ROUND(o_totalprice, 2) AS total
         | FROM merged ORDER BY o_orderkey""",
+    "q63_scd2" ->
+      """WITH hist AS (SELECT c_custkey AS k, c_name AS nm, c_acctbal AS bal,
+        |   CAST('2020-01-01' AS TIMESTAMP) AS valid_from,
+        |   CAST(NULL AS TIMESTAMP) AS valid_to FROM customer),
+        | snap AS (
+        |  SELECT c_custkey AS k, c_name AS nm,
+        |   CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000
+        |        ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, -5.0
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        | j AS (SELECT h.k AS hk, h.nm AS hnm, h.bal AS hbal,
+        |   h.valid_from AS hvf, s.k AS sk, s.nm AS snm, s.bal AS sbal,
+        |   h.k IS NOT NULL AS ph, s.k IS NOT NULL AS ps
+        |  FROM hist h FULL OUTER JOIN snap s ON h.k = s.k),
+        | ch AS (SELECT *, ph AND ps AND (hnm IS DISTINCT FROM snm
+        |   OR hbal IS DISTINCT FROM sbal) AS changed FROM j)
+        | SELECT k, nm, ROUND(bal, 2) AS bal, valid_from, valid_to FROM (
+        |  SELECT hk AS k, hnm AS nm, hbal AS bal, hvf AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM ch WHERE ph AND ps AND NOT changed
+        |  UNION ALL
+        |  SELECT hk, hnm, hbal, hvf, CAST('2021-06-01' AS TIMESTAMP)
+        |  FROM ch WHERE ph AND (changed OR NOT ps)
+        |  UNION ALL
+        |  SELECT sk, snm, sbal, CAST('2021-06-01' AS TIMESTAMP),
+        |    CAST(NULL AS TIMESTAMP)
+        |  FROM ch WHERE ps AND (changed OR NOT ph))
+        | ORDER BY k, valid_from""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
