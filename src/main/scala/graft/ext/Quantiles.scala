@@ -57,6 +57,10 @@ object Quantiles {
     *   bucket id. 20 bits ≈ 256 buckets per binade — selection keeps
     *   ~0.4% of a smoothly-distributed group per target; lower it if the
     *   occupied-bucket relation (groups × columns × occupied) must shrink.
+    *   Measured insensitive between 12 and 20 bits at the 10× bench scale
+    *   (QuantProbe: 1.6–1.8 s flat, degrading below 10 bits as selection
+    *   survivors grow) — the cost is the two melted input scans, which is
+    *   the intended scale shape, not the bucket relation.
     * @return one row per group: groupCol plus one double column per spec. */
   def exactQuantiles(
       df: DataFrame, groupCol: String,

@@ -389,6 +389,27 @@ object ExtQueries {
       .orderBy(col("lang"), col("pack"))
   }
 
+  /** X4 — real BPE tokenization end-to-end (Tier B): learn 40 merges
+    * from the corpus itself (bounded driver collect), then apply them at
+    * scan speed through the native `bpe_count` expression. Output: per-doc
+    * subword counts with the subword/pre-token expansion factor. (40
+    * merges against the synthetic corpus's 31-word vocabulary fuses the
+    * frequent words fully and splits the rest into visible subwords; a
+    * bigger budget fuses everything — expansion 1.0 across the board —
+    * which is correct but exercises nothing.) */
+  val x4_bpe_tokens: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val merges = graft.ext.Bpe.trainFromCorpus(
+      docs, "text", numMerges = 40, maxWords = 2000)
+    docs.select(
+        col("doc_id"),
+        graft.ext.Bpe.tokenCount(col("text"), merges).as("n_bpe"),
+        TextStats.bpeTokenCount(col("text")).cast("long").as("n_pretok"))
+      .withColumn("expansion",
+        round(col("n_bpe").cast("double") / col("n_pretok"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x1_dedup_exact" -> x1_dedup_exact,
     "x1_dedup_exact_rows" -> x1_dedup_exact_rows,
@@ -423,7 +444,8 @@ object ExtQueries {
     "x4_contamination" -> x4_contamination,
     "x8_stream_join" -> x8_stream_join,
     "x4_redact" -> x4_redact,
-    "x4_pack" -> x4_pack)
+    "x4_pack" -> x4_pack,
+    "x4_bpe_tokens" -> x4_bpe_tokens)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
