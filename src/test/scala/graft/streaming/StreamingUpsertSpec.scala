@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micro-batches fold into a snapshot; later versions win") {
+    val root = Files.createTempDirectory("graft_supsert").toString
+    val snap = s"$root/snap"
+
+    // batch 0: initial keys
+    val b0 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "s", "v")
+    StreamingUpsert.applyBatch(spark, b0, 0L, Seq("k"), "v", snap)
+    // batch 1: update k=2 (two conflicting rows — higher v wins), add k=3
+    val b1 = Seq((2L, "B-v3", 3L), (2L, "B-v2", 2L), (3L, "c", 2L))
+      .toDF("k", "s", "v")
+    StreamingUpsert.applyBatch(spark, b1, 1L, Seq("k"), "v", snap)
+
+    val got = StreamingUpsert.currentSnapshot(spark, snap).get
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a", 1L), (2L, "B-v3", 3L), (3L, "c", 2L)))
+  }
+
+  test("replayed batch is idempotent; old versions readable until vacuum") {
+    val root = Files.createTempDirectory("graft_supsert2").toString
+    val snap = s"$root/snap"
+    val b0 = Seq((1L, "a", 1L)).toDF("k", "s", "v")
+    val b1 = Seq((1L, "a2", 2L)).toDF("k", "s", "v")
+    StreamingUpsert.applyBatch(spark, b0, 0L, Seq("k"), "v", snap)
+    StreamingUpsert.applyBatch(spark, b1, 1L, Seq("k"), "v", snap)
+    // replay batch 1 (restart-after-commit): same result, no duplication
+    StreamingUpsert.applyBatch(spark, b1, 1L, Seq("k"), "v", snap)
+    val cur = StreamingUpsert.currentSnapshot(spark, snap).get
+    assert(cur.count() === 1)
+    assert(cur.as[(Long, String, Long)].collect().head === ((1L, "a2", 2L)))
+    // time travel: v=0 still readable, then vacuumed away
+    assert(spark.read.parquet(s"$snap/v=0").count() === 1)
+    StreamingUpsert.vacuum(spark, snap)
+    assert(!new java.io.File(s"$snap/v=0").exists())
+    assert(StreamingUpsert.currentSnapshot(spark, snap).get.count() === 1)
+  }
+
+  test("end-to-end through a real stream equals the batch fold") {
+    val root = Files.createTempDirectory("graft_supsert3").toString
+    val src = s"$root/src"
+    val snap = s"$root/snap"
+    val all = Seq(
+      (1L, "a", 1L), (2L, "b", 1L),
+      (2L, "B", 2L), (3L, "c", 1L),
+      (1L, "A", 3L), (4L, "d", 1L))
+    all.toDF("k", "s", "v").repartition(3).write.parquet(src)
+    val stream = spark.readStream
+      .schema(all.toDF("k", "s", "v").schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamingUpsert.run(stream, Seq("k"), "v", snap, s"$root/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val got = StreamingUpsert.currentSnapshot(spark, snap).get
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    // whatever the batch slicing, the latest version per key must win
+    val expect = all.groupBy(_._1).map(_._2.maxBy(_._3)).toSeq.sortBy(_._1)
+    assert(got === expect)
+  }
+}
