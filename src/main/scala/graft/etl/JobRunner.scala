@@ -213,7 +213,143 @@ object JobRunner {
       discrepancies = missing,
       schemaDrift = drift)
 
+    // -- 8. Manifest: the run's processed source files, persisted so later
+    //    runs can subtract them (the ledger driving SCHEDULING, not just
+    //    reporting — see runIncremental). Driver-side write; file-count
+    //    sized, same memory class as the listing itself.
+    writeManifest(fs, manifestPath(outputRoot, runId, spec),
+      listedFiles.filterNot(missing.contains))
+
     Result(dataOut, metadataOut, report)
+  }
+
+  private def manifestPath(outputRoot: String, runId: String, spec: JobSpec): Path =
+    new Path(s"$outputRoot/$runId/manifest/${jobDir(spec)}/processed.txt")
+
+  private def writeManifest(fs: FileSystem, path: Path, files: Seq[String]): Unit = {
+    val out = fs.create(path, true)
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Union of every prior run's processed files for this job (any runId
+    * under `outputRoot`). Scheme-stripped paths, matching the ledger's
+    * normal form. */
+  def processedSoFar(spark: SparkSession, outputRoot: String, spec: JobSpec): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(outputRoot)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Set.empty
+    fs.listStatus(root).filter(_.isDirectory).flatMap { run =>
+      val m = new Path(run.getPath, s"manifest/${jobDir(spec)}/processed.txt")
+      if (!fs.exists(m)) Seq.empty[String]
+      else {
+        val in = fs.open(m)
+        try new String(in.readAllBytes(), "UTF-8").linesIterator
+          .filter(_.nonEmpty).toSeq
+        finally in.close()
+      }
+    }.toSet
+  }
+
+  /** Incremental run: process only source files NO prior run under
+    * `outputRoot` has processed (per the run manifests), writing a fresh
+    * run dir. The incremental unit is the FILE — the reference's own unit
+    * of work (its queues carry file keys; its ledger hashes file keys).
+    *
+    * Correctness precondition, stated plainly: aggregation groups must not
+    * span files. The reference's layout guarantees it (one building's
+    * time series per file — `transform.py:59-61` — and hour groups are
+    * file-local), so new files are new groups and run outputs UNION
+    * cleanly. For inputs where a group straddles old and new files, a
+    * `_mean` of partial runs is NOT the global `_mean` — use a full
+    * [[run]] (or compact inputs per group first). This is the same
+    * contract every incremental-materialization system imposes; it is the
+    * reason `Report.inputRows` and the manifests exist.
+    *
+    * Metadata bypass re-copies unconditionally (byte copy, idempotent,
+    * keyed by run — the reference re-copies per run too). */
+  def runIncremental(spark: SparkSession, spec: JobSpec, outputRoot: String,
+      runId: String, objectStoreCommit: Option[Boolean] = None): Result = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(spec.srcRoot).getFileSystem(conf)
+    val partDirs = spec.upgrades.map(u => s"${spec.srcRoot}/upgrade=$u/state=${spec.state}")
+      .filter(p => fs.exists(new Path(p)))
+    val listedUris: Seq[String] = partDirs.flatMap { dir =>
+      val it = fs.listFiles(new Path(dir), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+      }
+      buf
+    }
+    val prior = processedSoFar(spark, outputRoot, spec)
+    val newUris = listedUris.filterNot(u => prior.contains(new Path(u).toUri.getPath))
+    val metadataOut = s"$outputRoot/$runId/metadata/${jobDir(spec)}"
+    val bypassed = {
+      val metaKeys = spec.upgrades.flatMap(u =>
+        PartitionPaths.metadataKeys(spec.metadataRoot, u, spec.state))
+      MetadataBypass.copyAll(conf, metaKeys, metadataOut)
+    }
+    val dataOut = s"$outputRoot/$runId/data/${jobDir(spec)}"
+    if (newUris.isEmpty)
+      return Result(dataOut, metadataOut,
+        Ledger.Report(0, 0, bypassed, 0, 0, Nil))
+
+    val newFiles = newUris.map(u => new Path(u).toUri.getPath)
+    val obs = new Observation(s"etl_incr_${java.util.UUID.randomUUID()}")
+    val reader0 = spark.read
+      .option("basePath", spec.srcRoot)
+      .option("ignoreCorruptFiles", "true")
+    val reader = spec.declaredSchema.fold(reader0)(reader0.schema)
+    val input = reader.parquet(newUris: _*)
+      .withColumn("__src_file", col("_metadata.file_path"))
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        collect_set(col("__src_file")).as("paths"))
+      .drop("__src_file")
+    val keyCols = Set("timestamp", "bldg_id", "upgrade", "state")
+    val measures = input.schema.fields
+      .filter(f => f.dataType == org.apache.spark.sql.types.DoubleType &&
+        !keyCols.contains(f.name))
+      .map(_.name).toSeq
+    val aggregated = HourlyAggregate(
+      input, measureCols = measures, byId = spec.byId,
+      extraKeys = Seq("upgrade", "state"))
+    val objectStore = objectStoreCommit.getOrElse(isObjectStore(outputRoot, conf))
+    val outObs = new Observation(s"etl_incr_out_${java.util.UUID.randomUUID()}")
+    val writer0 = aggregated
+      .observe(outObs, count(lit(1)).as("rows"))
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+    val writer =
+      if (objectStore) writer0
+      else writer0.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy("upgrade", "state").parquet(dataOut)
+
+    val processed: Set[String] = obs.get("paths") match {
+      case s: Seq[_] => s.map(p =>
+        p.toString
+          .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+          .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "")).toSet
+      case other => sys.error(s"unexpected observation payload: $other")
+    }
+    val missing = newFiles.filterNot(processed.contains).sorted
+    val drift = spec.declaredSchema match {
+      case Some(schema) => SchemaEnforce.detect(spark, newUris, schema)
+      case None => Nil
+    }
+    writeManifest(fs, manifestPath(outputRoot, runId, spec),
+      newFiles.filterNot(missing.contains))
+    Result(dataOut, metadataOut, Ledger.Report(
+      listed = newFiles.size,
+      processed = newFiles.size - missing.size,
+      bypassed = bypassed,
+      inputRows = obs.get("rows").asInstanceOf[Long],
+      outputRows = outObs.get("rows").asInstanceOf[Long],
+      discrepancies = missing,
+      schemaDrift = drift))
   }
 
   /** Run every job in a config (reference `main.py:64-108` fan-out; jobs are
