@@ -896,6 +896,32 @@ object Queries {
       .orderBy(col("k"), col("valid_from"))
   }
 
+  /** Q64 — positional explode (the UDTF/table-function class):
+    * posexplode attaches each token's ordinal, pinned against DuckDB's
+    * unnest + generate_subscripts. Ordinal fidelity is what separates a
+    * table function from a bag-producing flatten — and what x4's n-gram
+    * machinery depends on. */
+  val q64_posexplode: Q = (s, d) =>
+    t(s, d, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** Q65 — hopping (sliding) event-time windows: the streaming window
+    * class `window(ts, size, slide)` driven as a batch query — each event
+    * lands in size/slide overlapping windows. The oracle reproduces the
+    * epoch-aligned hop grid with generate_series + range join, so the
+    * window assignment semantics (half-open [start, start+size)) are
+    * pinned exactly. */
+  val q65_hopping_window: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val_sum"))
+      .select(col("window.start").as("win_start"), col("n"), col("val_sum"))
+      .orderBy(col("win_start"))
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -960,7 +986,9 @@ object Queries {
     "q60_sessionize" -> q60_sessionize,
     "q61_recursive_spine" -> q61_recursive_spine,
     "q62_upsert" -> q62_upsert,
-    "q63_scd2" -> q63_scd2)
+    "q63_scd2" -> q63_scd2,
+    "q64_posexplode" -> q64_posexplode,
+    "q65_hopping_window" -> q65_hopping_window)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1392,5 +1420,19 @@ object Queries {
         |    CAST(NULL AS TIMESTAMP)
         |  FROM ch WHERE ps AND (changed OR NOT ph))
         | ORDER BY k, valid_from""",
+    "q64_posexplode" ->
+      """SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos, tok FROM (
+        |  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+        |        FROM documents WHERE doc_id < 50))
+        | ORDER BY doc_id, pos""",
+    "q65_hopping_window" ->
+      """SELECT g.s AS win_start, COUNT(*) AS n,
+        |  ROUND(SUM(e.value), 2) AS val_sum
+        | FROM events e
+        | JOIN generate_series(TIMESTAMP '2023-12-31 23:00:00',
+        |    TIMESTAMP '2024-01-31 00:00:00', INTERVAL 1 HOUR) g(s)
+        |  ON e.ts >= g.s AND e.ts < g.s + INTERVAL 2 HOUR
+        | GROUP BY g.s ORDER BY g.s""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
