@@ -299,6 +299,18 @@ object ExtQueries {
     per.unionByName(all).orderBy(col("segment"))
   }
 
+  /** X8 — mergeable FREQUENCY sketches (Count-Min, the companion of the
+    * HLL cardinality rollup above): per-status sketches of o_custkey,
+    * cell-wise merged to "ALL", point estimates for three fixed keys.
+    * Tier B — merge exactness and error bounds are property-tested
+    * (FreqSpec); an exact oracle would mis-specify a probabilistic op. */
+  val x8_cms_merge: Q = (s, d) => {
+    val per = graft.ext.Freq.sketchPerGroup(
+      t(s, d, "orders"), "o_orderstatus", "o_custkey")
+    graft.ext.Freq.estimateRollup(s, per, Seq(1L, 7L, 42L))
+      .orderBy(col("segment"), col("item"))
+  }
+
   /** X4 — BM25 relevance ranking against a fixed term set: the full
     * tf/df/dl/avgdl pipeline, reproduced term-for-term by the oracle. */
   val x4_bm25: Q = (s, d) =>
@@ -445,7 +457,8 @@ object ExtQueries {
     "x8_stream_join" -> x8_stream_join,
     "x4_redact" -> x4_redact,
     "x4_pack" -> x4_pack,
-    "x4_bpe_tokens" -> x4_bpe_tokens)
+    "x4_bpe_tokens" -> x4_bpe_tokens,
+    "x8_cms_merge" -> x8_cms_merge)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */

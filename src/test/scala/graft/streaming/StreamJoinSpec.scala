@@ -59,23 +59,35 @@ class StreamJoinSpec extends SparkSpec {
 
   test("streaming left_outer emits unmatched rows once the watermark passes") {
     val dir = Files.createTempDirectory("graft_sjoin_lo").toString
-    // sentinels far in the future push BOTH watermarks past every
-    // real row's horizon so unmatched lefts are provably closed
-    val impsS = imps.unionByName(Seq((9L, ts("2024-06-03 00:00:00"), 999L))
-      .toDF("ad_id", "imp_ts", "imp_id"))
-    val clicksS = clicks.unionByName(Seq((9L, ts("2024-06-03 00:00:00"), 998L))
-      .toDF("ad_id", "click_ts", "click_id"))
-    impsS.write.parquet(s"$dir/imps")
-    clicksS.write.parquet(s"$dir/clicks")
-    val si = spark.readStream.schema(impsS.schema)
+    // STAGED arrival, not one load: watermark-advancing sentinels must
+    // reach the source only AFTER the real rows are in join state —
+    // inside a single backlog, maxFilesPerTrigger drains files in
+    // arbitrary order, and a sentinel processed first advances the
+    // watermark past the real rows, which are then dropped as late data
+    // (the operator working as specified, the test racing itself).
+    // The delay must also EXCEED the real data's time span: the real
+    // rows alone advance the watermark as their files drain, and with a
+    // short delay the drain order could still lateness-drop the earliest
+    // row — hence "1 day" against a 4-hour fixture.
+    imps.write.parquet(s"$dir/imps")
+    clicks.write.parquet(s"$dir/clicks")
+    val si = spark.readStream.schema(imps.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/imps")
-    val sc = spark.readStream.schema(clicksS.schema)
+    val sc = spark.readStream.schema(clicks.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/clicks")
     val q = StreamJoin.within(si, sc, "ad_id", "imp_ts", "click_ts",
-        watermark = "10 minutes", joinType = "left_outer")
+        watermark = "1 day", joinType = "left_outer")
       .select($"imp_id", $"click_id")
       .writeStream.outputMode("append")
       .format("memory").queryName("sjoin_lo_out").start()
+    q.processAllAvailable() // all real rows in state, watermark still at epoch
+    // sentinels push BOTH watermarks past every real row's horizon
+    Seq((9L, ts("2024-06-03 00:00:00"), 999L))
+      .toDF("ad_id", "imp_ts", "imp_id")
+      .write.mode("append").parquet(s"$dir/imps")
+    Seq((9L, ts("2024-06-03 00:00:00"), 998L))
+      .toDF("ad_id", "click_ts", "click_id")
+      .write.mode("append").parquet(s"$dir/clicks")
     q.processAllAvailable()
     // outer-join rows closed by the FINAL watermark advance are flushed
     // in the NEXT micro-batch — nudge one more batch through each side
