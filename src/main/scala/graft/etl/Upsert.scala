@@ -36,4 +36,25 @@ object Upsert {
       .join(changes.select(keyCols: _*).distinct(), keys, "left_anti")
       .unionByName(changes)
   }
+
+  /** Version-guarded upsert: a change replaces the base row ONLY when its
+    * `versionCol` is ≥ the base row's — stale deltas lose, equal versions
+    * re-apply idempotently. This is what makes folding a change stream
+    * correct under OUT-OF-ORDER delivery (micro-batch order and version
+    * order need not agree); the plain [[upsert]] is last-batch-wins.
+    *
+    * Plan shape: one extra NARROW pass over the base (keys + version
+    * only) to adjudicate, then the same anti-join + union — the wide base
+    * rows are still touched exactly once. */
+  def upsertVersioned(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val baseKV = base.select((keys :+ versionCol).map(c => col(s"`$c`")): _*)
+    val accepted = changes.alias("c")
+      .join(baseKV.alias("b"), keys, "left")
+      .filter(col(s"b.`$versionCol`").isNull ||
+        col(s"c.`$versionCol`") >= col(s"b.`$versionCol`"))
+      .select(changes.columns.map(c => col(s"c.`$c`")): _*)
+    upsert(base, accepted, keys)
+  }
 }

@@ -54,18 +54,19 @@ object Quantiles {
 
   /** @param specs (valueCol, p, outputName) triples; p in [0,1].
     * @param bucketBits prefix bits of the sort-ordered value used as the
-    *   bucket id. 20 bits ≈ 256 buckets per binade — selection keeps
-    *   ~0.4% of a smoothly-distributed group per target; lower it if the
-    *   occupied-bucket relation (groups × columns × occupied) must shrink.
-    *   Measured insensitive between 12 and 20 bits at the 10× bench scale
-    *   (QuantProbe: 1.6–1.8 s flat, degrading below 10 bits as selection
-    *   survivors grow) — the cost is the two melted input scans, which is
-    *   the intended scale shape, not the bucket relation.
+    *   bucket id. Fewer bits → coarser buckets → cheaper pass-1 partial
+    *   aggregation (fewer distinct (group, col, bucket) keys) but more
+    *   selection survivors; with the bucket-range prefilter making pass 2
+    *   nearly free, the optimum moved DOWN from the original 20:
+    *   QuantProbe at 10× bench scale measures 14 bits fastest (1.14 s vs
+    *   1.34 s at 20, 1.45 s at 12 where survivor growth takes over).
+    *   Near-unique continuous columns are what make pass 1 sensitive —
+    *   integer-like columns occupy few buckets at any setting.
     * @return one row per group: groupCol plus one double column per spec. */
   def exactQuantiles(
       df: DataFrame, groupCol: String,
       specs: Seq[(String, Double, String)],
-      bucketBits: Int = 20): DataFrame = {
+      bucketBits: Int = 14): DataFrame = {
     require(specs.nonEmpty, "at least one (column, p, name) spec")
     require(specs.forall { case (_, p, _) => p >= 0.0 && p <= 1.0 },
       s"quantile points must be in [0,1]: ${specs.map(_._2)}")
@@ -114,14 +115,53 @@ object Quantiles {
       .filter(targetRank.reduce(_ || _))
       .select(col("__g"), col("__t"), col("__b"), col("__off"), col("__n"))
 
+    // Materialize pass 1's TINY outputs on the driver in ONE action (the
+    // bucketCounts exchange is computed once and reused within it): the
+    // needed spans AND the distinct group list. Size is O(specs × groups)
+    // — exactly the bound the broadcast join below already imposed; this
+    // just makes it explicit, and it buys the selection scan a literal
+    // bucket-RANGE prefilter. (Eager at call time — same precedent as
+    // Dedup's checkpointed sketch; for a lazy plan use the join without
+    // the prefilter.) The per-tag [min,max] bucket window rejects
+    // non-candidate rows with two literal comparisons BEFORE the hash
+    // probe: measured 1078 → 278 ms on the 10× selection stage, because
+    // a BHJ probe pays ~40 ns/row even on misses while the range test is
+    // branch-predictable arithmetic.
+    val spark = df.sparkSession
+    val gType = df.select(col(s"`$groupCol`")).schema.head.dataType
+    val kindTag = java.lang.Integer.valueOf(-1)
+    val combined = needed
+      .select(col("__g"), col("__t"), col("__b"), col("__off"), col("__n"))
+      .unionByName(bucketCounts.select(col("__g")).distinct()
+        .select(col("__g"), lit(kindTag).as("__t"), lit(null).cast("long").as("__b"),
+          lit(null).cast("long").as("__off"), lit(null).cast("long").as("__n")))
+      .collect()
+    val (groupRows, neededRows) = combined.partition(_.getInt(1) == -1)
+    val neededSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__g", gType),
+      org.apache.spark.sql.types.StructField("__t", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("__b", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__off", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__n", org.apache.spark.sql.types.LongType)))
+    import scala.jdk.CollectionConverters._
+    val neededLocal = spark.createDataFrame(neededRows.toSeq.asJava, neededSchema)
+    val prefilter: Column = neededRows.toSeq
+      .groupBy(_.getInt(1))
+      .map { case (t, rows) =>
+        val bs = rows.map(_.getLong(2))
+        col("__t") === t && col("__b").between(bs.min, bs.max)
+      }
+      .reduceOption(_ || _).getOrElse(lit(false))
+
     // (2) selection: only rows in target buckets survive, then exact
     // ranks for their distinct values — bucket offset + cumulative count
     // over the tiny survivor relation. The join is broadcast; <=> keeps
     // NULL group keys (a legal SQL group).
     val meltedNN = melt(df).filter(col("__v").isNotNull)
       .select(col("__g"), col("__t"), col("__v"), bucketId(col("__v")).as("__b"))
+      .filter(prefilter)
       .as("__s")
-    val neededA = needed.as("__nd")
+    val neededA = neededLocal.as("__nd")
     val survivors = meltedNN
       .join(broadcast(neededA),
         col("__s.__g") <=> col("__nd.__g")
@@ -175,9 +215,13 @@ object Quantiles {
 
     // null-safe (<=>) restore join: SQL GROUP BY treats NULL as a real
     // group, so a NULL group key must pick up its computed quantiles, not
-    // fall out of a null-rejecting equi-join. Aliased explicitly — both
-    // sides share the bucket-relation lineage (self-join).
-    val groups = bucketCounts.select(col("__g")).distinct().as("__groups")
+    // fall out of a null-rejecting equi-join. The group list comes from
+    // the pass-1 collect above (it includes all-null-value groups, which
+    // `needed` by design does not), so the final plan re-reads nothing.
+    val groups = spark.createDataFrame(
+      groupRows.map(r => org.apache.spark.sql.Row(r.get(0))).toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__g", gType)))).as("__groups")
     val quantA = quantiled.as("__quant")
     groups
       .join(quantA, col("__groups.__g") <=> col("__quant.__g"), "left")

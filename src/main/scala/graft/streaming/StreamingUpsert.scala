@@ -25,10 +25,13 @@ import graft.etl.Upsert
   *  - old versions stay until [[vacuum]] — time travel for free, exactly
   *    the manifest-pointer scheme table formats use, scaled down.
   *
-  * Within a batch, multiple changes to one key resolve by HIGHEST
-  * `versionCol` (ties broken arbitrarily among equal versions — give
-  * versions a total order per key upstream if that matters). Across
-  * batches, later batches win by construction.
+  * Versions, not batch order, decide every conflict: within a batch the
+  * highest `versionCol` per key survives, and across batches the apply
+  * is VERSION-GUARDED ([[graft.etl.Upsert.upsertVersioned]]) — a change
+  * replaces the snapshot row only when its version is ≥ the stored one.
+  * Micro-batch boundaries are a delivery artifact (file pickup order is
+  * arbitrary), so convergence must not depend on them: any arrival order
+  * of the same change set folds to the same snapshot.
   *
   * Scale: the snapshot rewrite per batch is the honest cost of keyed
   * mutation over immutable parquet (every table format pays it as
@@ -70,7 +73,7 @@ object StreamingUpsert {
       .filter(col("__rn") === 1)
       .drop("__rn")
     val next = currentSnapshot(spark, dir) match {
-      case Some(cur) => Upsert.upsert(cur, latest, keys)
+      case Some(cur) => Upsert.upsertVersioned(cur, latest, keys, versionCol)
       case None => latest
     }
     val vdir = s"$dir/v=$batchId"
