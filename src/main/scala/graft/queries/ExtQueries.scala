@@ -299,6 +299,35 @@ object ExtQueries {
     per.unionByName(all).orderBy(col("segment"))
   }
 
+  /** X9 — Z-order layout effectiveness, measured as a query (Tier B):
+    * write events z-ordered on (user_id, value) into 16 files, then
+    * report, for a probe covering 1/8 of each dimension's DATA MASS
+    * (quantile bounds, not value bounds — a value-range probe into a
+    * skewed tail legitimately selects most rows, which measures the
+    * probe, not the layout), how many files' min/max stats overlap it.
+    * Deterministic: fixed data, file count, probes. Both dimensions
+    * should prune most files — what a single-column sort cannot do. */
+  val x9_zorder: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_q").toString
+    val ev = t(s, d, "events").select(
+      col("user_id").cast("double").as("u"), col("value").as("v"))
+    graft.sources.ZOrder.writeZOrdered(ev, Seq("u", "v"), dir, numFiles = 16)
+    val Array(ulo, uhi) = ev.stat.approxQuantile("u", Array(0.25, 0.375), 0.001)
+    val Array(vlo, vhi) = ev.stat.approxQuantile("v", Array(0.25, 0.375), 0.001)
+    val stats = s.read.parquet(dir)
+      .withColumn("__f", col("_metadata.file_path"))
+      .groupBy("__f")
+      .agg(min(col("u")).as("ulo"), max(col("u")).as("uhi"),
+        min(col("v")).as("vlo"), max(col("v")).as("vhi"))
+    def overlap(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+        plo: Double, phi: Double): org.apache.spark.sql.Column =
+      sum(when(lo <= phi && hi >= plo, 1L).otherwise(0L))
+    stats.agg(
+        count(lit(1)).as("files"),
+        overlap(col("ulo"), col("uhi"), ulo, uhi).as("files_hit_u_probe"),
+        overlap(col("vlo"), col("vhi"), vlo, vhi).as("files_hit_v_probe"))
+  }
+
   /** X8 — mergeable FREQUENCY sketches (Count-Min, the companion of the
     * HLL cardinality rollup above): per-status sketches of o_custkey,
     * cell-wise merged to "ALL", point estimates for three fixed keys.
@@ -458,7 +487,8 @@ object ExtQueries {
     "x4_redact" -> x4_redact,
     "x4_pack" -> x4_pack,
     "x4_bpe_tokens" -> x4_bpe_tokens,
-    "x8_cms_merge" -> x8_cms_merge)
+    "x8_cms_merge" -> x8_cms_merge,
+    "x9_zorder" -> x9_zorder)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
