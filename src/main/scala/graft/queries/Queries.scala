@@ -922,6 +922,22 @@ object Queries {
       .select(col("window.start").as("win_start"), col("n"), col("val_sum"))
       .orderBy(col("win_start"))
 
+  /** Q66 — declarative data-quality constraints via [[graft.ext.Checks]]:
+    * one report row per constraint with its exact violation count. The
+    * range check is chosen to FAIL on real rows (totalprice caps at
+    * ~600k), so the pass/violation split is exercised, not just zeros;
+    * the oracle recomputes every count independently in SQL. */
+  val q66_quality: Q = (s, d) => {
+    import graft.ext.Checks._
+    validate(t(s, d, "orders"), Seq(
+      NotNull("o_custkey"),
+      InRange("o_totalprice", 0.0, 300000.0),
+      Satisfies("o_status_domain",
+        col("o_orderstatus").isin("O", "F", "P")),
+      Unique(Seq("o_orderkey")),
+      RefIntegrity(Seq("o_custkey"), t(s, d, "customer"), Seq("c_custkey"))))
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -988,7 +1004,8 @@ object Queries {
     "q62_upsert" -> q62_upsert,
     "q63_scd2" -> q63_scd2,
     "q64_posexplode" -> q64_posexplode,
-    "q65_hopping_window" -> q65_hopping_window)
+    "q65_hopping_window" -> q65_hopping_window,
+    "q66_quality" -> q66_quality)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1434,5 +1451,26 @@ object Queries {
         |    TIMESTAMP '2024-01-31 00:00:00', INTERVAL 1 HOUR) g(s)
         |  ON e.ts >= g.s AND e.ts < g.s + INTERVAL 2 HOUR
         | GROUP BY g.s ORDER BY g.s""",
+    "q66_quality" ->
+      """SELECT 'o_custkey_not_null' AS "check",
+        |  CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+        |    AS violations FROM orders
+        | UNION ALL
+        | SELECT 'o_custkey_ref', CAST((SELECT COUNT(*) FROM orders o
+        |   LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |   WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT)
+        | UNION ALL
+        | SELECT 'o_orderkey_unique',
+        |  CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        |    AS BIGINT)
+        | UNION ALL
+        | SELECT 'o_status_domain',
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+        |    OR o_orderstatus NOT IN ('O','F','P')) AS BIGINT) FROM orders
+        | UNION ALL
+        | SELECT 'o_totalprice_range',
+        |  CAST(COUNT(*) FILTER (WHERE o_totalprice < 0
+        |    OR o_totalprice > 300000) AS BIGINT) FROM orders
+        | ORDER BY "check"""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
