@@ -299,6 +299,23 @@ object ExtQueries {
     per.unionByName(all).orderBy(col("segment"))
   }
 
+  /** X2 — edit-distance fuzzy join, oracle-checked: customer names (an
+    * SF-stable id<1000 slice) plus planted substitution and deletion
+    * typos; all Levenshtein≤1 pairs via deletion-neighborhood blocking
+    * ([[FuzzyJoin]]). The oracle brute-forces every pair, so blocking
+    * COMPLETENESS is verified, not just precision. */
+  val x2_fuzzy_join: Q = (s, d) => {
+    val base = t(s, d, "customer").filter(col("c_custkey") < 1000)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val typos = base.filter(col("id") % 7 === 0)
+      .select((col("id") + 1000000L).as("id"),
+        concat(lit("X"), expr("substr(s, 2)")).as("s"))
+      .unionByName(base.filter(col("id") % 11 === 0)
+        .select((col("id") + 2000000L).as("id"), expr("substr(s, 2)").as("s")))
+    graft.ext.FuzzyJoin.editDistanceJoin(base.unionByName(typos), "id", "s")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** X9 — Z-order layout effectiveness, measured as a query (Tier B):
     * write events z-ordered on (user_id, value) into 16 files, then
     * report, for a probe covering 1/8 of each dimension's DATA MASS
@@ -488,7 +505,8 @@ object ExtQueries {
     "x4_pack" -> x4_pack,
     "x4_bpe_tokens" -> x4_bpe_tokens,
     "x8_cms_merge" -> x8_cms_merge,
-    "x9_zorder" -> x9_zorder)
+    "x9_zorder" -> x9_zorder,
+    "x2_fuzzy_join" -> x2_fuzzy_join)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -637,6 +655,22 @@ object ExtQueries {
         | SELECT lang, CAST(floor(off / 1000) AS BIGINT) AS pack,
         |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
         | FROM o GROUP BY lang, pack ORDER BY lang, pack""",
+    // Brute-force all-pairs oracle: completeness of the engine's
+    // deletion-neighborhood blocking is what this pins.
+    "x2_fuzzy_join" ->
+      """WITH base AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |   WHERE c_custkey < 1000),
+        | typos AS (
+        |  SELECT id + 1000000 AS id, 'X' || substr(s, 2) AS s
+        |  FROM base WHERE id % 7 = 0
+        |  UNION ALL
+        |  SELECT id + 2000000, substr(s, 2) FROM base WHERE id % 11 = 0),
+        | u AS (SELECT * FROM base UNION ALL SELECT * FROM typos)
+        | SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        | FROM u a JOIN u b ON a.id < b.id
+        | WHERE levenshtein(a.s, b.s) <= 1
+        | ORDER BY id_a, id_b""",
     "x8_stream_join" ->
       """SELECT a.event_id AS imp_id, b.event_id AS click_id
         | FROM events a JOIN events b ON a.user_id = b.user_id

@@ -938,6 +938,23 @@ object Queries {
       RefIntegrity(Seq("o_custkey"), t(s, d, "customer"), Seq("c_custkey"))))
   }
 
+  /** Q67 — deterministic MODE per group: most frequent value with ties
+    * broken by smallest value (builtin `mode()` leaves tie order
+    * engine-defined — unusable against an oracle; the count-then-argmin
+    * formulation pins it, and is also the shuffle-by-value plan that
+    * scales where a per-group value map does not). */
+  val q67_mode: Q = (s, d) => {
+    val counts = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag").as("g"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("mx", max(col("cnt")).over(Window.partitionBy(col("g"))))
+      .groupBy(col("g"), col("mx"))
+      .agg(round(min(when(col("cnt") === col("mx"), col("v"))), 2).as("mode_v"))
+      .select(col("g"), col("mode_v"), col("mx").cast("long").as("mode_n"))
+      .orderBy(col("g"))
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -1005,7 +1022,8 @@ object Queries {
     "q63_scd2" -> q63_scd2,
     "q64_posexplode" -> q64_posexplode,
     "q65_hopping_window" -> q65_hopping_window,
-    "q66_quality" -> q66_quality)
+    "q66_quality" -> q66_quality,
+    "q67_mode" -> q67_mode)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1472,5 +1490,12 @@ object Queries {
         |  CAST(COUNT(*) FILTER (WHERE o_totalprice < 0
         |    OR o_totalprice > 300000) AS BIGINT) FROM orders
         | ORDER BY "check"""",
+    "q67_mode" ->
+      """WITH c AS (SELECT l_returnflag AS g, l_quantity AS v, COUNT(*) AS cnt
+        |   FROM lineitem GROUP BY l_returnflag, l_quantity),
+        | m AS (SELECT g, v, cnt, MAX(cnt) OVER (PARTITION BY g) AS mx FROM c)
+        | SELECT g, ROUND(MIN(CASE WHEN cnt = mx THEN v END), 2) AS mode_v,
+        |  CAST(mx AS BIGINT) AS mode_n
+        | FROM m GROUP BY g, mx ORDER BY g""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
