@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyed diff of two table versions: which rows were ADDED, REMOVED, or
+  * CHANGED between snapshots — the audit face of the incremental family
+  * ([[Upsert]] applies deltas, [[Scd2]] records history, this one
+  * explains what a run DID; the reference's ledger answers the same
+  * question one level down, at file granularity).
+  *
+  * Scale shape: rows are compared by a 64-bit content hash of their
+  * non-key columns, so the join shuffles (key, hash) — ~16 bytes/row —
+  * never the wide rows themselves. The hash is
+  * `xxhash64(non-key columns...)`: collisions (~2⁻⁶⁴ per key) can only
+  * mask a change, and the exactness-critical consumers (tests, the
+  * oracle query) pass `exact = true` to compare null-safe structs
+  * instead. Presence is tracked with synthetic flags so NULL keys and
+  * all-NULL rows never masquerade as absence.
+  */
+object SnapshotDiff {
+
+  /** One row per differing key: (keys..., change ∈ added|removed|changed).
+    * Unchanged keys produce nothing. */
+  def diff(before: DataFrame, after: DataFrame, keys: Seq[String],
+      exact: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val attrCols = before.columns.filterNot(keys.contains)
+    require(after.columns.filterNot(keys.contains).sorted.sameElements(attrCols.sorted),
+      "snapshots must share the same non-key columns")
+    def content(prefix: String): Column =
+      if (exact) struct(attrCols.map(c => col(s"$prefix.`$c`")): _*)
+      else xxhash64(attrCols.map(c => col(s"$prefix.`$c`")): _*)
+    val b = before.withColumn("__b", lit(1)).alias("b")
+    val a = after.withColumn("__a", lit(1)).alias("a")
+    b.join(a, keys.map(k => col(s"b.`$k`") <=> col(s"a.`$k`")).reduce(_ && _),
+        "full_outer")
+      .withColumn("change",
+        when(col("__b").isNull, lit("added"))
+          .when(col("__a").isNull, lit("removed"))
+          .when(!(content("b") <=> content("a")), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(k => coalesce(col(s"b.`$k`"), col(s"a.`$k`")).as(k))
+        :+ col("change"): _*)
+  }
+
+  /** Summary counts: (change, n) for added/removed/changed. */
+  def summary(before: DataFrame, after: DataFrame, keys: Seq[String],
+      exact: Boolean = false): DataFrame =
+    diff(before, after, keys, exact)
+      .groupBy(col("change")).agg(count(lit(1)).as("n"))
+      .orderBy(col("change"))
+}

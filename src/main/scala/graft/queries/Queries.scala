@@ -955,6 +955,27 @@ object Queries {
       .orderBy(col("g"))
   }
 
+  /** Q68 — snapshot diff via [[graft.etl.SnapshotDiff]]: the audit face
+    * of the incremental family — q62's upsert result diffed against the
+    * original orders must report EXACTLY the change set that was applied
+    * (every %10=3 key changed, every insert added, nothing removed).
+    * Exact struct comparison here so the oracle is airtight; production
+    * runs use the (key, hash) shuffle — see the operator scaladoc. */
+  val q68_snapshot_diff: Q = (s, d) => {
+    val o = t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = o.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = o.filter(col("o_orderkey") % 100 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    val after = graft.etl.Upsert.upsert(
+      o, updates.unionByName(inserts), Seq("o_orderkey"))
+    graft.etl.SnapshotDiff.diff(o, after, Seq("o_orderkey"), exact = true)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -1023,7 +1044,8 @@ object Queries {
     "q64_posexplode" -> q64_posexplode,
     "q65_hopping_window" -> q65_hopping_window,
     "q66_quality" -> q66_quality,
-    "q67_mode" -> q67_mode)
+    "q67_mode" -> q67_mode,
+    "q68_snapshot_diff" -> q68_snapshot_diff)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1497,5 +1519,34 @@ object Queries {
         | SELECT g, ROUND(MIN(CASE WHEN cnt = mx THEN v END), 2) AS mode_v,
         |  CAST(mx AS BIGINT) AS mode_n
         | FROM m GROUP BY g, mx ORDER BY g""",
+    "q68_snapshot_diff" ->
+      """WITH before AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |   o_totalprice FROM orders),
+        | changes AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 7),
+        | after AS (
+        |  SELECT * FROM before
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        |  UNION ALL SELECT * FROM changes)
+        | SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |       WHEN a.o_orderkey IS NULL THEN 'removed'
+        |       WHEN b.o_custkey IS DISTINCT FROM a.o_custkey
+        |         OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+        |         OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |         THEN 'changed' END AS change
+        | FROM before b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+        | WHERE CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |       WHEN a.o_orderkey IS NULL THEN 'removed'
+        |       WHEN b.o_custkey IS DISTINCT FROM a.o_custkey
+        |         OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+        |         OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |         THEN 'changed' END IS NOT NULL
+        | ORDER BY o_orderkey""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
