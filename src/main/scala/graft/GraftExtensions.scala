@@ -53,5 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("top_k_by",
         "top_k_by(score, id, k) - aggregate: k best (id, score) pairs, best first"),
       (es: Seq[Expression]) => TopKByScore(es(0), es(1), es(2))))
+    e.injectFunction((
+      FunctionIdentifier("double_sort_bits"),
+      info("double_sort_bits",
+        "double_sort_bits(x) - bigint whose signed order equals the double's value order"),
+      (es: Seq[Expression]) => graft.functions.DoubleSortBits(es(0))))
+    e.injectFunction((
+      FunctionIdentifier("jaccard_sorted"),
+      info("jaccard_sorted",
+        "jaccard_sorted(a, b) - exact Jaccard of two SORTED array<bigint> hash sets"),
+      (es: Seq[Expression]) => graft.functions.JaccardSorted(es(0), es(1))))
   }
 }

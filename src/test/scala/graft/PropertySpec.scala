@@ -204,6 +204,15 @@ class ExtensionsSpec extends SparkSpec {
       assert(r.getInt(3) === 16)
     }
     locally {
+      val r = spark.sql(
+        """SELECT double_sort_bits(CAST(-1.5 AS DOUBLE)) < double_sort_bits(CAST(2.5 AS DOUBLE)) AS ord,
+          |       jaccard_sorted(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+          |                      array(CAST(2 AS BIGINT), CAST(3 AS BIGINT))) AS j
+          |""".stripMargin).collect().head
+      assert(r.getBoolean(0))
+      assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-12)
+    }
+    locally {
       // top_centroids: vec aligned with centroid 1, orthogonal to centroid 0
       val r = spark.sql(
         """SELECT top_centroids(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),

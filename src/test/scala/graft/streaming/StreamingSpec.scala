@@ -41,6 +41,52 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+class HoppingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hopping windows equal the batch face (q65's operator)") {
+    val dir = Files.createTempDirectory("graft_hop").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = (0 until 48).map(i =>
+      (new Timestamp(ts("2024-05-01 00:00:00").getTime + i * 17 * 60 * 1000L),
+        (i % 5).toDouble))
+    val df = rows.toDF("ts", "v")
+    df.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      // delay wider than the fixture's ~14 h span, and the sentinel is
+      // STAGED after the real backlog drains: files drain in arbitrary
+      // order inside one backlog, so a co-loaded sentinel can advance the
+      // watermark mid-drain and lateness-drop everything after it (same
+      // determinism rules as StreamJoinSpec)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("window.start").as("w"), col("n"), col("sv"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("hop_out").start()
+    q.processAllAvailable() // real rows in state, watermark below them all
+    Seq((ts("2024-05-03 00:00:00"), 0.0)).toDF("ts", "v")
+      .write.mode("append").parquet(dir) // sentinel closes every window
+    q.processAllAvailable()
+    q.stop()
+
+    val sentinelWindows = Set(ts("2024-05-02 23:00:00"), ts("2024-05-03 00:00:00"))
+    val streamed = spark.table("hop_out")
+      .filter(!col("w").isin(sentinelWindows.toSeq: _*))
+      .orderBy("w").as[(Timestamp, Long, Double)].collect().toSeq
+    val batch = df
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("window.start").as("w"), col("n"), col("sv"))
+      .orderBy("w").as[(Timestamp, Long, Double)].collect().toSeq
+    assert(streamed === batch)
+    // every non-edge event lands in exactly size/slide = 2 windows
+    assert(batch.map(_._2).sum === 2L * 48)
+  }
+}
+
 class StreamingParquetSinkSpec extends SparkSpec {
   import spark.implicits._
 
