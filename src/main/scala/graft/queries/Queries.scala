@@ -976,6 +976,21 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Q69 — error-safe casting (TRY_CAST three ways: succeeds, always
+    * fails, mixed per row): the ingestion-hardening semantics — a
+    * malformed value must become NULL, never a thrown task (ANSI mode's
+    * throwing CAST is the wrong tool inside a 100 TB pipeline). */
+  val q69_try_cast: Q = (s, d) =>
+    t(s, d, "events")
+      .filter(col("event_id") <= 300)
+      .select(
+        col("event_id"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k_int"),
+        expr("try_cast(event_type AS BIGINT)").as("et_int"),
+        expr("""try_cast(CASE WHEN event_id % 3 = 0 THEN 'n/a'
+                ELSE CAST(event_id AS STRING) END AS BIGINT)""").as("mixed"))
+      .orderBy(col("event_id"))
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -1045,7 +1060,8 @@ object Queries {
     "q65_hopping_window" -> q65_hopping_window,
     "q66_quality" -> q66_quality,
     "q67_mode" -> q67_mode,
-    "q68_snapshot_diff" -> q68_snapshot_diff)
+    "q68_snapshot_diff" -> q68_snapshot_diff,
+    "q69_try_cast" -> q69_try_cast)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1548,5 +1564,12 @@ object Queries {
         |         OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
         |         THEN 'changed' END IS NOT NULL
         | ORDER BY o_orderkey""",
+    "q69_try_cast" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |  TRY_CAST(event_type AS BIGINT) AS et_int,
+        |  TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'n/a'
+        |    ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS mixed
+        | FROM events WHERE event_id <= 300 ORDER BY event_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

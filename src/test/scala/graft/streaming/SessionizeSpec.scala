@@ -36,10 +36,12 @@ class SessionizeSpec extends SparkSpec {
 
   test("streaming sessionization equals batch on bounded input") {
     val dir = Files.createTempDirectory("graft_sessions").toString
-    // sentinel far in the future advances the watermark past all sessions
+    // sentinel far in the future advances the watermark past all sessions;
+    // ONE part file so the sentinel cannot drain before the real rows and
+    // lateness-drop them (see StreamingSpec's determinism note)
     val withSentinel = events.unionByName(
       Seq((99L, ts("2024-06-02 12:00:00"), 0.0)).toDF("user_id", "ts", "value"))
-    withSentinel.write.parquet(s"$dir/data")
+    withSentinel.coalesce(1).write.parquet(s"$dir/data")
     val stream = spark.readStream
       .schema(withSentinel.schema)
       .option("maxFilesPerTrigger", 1)

@@ -18,10 +18,13 @@ class StreamingSpec extends SparkSpec {
       yield (new Timestamp(ts("2024-05-01 00:00:00").getTime + q * 15 * 60 * 1000L),
         b, (b * 10 + q % 4).toDouble)
     // sentinel far in the future: advances the watermark past every real
-    // window so append mode emits them all on bounded input
+    // window so append mode emits them all on bounded input. ONE part
+    // file on purpose: co-loaded with real rows across several files,
+    // the sentinel could drain first and lateness-drop everything after
+    // it (watermark moves at batch end; a single file = a single batch).
     val all = rows :+ ((ts("2024-05-02 12:00:00"), 99L, 0.0))
     val df = all.toDF("timestamp", "bldg_id", "m")
-    df.write.mode("overwrite").parquet(dir)
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
 
     val stream = StreamingHourly.query(
       spark, dir, df.schema, measureCols = Seq("m"), watermark = "2 hours")
