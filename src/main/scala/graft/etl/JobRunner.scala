@@ -101,15 +101,7 @@ object JobRunner {
     // the default one. The ledger compares in scheme-stripped form (see
     // step 6) because _metadata.file_path and listings render schemes
     // differently.
-    val listedUris: Seq[String] = partDirs.flatMap { dir =>
-      val it = fs.listFiles(new Path(dir), true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
-      }
-      buf
-    }
+    val listedUris: Seq[String] = listParquet(fs, partDirs)
     val listedFiles: Seq[String] = listedUris.map(u => new Path(u).toUri.getPath)
 
     // -- 2. Scan (S2/S3). ignoreCorruptFiles reproduces the reference's
@@ -189,10 +181,7 @@ object JobRunner {
     //    normalize: strip scheme://authority first, then bare scheme:
     //    (local file: paths have no authority).
     val processed: Set[String] = obs.get("paths") match {
-      case s: Seq[_] => s.map(p =>
-        p.toString
-          .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
-          .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "")).toSet
+      case s: Seq[_] => s.map(p => stripScheme(p.toString)).toSet
       case other => sys.error(s"unexpected observation payload: $other")
     }
     val missing = listedFiles.filterNot(processed.contains).sorted
@@ -217,7 +206,7 @@ object JobRunner {
     //    runs can subtract them (the ledger driving SCHEDULING, not just
     //    reporting — see runIncremental). Driver-side write; file-count
     //    sized, same memory class as the listing itself.
-    writeManifest(fs, manifestPath(outputRoot, runId, spec),
+    writeManifest(conf, manifestPath(outputRoot, runId, spec),
       listedFiles.filterNot(missing.contains))
 
     Result(dataOut, metadataOut, report)
@@ -226,11 +215,35 @@ object JobRunner {
   private def manifestPath(outputRoot: String, runId: String, spec: JobSpec): Path =
     new Path(s"$outputRoot/$runId/manifest/${jobDir(spec)}/processed.txt")
 
-  private def writeManifest(fs: FileSystem, path: Path, files: Seq[String]): Unit = {
+  /** The manifest lives under OUTPUTROOT — resolve its own filesystem,
+    * never the source's (srcRoot=s3a:// + outputRoot=hdfs:// would
+    * otherwise crash, and a scheme-less outputRoot would silently write
+    * the manifest where processedSoFar never looks). */
+  private def writeManifest(conf: org.apache.hadoop.conf.Configuration,
+      path: Path, files: Seq[String]): Unit = {
+    val fs = path.getFileSystem(conf)
     val out = fs.create(path, true)
     try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** Recursive .parquet listing of the given dirs (full URIs). */
+  private def listParquet(fs: FileSystem, dirs: Seq[String]): Seq[String] =
+    dirs.flatMap { dir =>
+      val it = fs.listFiles(new Path(dir), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+      }
+      buf
+    }
+
+  /** _metadata.file_path renders full URIs while listings use
+    * toUri.getPath — normalize to the scheme-stripped form. */
+  private def stripScheme(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+      .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
 
   /** Union of every prior run's processed files for this job (any runId
     * under `outputRoot`). Scheme-stripped paths, matching the ledger's
@@ -275,15 +288,7 @@ object JobRunner {
     val fs = new Path(spec.srcRoot).getFileSystem(conf)
     val partDirs = spec.upgrades.map(u => s"${spec.srcRoot}/upgrade=$u/state=${spec.state}")
       .filter(p => fs.exists(new Path(p)))
-    val listedUris: Seq[String] = partDirs.flatMap { dir =>
-      val it = fs.listFiles(new Path(dir), true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
-      }
-      buf
-    }
+    val listedUris: Seq[String] = listParquet(fs, partDirs)
     val prior = processedSoFar(spark, outputRoot, spec)
     val newUris = listedUris.filterNot(u => prior.contains(new Path(u).toUri.getPath))
     val metadataOut = s"$outputRoot/$runId/metadata/${jobDir(spec)}"
@@ -329,10 +334,7 @@ object JobRunner {
     writer.partitionBy("upgrade", "state").parquet(dataOut)
 
     val processed: Set[String] = obs.get("paths") match {
-      case s: Seq[_] => s.map(p =>
-        p.toString
-          .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
-          .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "")).toSet
+      case s: Seq[_] => s.map(p => stripScheme(p.toString)).toSet
       case other => sys.error(s"unexpected observation payload: $other")
     }
     val missing = newFiles.filterNot(processed.contains).sorted
@@ -340,7 +342,7 @@ object JobRunner {
       case Some(schema) => SchemaEnforce.detect(spark, newUris, schema)
       case None => Nil
     }
-    writeManifest(fs, manifestPath(outputRoot, runId, spec),
+    writeManifest(conf, manifestPath(outputRoot, runId, spec),
       newFiles.filterNot(missing.contains))
     Result(dataOut, metadataOut, Ledger.Report(
       listed = newFiles.size,

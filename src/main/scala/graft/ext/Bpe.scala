@@ -39,7 +39,8 @@ object Bpe {
   /** Lowercased pre-tokens of one string (driver-side mirror of the
     * expression's inner pre-tokenizer). */
   def pretokens(text: String): Seq[String] = {
-    val m = pretokPattern.matcher(text.toLowerCase)
+    // Locale.ROOT — see the kernel's note: locale-independent lowercasing
+    val m = pretokPattern.matcher(text.toLowerCase(java.util.Locale.ROOT))
     val out = Seq.newBuilder[String]
     while (m.find()) out += m.group()
     out.result()

@@ -49,7 +49,8 @@ object Freq {
       items: Seq[Long]): DataFrame = {
     import spark.implicits._
     val rows: Seq[(String, Array[Byte])] = perGroup.collect().toSeq.map {
-      r => (r.get(0).toString, r.getAs[Array[Byte]]("sketch"))
+      // String.valueOf: NULL is a legal SQL group and must not NPE
+      r => (String.valueOf(r.get(0)), r.getAs[Array[Byte]]("sketch"))
     }
     val all = ("ALL", merge(rows.map(_._2)))
     val est = (rows.map { case (g, b) => (g, read(b)) } :+ all).flatMap {

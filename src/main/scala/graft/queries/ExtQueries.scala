@@ -339,10 +339,25 @@ object ExtQueries {
     def overlap(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
         plo: Double, phi: Double): org.apache.spark.sql.Column =
       sum(when(lo <= phi && hi >= plo, 1L).otherwise(0L))
-    stats.agg(
+    val report = stats.agg(
         count(lit(1)).as("files"),
         overlap(col("ulo"), col("uhi"), ulo, uhi).as("files_hit_u_probe"),
         overlap(col("vlo"), col("vhi"), vlo, vhi).as("files_hit_v_probe"))
+      .collect().toSeq
+    // the written layout was only scaffolding for the stats — remove it
+    // (repeated bench/verify passes must not leak temp trees), and return
+    // the one-row report as a local relation
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(report).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("files",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("files_hit_u_probe",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("files_hit_v_probe",
+          org.apache.spark.sql.types.LongType))))
   }
 
   /** X8 — mergeable FREQUENCY sketches (Count-Min, the companion of the

@@ -118,9 +118,11 @@ object ZOrder {
       "equi-depth z-order: bitsPerDim in [1,12] (comparison tree size is 2^bits)")
     val n = (1 << bitsPerDim) - 1
     val probs = (1 to n).map(_.toDouble / (n + 1)).toArray
-    val keys = zCols.map { zc =>
-      val bounds = df.stat.approxQuantile(zc, probs, 0.001).toVector
-      equiDepthKey(col(s"`$zc`").cast("double"), bounds)
+    // the multi-column overload computes every dimension's boundaries in
+    // ONE scan — the per-column form would pay a full pass per dimension
+    val allBounds = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
+    val keys = zCols.zip(allBounds).map { case (zc, bounds) =>
+      equiDepthKey(col(s"`$zc`").cast("double"), bounds.toVector)
     }
     val z = interleave(keys, bitsPerDim)
     // partition on the top z-bits, NOT on row-count quantiles of z:

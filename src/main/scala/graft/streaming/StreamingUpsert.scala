@@ -94,24 +94,41 @@ object StreamingUpsert {
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim)
-      finally in.close()
+      val v = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      require(v.matches("v=\\d+"),
+        s"corrupt snapshot pointer at $p: '$v' — restore it to the last good 'v=<n>'")
+      Some(v)
     }
   }
 
+  /** Publish via temp-write + OVERWRITE rename: a reader never observes
+    * a truncated or empty pointer (FileContext rename with OVERWRITE is
+    * the atomic pointer swap on posix/HDFS; on object stores the pointer
+    * is one small object and its PUT is already atomic — there the
+    * temp+rename degrades to copy+delete, equally safe for readers). */
   private def publish(spark: SparkSession, dir: String, version: String): Unit = {
     val f = fs(spark, dir)
-    val out = f.create(new Path(s"$dir/_CURRENT"), true)
+    val tmp = new Path(s"$dir/_CURRENT.tmp")
+    val dst = new Path(s"$dir/_CURRENT")
+    val out = f.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Delete all versions older than the published one. */
+  /** Delete all versions STRICTLY OLDER than the published one — never a
+    * newer directory an in-flight batch may be writing. */
   def vacuum(spark: SparkSession, dir: String): Unit =
     currentVersion(spark, dir).foreach { cur =>
+      val curN = cur.stripPrefix("v=").toLong
       val f = fs(spark, dir)
       f.listStatus(new Path(dir))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=")
-          && s.getPath.getName != cur)
+        .filter { s =>
+          s.isDirectory && s.getPath.getName.startsWith("v=") &&
+            scala.util.Try(s.getPath.getName.stripPrefix("v=").toLong)
+              .toOption.exists(_ < curN)
+        }
         .foreach(s => f.delete(s.getPath, true))
     }
 }
