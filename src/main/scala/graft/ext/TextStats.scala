@@ -27,6 +27,33 @@ object TextStats {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
+  /** Overlapping word n-grams of the text as strings ("tok1 tok2 …"),
+    * built row-local with array HOFs — no explode, nothing leaves the row.
+    * Fewer than n tokens → empty array (NOT a 1-gram fallback). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val toks = tokens(text)
+    // sequence(1, size-n+1) would run DESCENDING when size < n (Spark
+    // generates reversed ranges instead of empty ones) — guard first
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Gopher-style repetition signal: the fraction of word n-grams that are
+    * duplicates of an earlier n-gram in the SAME document
+    * (1 − distinct/total; 0.0 when the text has fewer than n tokens).
+    * High values flag boilerplate/spam — a standard pretraining quality
+    * filter alongside [[qualityScore]]. Row-local like everything here:
+    * a corpus-wide screen is one scan, zero shuffle. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val g = wordNgrams(text, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(g)).cast("double")
+        / size(g).cast("double"))
+  }
+
   /** Mean characters per whitespace token; 0.0 for empty text. */
   def meanTokenLength(text: Column): Column = {
     val n = tokenCount(text)

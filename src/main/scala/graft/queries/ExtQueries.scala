@@ -483,6 +483,42 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** X4 — Gopher-style repetition screen: per-document duplicate word
+    * bigram/trigram fractions (1 − distinct/total). The canonical
+    * boilerplate/spam signal in pretraining quality filters; built
+    * entirely row-local (array HOFs — no explode, no shuffle), so the
+    * corpus-wide screen is one scan. The oracle rebuilds the n-grams with
+    * DuckDB list functions, pinning gram construction AND the fraction. */
+  val x4_repetition: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        round(TextStats.dupNgramFraction(col("text"), 2), 4).as("dup2_frac"),
+        round(TextStats.dupNgramFraction(col("text"), 3), 4).as("dup3_frac"))
+      .orderBy(col("doc_id"))
+
+  /** X10 — ORC source/sink roundtrip, oracle-checked end-to-end: the
+    * engine converts the parquet lineitem slice to ORC (snappy), reads it
+    * BACK through the vectorized ORC reader with a pushed filter, and
+    * aggregates; the oracle computes the same aggregate from the original
+    * parquet — so ORC write fidelity, read fidelity, and type mapping are
+    * all on the hash. (DuckDB cannot read ORC; checking the roundtrip
+    * against parquet is exactly the point.) */
+  val x10_orc_roundtrip: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
+      .write.mode("overwrite").option("compression", "snappy").orc(dir)
+    s.read.orc(dir)
+      .filter(col("l_quantity") > 40)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("price_sum"),
+        max(col("l_shipdate")).as("ship_max"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x1_dedup_exact" -> x1_dedup_exact,
     "x1_dedup_exact_rows" -> x1_dedup_exact_rows,
@@ -521,7 +557,9 @@ object ExtQueries {
     "x4_bpe_tokens" -> x4_bpe_tokens,
     "x8_cms_merge" -> x8_cms_merge,
     "x9_zorder" -> x9_zorder,
-    "x2_fuzzy_join" -> x2_fuzzy_join)
+    "x2_fuzzy_join" -> x2_fuzzy_join,
+    "x4_repetition" -> x4_repetition,
+    "x10_orc_roundtrip" -> x10_orc_roundtrip)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -699,6 +737,27 @@ object ExtQueries {
         |  FROM customer)
         | SELECT c_mktsegment, c_custkey FROM r WHERE rn <= 5
         | ORDER BY c_mktsegment, c_custkey""",
+    "x4_repetition" ->
+      """SELECT doc_id,
+        |  ROUND(CASE WHEN len(g2) = 0 THEN 0.0
+        |    ELSE 1.0 - list_unique(g2) * 1.0 / len(g2) END, 4) AS dup2_frac,
+        |  ROUND(CASE WHEN len(g3) = 0 THEN 0.0
+        |    ELSE 1.0 - list_unique(g3) * 1.0 / len(g3) END, 4) AS dup3_frac
+        | FROM (
+        |  SELECT doc_id,
+        |   list_transform(list_zip(toks[1:-2], toks[2:]),
+        |     p -> p[1] || ' ' || p[2]) AS g2,
+        |   list_transform(list_zip(toks[1:-3], toks[2:-2], toks[3:]),
+        |     p -> p[1] || ' ' || p[2] || ' ' || p[3]) AS g3
+        |  FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents))
+        | ORDER BY doc_id""",
+    "x10_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(SUM(l_extendedprice), 2) AS price_sum,
+        |  MAX(l_shipdate) AS ship_max
+        | FROM lineitem WHERE l_quantity > 40
+        | GROUP BY l_returnflag ORDER BY l_returnflag""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Shared oracle for the two exact top-k paths: brute-force cosine per

@@ -991,6 +991,125 @@ object Queries {
                 ELSE CAST(event_id AS STRING) END AS BIGINT)""").as("mixed"))
       .orderBy(col("event_id"))
 
+  /** Q70 — time-series gap fill via [[graft.ext.Interpolate]]: per-user
+    * hourly means densified onto each user's own hour spine, interior
+    * gaps linearly interpolated between the nearest observed neighbors,
+    * edges clamped. The oracle reproduces the whole pipeline —
+    * generate_series spine, IGNORE NULLS neighbor search, the identical
+    * `pv + (nv-pv)*(Δt/Δspan)` arithmetic — so the operator's fill
+    * semantics are pinned row-for-row (~35k rows, ~91% synthesized). */
+  val q70_interpolate: Q = (s, d) => {
+    val hourly = t(s, d, "events")
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(avg(col("value")).as("v"))
+    graft.ext.Interpolate.linear(hourly, Seq("user_id"), "h", "v")
+      // TRUNCATE to 4 decimals, don't ROUND: interpolation between
+      // low-decimal observations lands EXACTLY on .xxxx5 half-boundaries
+      // (68 rows at sf0.01), where Spark (decimal-string HALF_UP) and
+      // DuckDB (binary-value rounding) legitimately disagree. floor() of
+      // the identical double is identical everywhere.
+      .select(col("user_id"), col("h"),
+        (floor(col("v") * 10000) / 10000).as("val"),
+        col("filled").cast("long").as("filled"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
+  /** Q71 — histogram bucketing with `width_bucket` (the equi-width
+    * binning every profiling/monitoring pipeline runs): bucket counts +
+    * per-bucket sums over order totals. DuckDB has no width_bucket, so
+    * the oracle spells out the exact arithmetic Spark's builtin uses —
+    * `floor(n·(x−lo)/(hi−lo))+1` with underflow→0, overflow→n+1 —
+    * which also documents the bucket-assignment contract. */
+  val q71_width_bucket: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(width_bucket(col("o_totalprice"), lit(0.0), lit(500000.0), lit(10))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("bucket"))
+
+  /** Q72 — boolean aggregates (bool_and/bool_or) + count_if per group:
+    * the constraint-summary shape (Checks uses the same algebra). Output
+    * booleans are cast to 0/1 so the hash protocol sees integers. */
+  val q72_bool_agg: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        bool_and(col("o_totalprice") > 5000).cast("int").cast("long").as("all_over_5k"),
+        bool_or(col("o_orderstatus") === "P").cast("int").cast("long").as("any_pending"),
+        count_if(col("o_totalprice") > 300000).as("n_big"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Q73 — bivariate statistics: corr, covar_samp, covar_pop per group
+    * (the feature-screening face of q30's univariate stats / q56's
+    * regression aggregates). All three are one-pass algebraic aggregates
+    * in both engines; ROUND absorbs summation-order noise. */
+  val q73_corr_covar: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qp_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qp_covs"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("qd_covp"))
+      .orderBy(col("l_returnflag"))
+
+  /** Q74 — exact DECIMAL arithmetic (money semantics: no float drift in
+    * the sums): cast to DECIMAL(18,2), aggregate exactly, surface as
+    * rounded DOUBLE (decimal *result* types differ between engines —
+    * Spark grows precision, DuckDB returns its own widths — so the
+    * comparison face is double while the arithmetic face is exact). */
+  val q74_decimal: Q = (s, d) => {
+    val dec = col("o_totalprice").cast("decimal(18,2)")
+    t(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(dec).cast("double").as("dec_sum"),
+        round(avg(dec).cast("double"), 4).as("dec_avg"),
+        sum(dec * lit(3).cast("decimal(3,0)")).cast("double").as("dec_sum3x"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Q75 — array set algebra (intersect / except / union over token
+    * sets): adjacent documents' vocabularies compared element-wise. Both
+    * operands are sorted+distinct first, so Spark's order-of-first-arg
+    * results ARE sorted and compare string-for-string against the
+    * oracle's explicitly sorted lists; union is compared by size (its
+    * element order is engine-defined in Spark). */
+  val q75_array_setops: Q = (s, d) => {
+    val toks = t(s, d, "documents")
+      .filter(col("doc_id") < 31)
+      .select(col("doc_id"),
+        array_sort(array_distinct(split(trim(col("text")), "\\s+"))).as("toks"))
+    val a = toks.alias("a")
+    val b = toks.select((col("doc_id") - 1).as("doc_id"), col("toks").as("btoks")).alias("b")
+    a.join(b, "doc_id")
+      .select(
+        col("doc_id"),
+        array_join(array_intersect(col("toks"), col("btoks")), " ").as("inter_s"),
+        array_join(array_except(col("toks"), col("btoks")), " ").as("except_s"),
+        size(array_union(col("toks"), col("btoks"))).cast("long").as("union_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q76 — LIKE pattern matching with an explicit ESCAPE character plus
+    * case-insensitive ILIKE: the wildcard-literal distinction ('_' as
+    * data, not as any-char) that ingestion filters over real-world names
+    * hit immediately. Names are rewritten to contain '_' so the escape
+    * path is actually exercised. */
+  val q76_like_escape: Q = (s, d) =>
+    t(s, d, "customer")
+      .filter(col("c_custkey") < 400)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "#", "_").as("uname"),
+        col("c_mktsegment"))
+      .select(
+        col("c_custkey"),
+        when(expr("uname LIKE 'Customer#_0000001%' ESCAPE '#'"), 1L).otherwise(0L)
+          .as("esc_hit"),
+        when(expr("c_mktsegment ILIKE 'bUiLd%'"), 1L).otherwise(0L).as("ilike_hit"),
+        when(expr("uname NOT LIKE '%9'"), 1L).otherwise(0L).as("notlike_hit"))
+      .orderBy(col("c_custkey"))
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -1061,7 +1180,14 @@ object Queries {
     "q66_quality" -> q66_quality,
     "q67_mode" -> q67_mode,
     "q68_snapshot_diff" -> q68_snapshot_diff,
-    "q69_try_cast" -> q69_try_cast)
+    "q69_try_cast" -> q69_try_cast,
+    "q70_interpolate" -> q70_interpolate,
+    "q71_width_bucket" -> q71_width_bucket,
+    "q72_bool_agg" -> q72_bool_agg,
+    "q73_corr_covar" -> q73_corr_covar,
+    "q74_decimal" -> q74_decimal,
+    "q75_array_setops" -> q75_array_setops,
+    "q76_like_escape" -> q76_like_escape)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1571,5 +1697,85 @@ object Queries {
         |  TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'n/a'
         |    ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS mixed
         | FROM events WHERE event_id <= 300 ORDER BY event_id""",
+    "q70_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, AVG(value) AS v
+        |  FROM events WHERE user_id < 50 GROUP BY user_id, date_trunc('hour', ts)),
+        | spans AS (SELECT user_id, MIN(h) AS hmin, MAX(h) AS hmax
+        |   FROM hourly GROUP BY user_id),
+        | spine AS (SELECT user_id,
+        |   UNNEST(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h FROM spans),
+        | joined AS (SELECT s.user_id, s.h, o.v FROM spine s
+        |   LEFT JOIN hourly o ON s.user_id = o.user_id AND s.h = o.h),
+        | marked AS (SELECT user_id, h, v,
+        |   LAST_VALUE(v IGNORE NULLS) OVER w AS pv,
+        |   LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER w AS ph,
+        |   FIRST_VALUE(v IGNORE NULLS) OVER w2 AS nv,
+        |   FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER w2 AS nh
+        |  FROM joined
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |   w2 AS (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        | SELECT user_id, h,
+        |  FLOOR((CASE WHEN v IS NOT NULL THEN v
+        |   WHEN pv IS NULL THEN nv
+        |   WHEN nv IS NULL THEN pv
+        |   ELSE pv + (nv - pv) * (CAST(epoch(h) - epoch(ph) AS DOUBLE)
+        |     / CAST(epoch(nh) - epoch(ph) AS DOUBLE)) END) * 10000) / 10000 AS val,
+        |  CAST(CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS filled
+        | FROM marked ORDER BY user_id, h""",
+    "q71_width_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+        |   WHEN o_totalprice >= 500000.0 THEN 11
+        |   ELSE CAST(FLOOR(10 * (o_totalprice - 0.0) / (500000.0 - 0.0))
+        |     AS BIGINT) + 1 END AS bucket,
+        |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        | FROM orders GROUP BY 1 ORDER BY bucket""",
+    "q72_bool_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(CAST(bool_and(o_totalprice > 5000) AS INT) AS BIGINT) AS all_over_5k,
+        |  CAST(CAST(bool_or(o_orderstatus = 'P') AS INT) AS BIGINT) AS any_pending,
+        |  CAST(COUNT(*) FILTER (WHERE o_totalprice > 300000) AS BIGINT) AS n_big
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q73_corr_covar" ->
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS qp_corr,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qp_covs,
+        |  ROUND(covar_pop(l_quantity, l_discount), 6) AS qd_covp
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q74_decimal" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS dec_sum,
+        |  ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |    AS dec_avg,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(3 AS DECIMAL(3,0)))
+        |    AS DOUBLE) AS dec_sum3x
+        | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q75_array_setops" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |   list_sort(list_distinct(str_split_regex(trim(text), '\s+'))) AS toks
+        |  FROM documents WHERE doc_id < 31)
+        | SELECT a.doc_id,
+        |  COALESCE(array_to_string(list_sort(list_intersect(a.toks, b.toks)), ' '),
+        |    '') AS inter_s,
+        |  COALESCE(array_to_string(list_sort(
+        |    list_filter(a.toks, x -> NOT list_contains(b.toks, x))), ' '),
+        |    '') AS except_s,
+        |  CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS union_n
+        | FROM dt a JOIN dt b ON b.doc_id = a.doc_id + 1
+        | ORDER BY a.doc_id""",
+    "q76_like_escape" ->
+      """WITH c AS (SELECT c_custkey, replace(c_name, '#', '_') AS uname,
+        |   c_mktsegment FROM customer WHERE c_custkey < 400)
+        | SELECT c_custkey,
+        |  CAST(CASE WHEN uname LIKE 'Customer#_0000001%' ESCAPE '#'
+        |    THEN 1 ELSE 0 END AS BIGINT) AS esc_hit,
+        |  CAST(CASE WHEN c_mktsegment ILIKE 'bUiLd%' THEN 1 ELSE 0 END
+        |    AS BIGINT) AS ilike_hit,
+        |  CAST(CASE WHEN uname NOT LIKE '%9' THEN 1 ELSE 0 END
+        |    AS BIGINT) AS notlike_hit
+        | FROM c ORDER BY c_custkey""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

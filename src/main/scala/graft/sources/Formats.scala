@@ -95,4 +95,24 @@ object Formats {
     val w = df.write.mode("overwrite").option("compression", compression)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).json(path)
   }
+
+  /** Schema-explicit ORC read — the second columnar format (some lakes
+    * standardize on ORC; the engine should not care). Same rules as
+    * parquet: vectorized scan, predicate pushdown + column pruning
+    * (`PushedFilters` appears in the ORC scan exactly as in parquet —
+    * pinned by FormatsSpec), partition discovery over hive layouts.
+    * Declared schema, never footer-vote inference across files. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC read with footer-derived schema (for engine-owned roundtrips
+    * where the writer IS this engine, so the schema is trusted). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      compression: String = "snappy"): Unit = {
+    val w = df.write.mode("overwrite").option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 }

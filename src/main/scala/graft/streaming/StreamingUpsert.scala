@@ -117,18 +117,49 @@ object StreamingUpsert {
     fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Delete all versions STRICTLY OLDER than the published one — never a
-    * newer directory an in-flight batch may be writing. */
-  def vacuum(spark: SparkSession, dir: String): Unit =
+  /** Retention vacuum: delete versions STRICTLY OLDER than the published
+    * one, RETAINING the newest `keep − 1` of them as a time-travel
+    * window (`keep = 1` keeps only the current snapshot — the previous
+    * all-or-nothing behavior). Never touches the current version or any
+    * NEWER directory an in-flight batch may be writing; versions newer
+    * than the pointer are in-flight state, not garbage. Safe to run
+    * concurrently with readers of retained versions: deletion order is
+    * oldest-first, and a reader that resolved `_CURRENT` can only be in
+    * a retained directory. */
+  def vacuum(spark: SparkSession, dir: String, keep: Int = 1): Unit = {
+    require(keep >= 1, "keep must be >= 1 (the current version always stays)")
     currentVersion(spark, dir).foreach { cur =>
       val curN = cur.stripPrefix("v=").toLong
       val f = fs(spark, dir)
-      f.listStatus(new Path(dir))
+      val older = f.listStatus(new Path(dir))
         .filter { s =>
           s.isDirectory && s.getPath.getName.startsWith("v=") &&
             scala.util.Try(s.getPath.getName.stripPrefix("v=").toLong)
               .toOption.exists(_ < curN)
         }
-        .foreach(s => f.delete(s.getPath, true))
+        .sortBy(s => s.getPath.getName.stripPrefix("v=").toLong)
+      older.dropRight(keep - 1).foreach(s => f.delete(s.getPath, true))
     }
+  }
+
+  /** Read a RETAINED historical version (time travel). Fails with the
+    * available versions listed when `batchId` was vacuumed or never
+    * published. */
+  def snapshotAt(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
+    // only PUBLISHED versions are readable: a directory newer than the
+    // pointer may be a half-written in-flight batch
+    val curN = currentVersion(spark, dir).map(_.stripPrefix("v=").toLong)
+    require(curN.exists(batchId <= _),
+      s"version v=$batchId is not published yet (current: ${curN.fold("none")(n => s"v=$n")})")
+    val f = fs(spark, dir)
+    val p = new Path(s"$dir/v=$batchId")
+    if (!f.exists(p)) {
+      val have = f.listStatus(new Path(dir))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName).sorted.mkString(", ")
+      throw new IllegalArgumentException(
+        s"version v=$batchId not available at $dir (have: $have)")
+    }
+    spark.read.parquet(p.toString)
+  }
 }

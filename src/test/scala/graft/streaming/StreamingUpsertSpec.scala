@@ -66,4 +66,34 @@ class StreamingUpsertSpec extends SparkSpec {
     val expect = all.groupBy(_._1).map(_._2.maxBy(_._3)).toSeq.sortBy(_._1)
     assert(got === expect)
   }
+
+  test("retention vacuum keeps a time-travel window; snapshotAt guards") {
+    val root = Files.createTempDirectory("graft_supsert4").toString
+    val snap = s"$root/snap"
+    (0 to 4).foreach { i =>
+      StreamingUpsert.applyBatch(spark,
+        Seq((1L, s"s$i", i.toLong)).toDF("k", "s", "v"),
+        i.toLong, Seq("k"), "v", snap)
+    }
+    // keep = 3 → current (v=4) plus the two newest older versions survive
+    StreamingUpsert.vacuum(spark, snap, keep = 3)
+    assert(!new java.io.File(s"$snap/v=0").exists())
+    assert(!new java.io.File(s"$snap/v=1").exists())
+    assert(new java.io.File(s"$snap/v=2").exists())
+    assert(new java.io.File(s"$snap/v=3").exists())
+    // retained versions time-travel correctly
+    assert(StreamingUpsert.snapshotAt(spark, snap, 3L)
+      .as[(Long, String, Long)].collect().head === ((1L, "s3", 3L)))
+    // vacuumed and unpublished versions both refuse
+    intercept[IllegalArgumentException] {
+      StreamingUpsert.snapshotAt(spark, snap, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingUpsert.snapshotAt(spark, snap, 99L)
+    }
+    // default keep=1 collapses to current-only (previous behavior)
+    StreamingUpsert.vacuum(spark, snap)
+    assert(!new java.io.File(s"$snap/v=3").exists())
+    assert(StreamingUpsert.currentSnapshot(spark, snap).get.count() === 1)
+  }
 }
