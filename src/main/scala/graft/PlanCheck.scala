@@ -14,6 +14,16 @@ object PlanCheck {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.queryExecution.executedPlan.toString
     }
+
+    // dump mode: `runMain graft.PlanCheck <sfDir> <query...>` prints the
+    // named queries' physical plans and exits (focused plan iteration)
+    if (args.length > 1) {
+      args.drop(1).foreach { n =>
+        println(s"\n===== $n =====")
+        println(plan(n))
+      }
+      spark.stop(); return
+    }
     def check(name: String, what: String)(p: String => Boolean): Unit = {
       val s = plan(name)
       val ok = p(s)
@@ -82,6 +92,9 @@ object PlanCheck {
       !p.toLowerCase.contains("percentile") && p.contains("double_sort_bits"))
     check("x9_bloom_semi", "bloom probe filters the fact scan below the residual semi join")(p =>
       p.contains("bloom_might_contain") && p.contains("LeftSemi"))
+    check("q70_interpolate", "segment gap-fill: ONE scan, no self-join, explode row-local")(p =>
+      "FileScan".r.findAllIn(p).size == 1 && !p.contains("Join") &&
+        p.contains("Generate explode"))
     check("q52_range_frame", "event-time RANGE frame present, one shuffle")(p =>
       p.contains("RangeFrame") &&
         "Exchange hashpartitioning".r.findAllIn(p).size <= 1)
