@@ -1110,6 +1110,42 @@ object Queries {
         when(expr("uname NOT LIKE '%9'"), 1L).otherwise(0L).as("notlike_hit"))
       .orderBy(col("c_custkey"))
 
+  /** Q77 — robust outlier screen via [[graft.ext.Robust]] (median/MAD):
+    * per-group anomaly counts over a value stream with planted spikes
+    * (every 97th event ×20, so the screen demonstrably fires). MAD-based
+    * screens are the telemetry/data-quality standard precisely because
+    * mean/stddev are dragged by the outliers they hunt. Exact medians on
+    * both sides; the oracle recomputes MAD from scratch. */
+  val q77_outliers: Q = (s, d) => {
+    val v = t(s, d, "events")
+      .select(col("event_type").as("g"),
+        (col("value") * when(col("event_id") % 97 === 0, 20.0).otherwise(1.0))
+          .as("x"))
+    graft.ext.Robust.flagOutliers(v, Seq("g"), "x", k = 5.0)
+      .groupBy(col("g"))
+      .agg(sum(col("is_outlier")).as("n_outliers"),
+        count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("madv"))
+      .orderBy(col("g"))
+  }
+
+  /** Q78 — semi-structured VARIANT ingestion (Spark 4's open JSON type):
+    * parse once with `parse_json`, extract typed paths with
+    * `variant_get` — missing paths are NULL, not errors. The oracle runs
+    * DuckDB's JSON extraction over the same strings, pinning the
+    * extraction semantics across two different storage models (Spark
+    * binary variant vs DuckDB JSON strings). */
+  val q78_variant: Q = (s, d) =>
+    t(s, d, "events")
+      .filter(col("event_id") <= 500)
+      .select(
+        col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("k_big"),
+        variant_get(parse_json(col("props")), "$.k", "string").as("k_str"),
+        variant_get(parse_json(col("props")), "$.missing", "string").as("gone"))
+      .orderBy(col("event_id"))
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -1187,7 +1223,9 @@ object Queries {
     "q73_corr_covar" -> q73_corr_covar,
     "q74_decimal" -> q74_decimal,
     "q75_array_setops" -> q75_array_setops,
-    "q76_like_escape" -> q76_like_escape)
+    "q76_like_escape" -> q76_like_escape,
+    "q77_outliers" -> q77_outliers,
+    "q78_variant" -> q78_variant)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1777,5 +1815,23 @@ object Queries {
         |  CAST(CASE WHEN uname NOT LIKE '%9' THEN 1 ELSE 0 END
         |    AS BIGINT) AS notlike_hit
         | FROM c ORDER BY c_custkey""",
+    "q77_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, event_id,
+        |   value * CASE WHEN event_id % 97 = 0 THEN 20.0 ELSE 1.0 END AS x
+        |  FROM events),
+        | stats AS (SELECT g, median(x) AS med, mad(x) AS madv FROM v GROUP BY g)
+        | SELECT v.g,
+        |  CAST(COUNT(*) FILTER (WHERE abs(v.x - s.med) > 5 * s.madv) AS BIGINT)
+        |    AS n_outliers,
+        |  COUNT(*) AS n, ROUND(s.med, 4) AS med, ROUND(s.madv, 4) AS madv
+        | FROM v JOIN stats s ON v.g = s.g
+        | GROUP BY v.g, s.med, s.madv ORDER BY v.g""",
+    "q78_variant" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_big,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  json_extract_string(props, '$.missing') AS gone
+        | FROM events WHERE event_id <= 500 ORDER BY event_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

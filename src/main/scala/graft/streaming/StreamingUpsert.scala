@@ -142,6 +142,21 @@ object StreamingUpsert {
     }
   }
 
+  /** Change-data-feed read face (the `table_changes(from, to)` analog):
+    * keyed added/removed/changed rows between two RETAINED versions,
+    * computed with [[graft.etl.SnapshotDiff]] over the immutable version
+    * directories — so a consumer can subscribe to "what changed" without
+    * replaying the change stream itself. Exact struct comparison (the
+    * versions are engine-written; width is the snapshot's own). */
+  def changes(spark: SparkSession, dir: String, fromBatchId: Long,
+      toBatchId: Long, keys: Seq[String]): DataFrame = {
+    require(fromBatchId < toBatchId,
+      s"from ($fromBatchId) must precede to ($toBatchId)")
+    graft.etl.SnapshotDiff.diff(
+      snapshotAt(spark, dir, fromBatchId),
+      snapshotAt(spark, dir, toBatchId), keys, exact = true)
+  }
+
   /** Read a RETAINED historical version (time travel). Fails with the
     * available versions listed when `batchId` was vacuumed or never
     * published. */

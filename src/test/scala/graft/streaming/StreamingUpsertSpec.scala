@@ -96,4 +96,22 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(!new java.io.File(s"$snap/v=3").exists())
     assert(StreamingUpsert.currentSnapshot(spark, snap).get.count() === 1)
   }
+
+  test("changes() reads the CDC between two retained versions") {
+    val root = Files.createTempDirectory("graft_supsert5").toString
+    val snap = s"$root/snap"
+    StreamingUpsert.applyBatch(spark,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "s", "v"),
+      0L, Seq("k"), "v", snap)
+    StreamingUpsert.applyBatch(spark,
+      Seq((2L, "B", 2L), (3L, "c", 1L)).toDF("k", "s", "v"),
+      1L, Seq("k"), "v", snap)
+    val got = StreamingUpsert.changes(spark, snap, 0L, 1L, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got === Seq((2L, "changed"), (3L, "added")))
+    // inverted range refuses
+    intercept[IllegalArgumentException] {
+      StreamingUpsert.changes(spark, snap, 1L, 0L, Seq("k"))
+    }
+  }
 }
