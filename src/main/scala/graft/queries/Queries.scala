@@ -1146,6 +1146,49 @@ object Queries {
         variant_get(parse_json(col("props")), "$.missing", "string").as("gone"))
       .orderBy(col("event_id"))
 
+  /** Q79 — timezone conversion incl. DST transitions: UTC instants
+    * spread across half a year (so both EST and EDT appear) converted to
+    * New York and Tokyo wall time, plus a wall-clock hour extraction.
+    * Only the UTC→wall direction is queried: wall→UTC is ambiguous
+    * during DST fall-back and engines legitimately disagree on the
+    * ambiguous hour. */
+  val q79_timezone: Q = (s, d) => {
+    val shifted = expr("timestampadd(DAY, CAST(event_id % 180 AS INT), ts)")
+    t(s, d, "events")
+      .filter(col("event_id") <= 400)
+      .select(
+        col("event_id"),
+        from_utc_timestamp(shifted, "America/New_York").as("ny_wall"),
+        from_utc_timestamp(shifted, "Asia/Tokyo").as("tokyo_wall"),
+        hour(from_utc_timestamp(shifted, "America/New_York")).cast("long")
+          .as("ny_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q80 — recursive CTE with a JOIN inside the loop (graph
+    * reachability, bounded depth): the iterate-until-fixpoint class q61's
+    * generator recursion does not exercise — each UnionLoop step here
+    * joins the frontier against the edge relation. Cycles are handled by
+    * the depth bound + final DISTINCT (both engines run UNION ALL
+    * recursion, so the dedup-per-step semantics question never arises).
+    * Identical SQL text runs on both engines. */
+  val q80_graph_reach: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("q80_orders")
+    s.sql(
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT o_custkey AS src, o_orderkey % 1500 AS dst
+        |  FROM q80_orders WHERE o_orderkey % 7 = 0),
+        | reach(seed, node, depth) AS (
+        |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM e WHERE src < 40) s
+        |  UNION ALL
+        |  SELECT r.seed, e.dst, r.depth + 1
+        |  FROM reach r JOIN e ON e.src = r.node
+        |  WHERE r.depth < 3)
+        | SELECT seed, COUNT(DISTINCT node) AS n_reach,
+        |  CAST(MAX(depth) AS BIGINT) AS max_depth
+        | FROM reach GROUP BY seed ORDER BY seed""".stripMargin)
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -1225,7 +1268,9 @@ object Queries {
     "q75_array_setops" -> q75_array_setops,
     "q76_like_escape" -> q76_like_escape,
     "q77_outliers" -> q77_outliers,
-    "q78_variant" -> q78_variant)
+    "q78_variant" -> q78_variant,
+    "q79_timezone" -> q79_timezone,
+    "q80_graph_reach" -> q80_graph_reach)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1833,5 +1878,28 @@ object Queries {
         |  json_extract_string(props, '$.k') AS k_str,
         |  json_extract_string(props, '$.missing') AS gone
         | FROM events WHERE event_id <= 500 ORDER BY event_id""",
+    "q79_timezone" ->
+      """WITH sh AS (SELECT event_id,
+        |   ts + (event_id % 180) * INTERVAL 1 DAY AS st
+        |  FROM events WHERE event_id <= 400)
+        | SELECT event_id,
+        |  st AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS ny_wall,
+        |  st AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo' AS tokyo_wall,
+        |  CAST(EXTRACT(HOUR FROM st AT TIME ZONE 'UTC'
+        |    AT TIME ZONE 'America/New_York') AS BIGINT) AS ny_hour
+        | FROM sh ORDER BY event_id""",
+    "q80_graph_reach" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT o_custkey AS src, o_orderkey % 1500 AS dst
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        | reach(seed, node, depth) AS (
+        |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM e WHERE src < 40) s
+        |  UNION ALL
+        |  SELECT r.seed, e.dst, r.depth + 1
+        |  FROM reach r JOIN e ON e.src = r.node
+        |  WHERE r.depth < 3)
+        | SELECT seed, COUNT(DISTINCT node) AS n_reach,
+        |  CAST(MAX(depth) AS BIGINT) AS max_depth
+        | FROM reach GROUP BY seed ORDER BY seed""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
