@@ -17,11 +17,12 @@ import org.apache.spark.sql.types._
   * reader.
   *
   * Codec bindings: PNG/BMP/GIF decode (and PNG encode / thumbnail resize)
-  * are REAL, via the JRE's `javax.imageio` — bytes are sniffed by magic
-  * number and routed to ImageIO, so a parquet column of actual PNG files
-  * round-trips through [[extractFeatures]] with true pixel geometry and a
-  * checksum over decoded pixels. Formats the JRE cannot decode
-  * (JPEG-XL, video, audio) fall back to the deterministic synthetic-header
+  * are REAL, via the JRE's `javax.imageio`, and WAV audio decode (and
+  * encode / PCM RMS features) is REAL via `javax.sound.sampled` — bytes
+  * are sniffed by magic number and routed to the right codec, so parquet
+  * columns of actual PNG/WAV files round-trip with true geometry,
+  * pixel/PCM checksums, and RMS features. Formats the JRE cannot decode
+  * (JPEG-XL, video codecs) fall back to the deterministic synthetic-header
   * codec ([[SyntheticMedia]]) so the pipeline shape stays exercisable
   * offline; swap those arms of [[MediaCodec]] for real bindings (e.g.
   * a JNI ffmpeg wrapper) to take them to production.
@@ -77,6 +78,58 @@ object Multimodal {
       d.length >= 2 && d(0) == 'B' && d(1) == 'M'
     private def isGif(d: Array[Byte]): Boolean =
       d.length >= 4 && d(0) == 'G' && d(1) == 'I' && d(2) == 'F' && d(3) == '8'
+    private def isWav(d: Array[Byte]): Boolean =
+      d.length >= 12 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' && d(3) == 'F' &&
+        d(8) == 'W' && d(9) == 'A' && d(10) == 'V' && d(11) == 'E'
+
+    /** Real WAV encode via `javax.sound.sampled` (16-bit PCM mono,
+      * little-endian, deterministic LCG samples) — real audio bytes with
+      * known content, the audio analog of [[encodePng]]. */
+    def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      var s = seed
+      var i = 0
+      while (i < nSamples) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val v = (s >>> 48).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Real WAV decode: format + raw PCM bytes; None for corrupt input. */
+    def decodeAudio(data: Array[Byte])
+        : Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(data))
+        val pcm = try in.readAllBytes() finally in.close()
+        Some((in.getFormat, pcm))
+      } catch { case _: Exception => None }
+
+    /** RMS amplitude of 16-bit little-endian PCM, normalized to [0, 1] —
+      * the canonical cheap audio feature (silence/clipping screens). */
+    def pcmRms(pcm: Array[Byte]): Double = {
+      val n = pcm.length / 2
+      if (n == 0) return 0.0
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toDouble
+        acc += v * v
+        i += 1
+      }
+      math.sqrt(acc / n) / 32768.0
+    }
 
     /** Real image decode. ImageIO readers are not thread-safe to share, but
       * each call constructs its own via the static entry point; the JRE
@@ -142,12 +195,23 @@ object Multimodal {
       }
 
     /** Decode geometry + checksum; None for corrupt/truncated input.
-      * Real formats first (by magic), synthetic header otherwise. */
+      * Real formats first (by magic), synthetic header otherwise. For
+      * AUDIO the geometry tuple is overloaded: (sample rate, channels,
+      * PCM frames, checksum over PCM bytes) — one feature schema for
+      * every modality; [[audioFeatures]] is the properly-named face. */
     def decode(data: Array[Byte]): Option[(Int, Int, Int, Long)] = {
       if (data == null || data.length < 16) return None
       if (isPng(data) || isBmp(data) || isGif(data))
         return decodeImage(data).map(img =>
           (img.getWidth, img.getHeight, 1, pixelChecksum(img)))
+      if (isWav(data))
+        return decodeAudio(data).map { case (fmt, pcm) =>
+          var sum = 0L
+          var i = 0
+          while (i < pcm.length) { sum = sum * 31 + (pcm(i) & 0xff); i += 1 }
+          (fmt.getSampleRate.toInt, fmt.getChannels,
+            pcm.length / math.max(1, fmt.getFrameSize), sum)
+        }
       val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val w = bb.getInt(0); val h = bb.getInt(4); val f = bb.getInt(8)
       // length check in Long math: huge header dims would overflow Int
@@ -190,6 +254,27 @@ object Multimodal {
     }.toDF("media_id", "uri", "thumb_png")
   }
 
+  /** Real audio feature extraction over the media column: decode WAV via
+    * `javax.sound.sampled`, emit (sample rate, channels, PCM frames, RMS
+    * amplitude) per item, batched per partition like every codec path.
+    * Non-audio/corrupt rows are kept with nulls so coverage is auditable. */
+  def audioFeatures(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[(Long, String,
+      Option[Int], Option[Int], Option[Long], Option[Double])]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodec.decodeAudio(if (r.data == null) Array.emptyByteArray else r.data) match {
+          case Some((fmt, pcm)) =>
+            (r.media_id, r.uri, Some(fmt.getSampleRate.toInt),
+              Some(fmt.getChannels),
+              Some(pcm.length.toLong / math.max(1, fmt.getFrameSize)),
+              Some(MediaCodec.pcmRms(pcm)))
+          case None => (r.media_id, r.uri, None, None, None, None)
+        }
+      }
+    }.toDF("media_id", "uri", "sample_rate", "channels", "n_samples", "rms")
+  }
+
   /** Frame sampling (video analog): emits one row per sampled frame index —
     * `explode` of a per-item frame list computed inside the batched task. */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int): DataFrame = {
@@ -202,18 +287,21 @@ object Multimodal {
 
   /** Synthesize a deterministic media table (used by tests and the x5
     * query). Image rows carry REAL PNG bytes (encoded with the JRE codec,
-    * decoded back by the real ImageIO arm of [[MediaCodec]]); video/audio
-    * rows carry the synthetic container format. */
+    * decoded back by the real ImageIO arm of [[MediaCodec]]); audio rows
+    * carry REAL WAV bytes (16-bit PCM via javax.sound, decoded by the
+    * real audio arm); only video still uses the synthetic container. */
   def synthesize(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).as[Long].map { i =>
       val w = 8 + (i % 5).toInt * 4
       val h = 8 + (i % 3).toInt * 4
       val frames = 1 + (i % 7).toInt
-      val mime = if (i % 3 == 0) "image/png" else if (i % 3 == 1) "video/fake" else "audio/fake"
+      val mime = if (i % 3 == 0) "image/png" else if (i % 3 == 1) "video/fake" else "audio/wav"
       val data =
         if (i % 97 == 13) Array[Byte](1, 2, 3) // planted corrupt items
         else if (i % 3 == 0) MediaCodec.encodePng(w, h, seed = i)
+        else if (i % 3 == 2) MediaCodec.encodeWav(
+          nSamples = 32 + (i % 50).toInt, sampleRate = 8000, seed = i)
         else SyntheticMedia.encode(w, h, frames, seed = i)
       MediaRow(i, s"synthetic://media/$i", mime, data)
     }

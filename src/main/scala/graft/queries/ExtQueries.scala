@@ -261,6 +261,18 @@ object ExtQueries {
         sum(when(col("thumb_png").isNotNull, 1L).otherwise(0L)).as("n_thumbed"),
         max(length(col("thumb_png"))).cast("long").as("max_thumb_bytes"))
 
+  /** X5 — real-audio features: every WAV row decodes through javax.sound
+    * (16-bit PCM) into rate/channels/samples/RMS; non-audio rows audit as
+    * undecoded. RMS is rounded so the Tier B row dump is stable. */
+  val x5_audio: Q = (s, d) =>
+    Multimodal.audioFeatures(Multimodal.synthesize(s, 200))
+      .groupBy(col("sample_rate"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_samples")).as("total_samples"),
+        round(avg(col("rms")), 4).as("mean_rms"))
+      .orderBy(col("sample_rate").asc_nulls_first)
+
   /** X9 — Bloom-pruned semi join: exact semantics (oracle = plain IN); the
     * fact side dies against a 128 KB bitset of the dim keys before any
     * join machinery runs. */
@@ -559,7 +571,8 @@ object ExtQueries {
     "x9_zorder" -> x9_zorder,
     "x2_fuzzy_join" -> x2_fuzzy_join,
     "x4_repetition" -> x4_repetition,
-    "x10_orc_roundtrip" -> x10_orc_roundtrip)
+    "x10_orc_roundtrip" -> x10_orc_roundtrip,
+    "x5_audio" -> x5_audio)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */

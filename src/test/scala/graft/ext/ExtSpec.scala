@@ -431,4 +431,34 @@ class MultimodalSpec extends SparkSpec {
     val m6 = frames.filter(col("media_id") === 6)
     assert(m6.select("frame_idx").collect().map(_.getInt(0)) === Array(0))
   }
+
+  test("real WAV bytes round-trip through the javax.sound codec arm") {
+    val wav = Multimodal.MediaCodec.encodeWav(nSamples = 40, sampleRate = 8000, seed = 7L)
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    // decode() overloads geometry for audio: (rate, channels, frames, pcm checksum)
+    val Some((rate, ch, frames, sum)) = Multimodal.MediaCodec.decode(wav)
+    assert(rate === 8000 && ch === 1 && frames === 40)
+    // checksum is over PCM: identical samples → identical checksum
+    assert(Multimodal.MediaCodec.decode(
+      Multimodal.MediaCodec.encodeWav(40, 8000, 7L)).get._4 === sum)
+    // truncated WAV = corrupt, not a crash
+    assert(Multimodal.MediaCodec.decode(wav.take(20)) === None)
+  }
+
+  test("audioFeatures extracts rate/channels/samples/RMS; non-audio null") {
+    val feats = Multimodal.audioFeatures(Multimodal.synthesize(spark, 30))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // media 2: audio arm, real WAV (32 + 2%50 = 34 samples @8kHz mono)
+    val a = feats(2L)
+    assert(a.getInt(2) === 8000 && a.getInt(3) === 1 && a.getLong(4) === 34L)
+    val rms = a.getDouble(5)
+    assert(rms > 0.0 && rms <= 1.0) // LCG noise: nonzero, normalized
+    // deterministic: same synthesis → same RMS
+    val again = Multimodal.audioFeatures(Multimodal.synthesize(spark, 30))
+      .filter(col("media_id") === 2).collect().head.getDouble(5)
+    assert(again === rms)
+    // media 0 is a PNG: kept with null audio features
+    assert(feats(0L).isNullAt(2) && feats(0L).isNullAt(5))
+    assert(feats.size === 30)
+  }
 }
