@@ -1173,16 +1173,28 @@ object Queries {
     * recursion, so the dedup-per-step semantics question never arises).
     * Identical SQL text runs on both engines. */
   val q80_graph_reach: Q = (s, d) => {
-    t(s, d, "orders").createOrReplaceTempView("q80_orders")
+    // materialize the edge relation ONCE: a CTE referenced inside the
+    // recursive member is re-derived by every UnionLoop iteration
+    // (scan + DISTINCT shuffle × depth) — the mistake a production
+    // iterative job must not make; localCheckpoint pins it so each step
+    // joins the frontier against an in-memory relation. The remaining
+    // ~1.2 s at sf0.1 is NOT data (254 recursion rows) — it is the
+    // per-iteration UnionLoop job floor (~0.3 s × 4 steps, flat in SF);
+    // batch more work per step when iterations dominate (q61's lesson).
+    // The oracle keeps the CTE inline — DuckDB evaluates CTEs once.
+    t(s, d, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_custkey").as("src"), (col("o_orderkey") % 1500).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+      .createOrReplaceTempView("q80_edges")
     s.sql(
-      """WITH RECURSIVE e AS (
-        |  SELECT DISTINCT o_custkey AS src, o_orderkey % 1500 AS dst
-        |  FROM q80_orders WHERE o_orderkey % 7 = 0),
-        | reach(seed, node, depth) AS (
-        |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM e WHERE src < 40) s
+      """WITH RECURSIVE reach(seed, node, depth) AS (
+        |  SELECT src, src, 0
+        |  FROM (SELECT DISTINCT src FROM q80_edges WHERE src < 40) s
         |  UNION ALL
         |  SELECT r.seed, e.dst, r.depth + 1
-        |  FROM reach r JOIN e ON e.src = r.node
+        |  FROM reach r JOIN q80_edges e ON e.src = r.node
         |  WHERE r.depth < 3)
         | SELECT seed, COUNT(DISTINCT node) AS n_reach,
         |  CAST(MAX(depth) AS BIGINT) AS max_depth
