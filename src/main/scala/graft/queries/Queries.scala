@@ -1201,6 +1201,30 @@ object Queries {
         | FROM reach GROUP BY seed ORDER BY seed""".stripMargin)
   }
 
+  /** Q81 — incremental rollup maintenance via [[graft.etl.IncrementalAgg]]:
+    * the state is bootstrapped from pre-1996 orders and the later orders
+    * are folded in as a delta (aggregate-the-delta + algebraic merge —
+    * history is never rescanned). The oracle recomputes the rollup from
+    * ALL rows directly, so the hash equality IS the proof that
+    * incremental maintenance ≡ full recompute. */
+  val q81_incremental_agg: Q = (s, d) => {
+    val o = t(s, d, "orders").select(
+      (col("o_custkey") % 100).as("g"), col("o_totalprice").as("p"),
+      col("o_orderdate"))
+    val cutoff = lit("1996-01-01").cast("timestamp")
+    val state = graft.etl.IncrementalAgg.aggregate(
+      o.filter(col("o_orderdate") < cutoff), Seq("g"), Seq("p"))
+    val updated = graft.etl.IncrementalAgg.update(
+      state, o.filter(col("o_orderdate") >= cutoff), Seq("g"), Seq("p"))
+    graft.etl.IncrementalAgg.withDerived(updated, Seq("p"))
+      .select(col("g"), col("cnt"),
+        round(col("sum_p"), 2).as("sum_p"),
+        round(col("min_p"), 2).as("min_p"),
+        round(col("max_p"), 2).as("max_p"),
+        round(col("mean_p"), 4).as("mean_p"))
+      .orderBy(col("g"))
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -1282,7 +1306,8 @@ object Queries {
     "q77_outliers" -> q77_outliers,
     "q78_variant" -> q78_variant,
     "q79_timezone" -> q79_timezone,
-    "q80_graph_reach" -> q80_graph_reach)
+    "q80_graph_reach" -> q80_graph_reach,
+    "q81_incremental_agg" -> q81_incremental_agg)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1913,5 +1938,12 @@ object Queries {
         | SELECT seed, COUNT(DISTINCT node) AS n_reach,
         |  CAST(MAX(depth) AS BIGINT) AS max_depth
         | FROM reach GROUP BY seed ORDER BY seed""",
+    "q81_incremental_agg" ->
+      """SELECT o_custkey % 100 AS g, COUNT(*) AS cnt,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_p,
+        |  ROUND(MIN(o_totalprice), 2) AS min_p,
+        |  ROUND(MAX(o_totalprice), 2) AS max_p,
+        |  ROUND(SUM(o_totalprice) / COUNT(*), 4) AS mean_p
+        | FROM orders GROUP BY o_custkey % 100 ORDER BY g""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
