@@ -229,3 +229,80 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 }
+
+class RoundFivePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(142L + i)))
+    }
+
+  private val baseMs = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private val seriesGen: Gen[List[(Long, Int, Double)]] = Gen.nonEmptyListOf(
+    for {
+      key <- Gen.choose(1L, 3L)
+      hour <- Gen.choose(0, 48)
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (key, hour, v))
+
+  test("interpolate: observations preserved, fills bounded by neighbors, spine dense") {
+    forAllSeeded(seriesGen) { raw =>
+      // one observation per (key, hour): the operator's contract
+      val obs = raw.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val df = obs.map { case (k, h, v) =>
+        (k, new Timestamp(baseMs + h * 3600L * 1000), v) }.toDF("k", "h", "v")
+      val out = graft.ext.Interpolate.linear(df, Seq("k"), "h", "v")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getDouble(2), r.getInt(3)))
+      val byKey = obs.groupBy(_._1)
+      // spine density: rows per key == span in hours + 1
+      byKey.foreach { case (k, rows) =>
+        val hrs = rows.map(_._2)
+        assert(out.count(_._1 == k) === hrs.max - hrs.min + 1)
+      }
+      // every observation appears verbatim with filled = 0
+      obs.foreach { case (k, h, v) =>
+        val t = baseMs + h * 3600L * 1000
+        val row = out.find(r => r._1 == k && r._2 == t).get
+        assert(row._3 === v && row._4 === 0)
+      }
+      // every filled cell lies within [min, max] of its key's observations
+      // (linear interpolation between neighbors can't overshoot them)
+      byKey.foreach { case (k, rows) =>
+        val lo = rows.map(_._3).min
+        val hi = rows.map(_._3).max
+        out.filter(r => r._1 == k && r._4 == 1).foreach { r =>
+          assert(r._3 >= lo - 1e-9 && r._3 <= hi + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("incremental agg: any 3-way slicing folds to the full recompute") {
+    val rowsG: Gen[List[(Long, Double)]] = Gen.nonEmptyListOf(
+      for { k <- Gen.choose(1L, 5L); v <- Gen.choose(-1e6, 1e6) } yield (k, v))
+    forAllSeeded(rowsG) { rows =>
+      val full = graft.etl.IncrementalAgg.aggregate(
+        rows.toDF("k", "x"), Seq("k"), Seq("x")).orderBy("k").collect().toSeq
+      val (c1, c2) = (rows.length / 3, 2 * rows.length / 3)
+      val s0 = graft.etl.IncrementalAgg.aggregate(
+        rows.take(c1).toDF("k", "x"), Seq("k"), Seq("x"))
+      val folded = graft.etl.IncrementalAgg.update(
+        graft.etl.IncrementalAgg.update(s0,
+          rows.slice(c1, c2).toDF("k", "x"), Seq("k"), Seq("x")),
+        rows.drop(c2).toDF("k", "x"), Seq("k"), Seq("x"))
+        .orderBy("k").collect().toSeq
+      // counts/min/max exact; sums to float tolerance (association differs)
+      full.zip(folded).foreach { case (f, g) =>
+        assert(f.getLong(0) === g.getLong(0))
+        assert(f.getLong(1) === g.getLong(1))
+        assert(math.abs(f.getDouble(2) - g.getDouble(2)) <=
+          1e-9 * math.max(1.0, math.abs(f.getDouble(2))))
+        assert(f.getDouble(3) === g.getDouble(3))
+        assert(f.getDouble(4) === g.getDouble(4))
+      }
+    }
+  }
+}
