@@ -273,6 +273,20 @@ object ExtQueries {
         round(avg(col("rms")), 4).as("mean_rms"))
       .orderBy(col("sample_rate").asc_nulls_first)
 
+  /** X7 — deterministic train/val/test split (~80/10/10): assignment by
+    * md5 of the stable document id against hex thresholds — portable
+    * across engines AND runs (no sample() nondeterminism, no shuffle; a
+    * row's split never changes when the corpus grows, which is what
+    * makes downstream eval sets stable). Oracle-checked string-for-string
+    * on the assignment itself, not just the counts. */
+  val x7_split: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        when(md5(col("doc_id").cast("string")) < "cccccccc", "train")
+          .when(md5(col("doc_id").cast("string")) < "e6666666", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
   /** X9 — Bloom-pruned semi join: exact semantics (oracle = plain IN); the
     * fact side dies against a 128 KB bitset of the dim keys before any
     * join machinery runs. */
@@ -572,7 +586,8 @@ object ExtQueries {
     "x2_fuzzy_join" -> x2_fuzzy_join,
     "x4_repetition" -> x4_repetition,
     "x10_orc_roundtrip" -> x10_orc_roundtrip,
-    "x5_audio" -> x5_audio)
+    "x5_audio" -> x5_audio,
+    "x7_split" -> x7_split)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -771,6 +786,12 @@ object ExtQueries {
         |  MAX(l_shipdate) AS ship_max
         | FROM lineitem WHERE l_quantity > 40
         | GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "x7_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccc' THEN 'train'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Shared oracle for the two exact top-k paths: brute-force cosine per

@@ -1225,6 +1225,36 @@ object Queries {
       .orderBy(col("g"))
   }
 
+  /** Q82 — IEEE-754 edge semantics pinned across engines: NaN orders
+    * ABOVE +Infinity in comparisons and MAX (both engines agree — worth
+    * pinning because other engines do not), aggregates over ±Infinity,
+    * and division by zero yielding NULL (the non-ANSI contract both
+    * engines share — NOT Infinity). Outputs are counts/flags and
+    * finite-only extrema so no non-finite value has to survive the hash
+    * protocol itself. */
+  val q82_float_edges: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_orderkey").as("id"),
+        when(col("l_orderkey") % 7 === 0, lit(Double.NaN))
+          .when(col("l_orderkey") % 11 === 0, lit(Double.PositiveInfinity))
+          .when(col("l_orderkey") % 13 === 0, lit(Double.NegativeInfinity))
+          .otherwise(col("l_quantity")).as("v"))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        count_if(isnan(col("v"))).as("n_nan"),
+        count_if(col("v") === lit(Double.PositiveInfinity)).as("n_pinf"),
+        count_if(col("v") === lit(Double.NegativeInfinity)).as("n_ninf"),
+        round(max(when(!isnan(col("v")) &&
+          col("v") =!= lit(Double.PositiveInfinity), col("v"))), 2)
+          .as("max_finite"),
+        count_if(isnan(greatest(col("v"), lit(Double.PositiveInfinity))))
+          .as("n_nan_above_inf"),
+        // ANSI mode (Spark 4 default) makes bare /0 THROW; try_divide is
+        // the error-safe face and returns NULL — matching DuckDB's plain /
+        count_if(try_divide(col("v"), lit(0.0)).isNull).as("n_div0_null"))
+      .orderBy(col("g"))
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -1307,7 +1337,8 @@ object Queries {
     "q78_variant" -> q78_variant,
     "q79_timezone" -> q79_timezone,
     "q80_graph_reach" -> q80_graph_reach,
-    "q81_incremental_agg" -> q81_incremental_agg)
+    "q81_incremental_agg" -> q81_incremental_agg,
+    "q82_float_edges" -> q82_float_edges)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1945,5 +1976,25 @@ object Queries {
         |  ROUND(MAX(o_totalprice), 2) AS max_p,
         |  ROUND(SUM(o_totalprice) / COUNT(*), 4) AS mean_p
         | FROM orders GROUP BY o_custkey % 100 ORDER BY g""",
+    "q82_float_edges" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, l_orderkey AS id,
+        |   CASE WHEN l_orderkey % 7 = 0 THEN CAST('NaN' AS DOUBLE)
+        |        WHEN l_orderkey % 11 = 0 THEN CAST('Infinity' AS DOUBLE)
+        |        WHEN l_orderkey % 13 = 0 THEN CAST('-Infinity' AS DOUBLE)
+        |        ELSE l_quantity END AS v
+        |  FROM lineitem)
+        | SELECT g, COUNT(*) AS cnt,
+        |  CAST(COUNT(*) FILTER (WHERE isnan(v)) AS BIGINT) AS n_nan,
+        |  CAST(COUNT(*) FILTER (WHERE v = CAST('Infinity' AS DOUBLE)) AS BIGINT)
+        |    AS n_pinf,
+        |  CAST(COUNT(*) FILTER (WHERE v = CAST('-Infinity' AS DOUBLE)) AS BIGINT)
+        |    AS n_ninf,
+        |  ROUND(MAX(v) FILTER (WHERE NOT isnan(v)
+        |    AND v <> CAST('Infinity' AS DOUBLE)), 2) AS max_finite,
+        |  CAST(COUNT(*) FILTER (WHERE isnan(greatest(v, CAST('Infinity' AS DOUBLE))))
+        |    AS BIGINT) AS n_nan_above_inf,
+        |  CAST(COUNT(*) FILTER (WHERE v / 0.0 IS NULL) AS BIGINT) AS n_div0_null
+        | FROM v GROUP BY g ORDER BY g""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
