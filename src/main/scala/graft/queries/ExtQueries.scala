@@ -545,7 +545,36 @@ object ExtQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** X0 — the WHOLE training-corpus pipeline as one composed plan, every
+    * stage an engine operator: planted-dup corpus → exact dedup (X1) →
+    * MinHash near-dup removal (X2) → quality + repetition screens (X4/X27)
+    * → deterministic split assignment (X7) → per-split token accounting
+    * (X4). This is the "switch your pipeline to this library" face: the
+    * composition itself is the feature — one lazy plan end to end, no
+    * materialization between stages except the near-dup sketch's own
+    * checkpoint. Tier B (rows-only): the stages are individually
+    * oracle-checked/spec'd; what this adds is their composition. */
+  val x0_pipeline: Q = (s, d) => {
+    val corpus = withPlantedDups(t(s, d, "documents"))
+    val exact = Dedup.exactByContent(corpus, "text", "doc_id")
+    val near = Dedup.dedupNear(exact, "doc_id", "text")
+    val screened = near
+      .withColumn("quality", TextStats.qualityScore(col("text")))
+      .withColumn("rep2", TextStats.dupNgramFraction(col("text"), 2))
+      .filter(col("quality") >= 0.3 && col("rep2") <= 0.2)
+    screened
+      .withColumn("split",
+        when(md5(col("doc_id").cast("string")) < "cccccccc", "train")
+          .when(md5(col("doc_id").cast("string")) < "e6666666", "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextStats.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy(col("split"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "x0_pipeline" -> x0_pipeline,
     "x1_dedup_exact" -> x1_dedup_exact,
     "x1_dedup_exact_rows" -> x1_dedup_exact_rows,
     "x2_minhash_neardup" -> x2_minhash_neardup,
