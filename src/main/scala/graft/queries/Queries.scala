@@ -1255,6 +1255,34 @@ object Queries {
         count_if(try_divide(col("v"), lit(0.0)).isNull).as("n_div0_null"))
       .orderBy(col("g"))
 
+  /** Q83 — point-in-time (PIT) lookup against an interval-validity
+    * dimension: each fact row picks the dimension version whose
+    * [valid_from, valid_to) contains its event time — the feature-store
+    * join that prevents temporal leakage (a fact must never see a
+    * dimension version from its future). Dimension is two SCD2-style
+    * epochs per customer built inline; the join is an equi-join on the
+    * key with the interval containment as residual, dimension broadcast
+    * (per-key version counts are small by construction in any SCD2
+    * history; a giant history would use [[graft.operators.RangeJoin]]'s
+    * binning instead). */
+  val q83_pit_lookup: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val cut = lit("1995-06-01").cast("timestamp")
+    val hist = c.select(col("c_custkey").as("k"),
+        lit("1992-01-01").cast("timestamp").as("vfrom"), cut.as("vto"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .unionByName(c.select(col("c_custkey").as("k"),
+        cut.as("vfrom"), lit(null).cast("timestamp").as("vto"),
+        round(col("c_acctbal") + 1000, 2).as("bal")))
+    val o = t(s, d, "orders")
+    o.join(broadcast(hist),
+        o("o_custkey") === hist("k") && o("o_orderdate") >= hist("vfrom") &&
+          (hist("vto").isNull || o("o_orderdate") < hist("vto")))
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), round(sum(col("bal")), 2).as("bal_sum"))
+      .orderBy(col("y"))
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -1338,7 +1366,8 @@ object Queries {
     "q79_timezone" -> q79_timezone,
     "q80_graph_reach" -> q80_graph_reach,
     "q81_incremental_agg" -> q81_incremental_agg,
-    "q82_float_edges" -> q82_float_edges)
+    "q82_float_edges" -> q82_float_edges,
+    "q83_pit_lookup" -> q83_pit_lookup)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -1996,5 +2025,20 @@ object Queries {
         |    AS BIGINT) AS n_nan_above_inf,
         |  CAST(COUNT(*) FILTER (WHERE v / 0.0 IS NULL) AS BIGINT) AS n_div0_null
         | FROM v GROUP BY g ORDER BY g""",
+    "q83_pit_lookup" ->
+      """WITH hist AS (
+        |  SELECT c_custkey AS k, TIMESTAMP '1992-01-01 00:00:00' AS vfrom,
+        |    TIMESTAMP '1995-06-01 00:00:00' AS vto, ROUND(c_acctbal, 2) AS bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, TIMESTAMP '1995-06-01 00:00:00',
+        |    NULL, ROUND(c_acctbal + 1000, 2)
+        |  FROM customer)
+        | SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS y,
+        |  COUNT(*) AS n, ROUND(SUM(h.bal), 2) AS bal_sum
+        | FROM orders o JOIN hist h
+        |  ON o.o_custkey = h.k AND o.o_orderdate >= h.vfrom
+        |   AND (h.vto IS NULL OR o.o_orderdate < h.vto)
+        | GROUP BY EXTRACT(YEAR FROM o.o_orderdate) ORDER BY y""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
