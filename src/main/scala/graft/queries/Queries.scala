@@ -1283,6 +1283,36 @@ object Queries {
       .orderBy(col("y"))
   }
 
+  /** Q84 — bitwise AGGREGATES (bit_and / bit_or / bit_xor over groups):
+    * the bitmap-accumulation class (feature masks, permission sets)
+    * complementing q45's scalar bit ops. */
+  val q84_bit_agg: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bit_and(col("l_orderkey")).as("and_key"),
+        bit_or(col("l_linenumber").cast("long")).as("or_line"),
+        bit_xor(col("l_partkey")).as("xor_part"))
+      .orderBy(col("l_returnflag"))
+
+  /** Q85 — STRUCT semantics: composite values built in-flight, compared
+    * LEXICOGRAPHICALLY by field order (min/max of a struct ≡ arg-min/max
+    * over the ordered field tuple — the order-by-composite contract),
+    * then projected back to scalars so only primitives hit the hash
+    * protocol. Ties in the rounded first field fall through to the key
+    * field, making the result total. */
+  val q85_struct: Q = (s, d) => {
+    val st = struct(round(col("c_acctbal"), 2).as("bal"),
+      col("c_custkey").as("key"))
+    t(s, d, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(min(st).as("mn"), max(st).as("mx"))
+      .select(col("c_mktsegment"),
+        col("mn.bal").as("min_bal"), col("mn.key").as("min_key"),
+        col("mx.bal").as("max_bal"), col("mx.key").as("max_key"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -1367,7 +1397,9 @@ object Queries {
     "q80_graph_reach" -> q80_graph_reach,
     "q81_incremental_agg" -> q81_incremental_agg,
     "q82_float_edges" -> q82_float_edges,
-    "q83_pit_lookup" -> q83_pit_lookup)
+    "q83_pit_lookup" -> q83_pit_lookup,
+    "q84_bit_agg" -> q84_bit_agg,
+    "q85_struct" -> q85_struct)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -2040,5 +2072,21 @@ object Queries {
         |  ON o.o_custkey = h.k AND o.o_orderdate >= h.vfrom
         |   AND (h.vto IS NULL OR o.o_orderdate < h.vto)
         | GROUP BY EXTRACT(YEAR FROM o.o_orderdate) ORDER BY y""",
+    "q84_bit_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_orderkey) AS BIGINT) AS and_key,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS or_line,
+        |  CAST(bit_xor(l_partkey) AS BIGINT) AS xor_part
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q85_struct" ->
+      """SELECT c_mktsegment,
+        |  m.bal AS min_bal, CAST(m.key AS BIGINT) AS min_key,
+        |  x.bal AS max_bal, CAST(x.key AS BIGINT) AS max_key
+        | FROM (
+        |  SELECT c_mktsegment,
+        |   min({'bal': ROUND(c_acctbal, 2), 'key': c_custkey}) AS m,
+        |   max({'bal': ROUND(c_acctbal, 2), 'key': c_custkey}) AS x
+        |  FROM customer GROUP BY c_mktsegment)
+        | ORDER BY c_mktsegment""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
