@@ -11,7 +11,10 @@ object SparkEntry {
     * Uses the saved-query-3 shape (join + group + distinct count) — the
     * richest of the reference's Athena queries. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.q04_group_distinct(spark, "/root/testdata/sf0.001")
+    // flagship: the composed corpus pipeline (dedup → screens → split →
+    // token accounting), every stage an engine operator — see
+    // ExtQueries.x0_pipeline
+    ExtQueries.x0_pipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
