@@ -47,10 +47,18 @@ object Interpolate {
     val wKey = Window.partitionBy(keys: _*).orderBy(ts)
     df.withColumn("__nh", lead(ts, 1).over(wKey))
       .withColumn("__nv", lead(col(s"`$valueCol`"), 1).over(wKey))
-      // half-open [t, next): the successor emits itself; the LAST
-      // observation (null lead) emits exactly its own timestamp
+      // half-open [t, next): stop at next − 1µs, NOT next − step. The
+      // latter crashes on gaps smaller than the step (Spark refuses a
+      // descending sequence) and under-densifies gaps that are not
+      // step-multiples; the µs bound emits every grid point strictly
+      // below the successor for ANY gap, and degenerates to just [t]
+      // when the successor is closer than one step (off-grid input stays
+      // irregular rather than erroring). The LAST observation (null
+      // lead) emits exactly its own timestamp.
       .withColumn("__gh",
-        explode(sequence(ts, coalesce(col("__nh") - expr(step), ts), expr(step))))
+        explode(sequence(ts,
+          coalesce(col("__nh") - expr("INTERVAL 1 MICROSECOND"), ts),
+          expr(step))))
   }
 
   /** Per-key regular time spine (each key's own [min(time), max(time)]

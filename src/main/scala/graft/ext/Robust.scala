@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * honest cost of exact medians; swap in `approx_percentile(0.5)` via
   * `approxMedians = true` to collapse the screen to one pass when
   * 1%-quantile error is acceptable (it usually is for outlier screens).
+  *
+  * The stats relation is broadcast on the assumption that outlier
+  * screens group by COARSE dimensions (entity types, sources, shards —
+  * thousands of groups, not millions). A high-cardinality key would
+  * make the broadcast itself the problem; drop the `broadcast()` hints
+  * and let AQE pick a shuffled join in that regime.
   */
 object Robust {
 

@@ -55,6 +55,30 @@ class InterpolateSpec extends SparkSpec {
     assert(rows.head.getDouble(2) === 5.5 && rows.head.getInt(3) === 0)
   }
 
+  test("off-grid gaps neither crash nor drop grid cells") {
+    // gap smaller than the step: both observations survive, nothing else
+    val tight = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:20:00"), 2.0)).toDF("k", "h", "v")
+    val gotTight = Interpolate.linear(tight, Seq("k"), "h", "v")
+      .orderBy("h").select(col("h"), col("v")).as[(Timestamp, Double)]
+      .collect().toSeq
+    assert(gotTight === Seq(
+      (ts("2024-01-01 10:00:00"), 1.0), (ts("2024-01-01 10:20:00"), 2.0)))
+    // gap that is not a step multiple: the 11:00 grid cell must still
+    // exist, interpolated at 2/3 of the way to the 11:30 observation
+    val off = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 0.0),
+      (1L, ts("2024-01-01 11:30:00"), 3.0)).toDF("k", "h", "v")
+    val gotOff = Interpolate.linear(off, Seq("k"), "h", "v")
+      .orderBy("h").select(col("h"), col("v"), col("filled"))
+      .as[(Timestamp, Double, Int)].collect().toSeq
+    assert(gotOff === Seq(
+      (ts("2024-01-01 10:00:00"), 0.0, 0),
+      (ts("2024-01-01 11:00:00"), 2.0, 1), // 0 + 3·(3600/5400)
+      (ts("2024-01-01 11:30:00"), 3.0, 0)))
+  }
+
   test("sub-hour step densifies on the finer grid") {
     val obs = Seq(
       (1L, ts("2024-01-01 00:00:00"), 0.0),
