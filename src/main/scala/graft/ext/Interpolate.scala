@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   * twice and shuffles three times; measured 2× slower at sf0.1, and the
   * gap grows with input width. Long gaps explode many rows from one
   * input row, but that work is row-local and splittable by Spark's
-  * generator machinery — no skewed shuffle key appears.
+  * generator machinery — no skewed shuffle key appears. Measured at the
+  * 10× set (local[32]): the FULL events table — 15 k keys, ~1.05 M
+  * hourly observations — densifies to 10.49 M filled rows in ~7 s,
+  * i.e. ~1.5 M output rows/s through the window + explode.
   *
   * Contract: at most one row per (key, time) — run the aggregation that
   * produces the series first (duplicate timestamps make "the" neighbor
