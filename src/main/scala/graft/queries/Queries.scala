@@ -45,7 +45,11 @@ object Queries {
       .groupBy(date_trunc("hour", col("ts")).as("timestamp"))
       .agg(
         min(col("event_id")).as("event_id_min"),
-        round(avg(col("value")), 4).as("value_mean"))
+        // +1e-9 (q44's guard): averages of 2-decimal data are exact
+        // rationals that can land ON a .xxxx5 boundary, where the two
+        // engines' summation orders decide the rounded digit (one row
+        // did exactly that at the 30× set)
+        round(avg(col("value")) + 1e-9, 4).as("value_mean"))
       .orderBy(col("timestamp"))
 
   /** Q03 — join + COUNT(DISTINCT) (J1+A3), saved-query-1 analog
@@ -266,7 +270,8 @@ object Queries {
       measureCols = Seq("value"), byId = true)
     out.select(
         col("ts"), col("user_id_min"), col("ts_min"),
-        round(col("value_mean"), 4).as("value_mean"))
+        // same .xxxx5-boundary guard as q02 (identical avg mechanism)
+        round(col("value_mean") + 1e-9, 4).as("value_mean"))
       .orderBy(col("user_id_min"), col("ts"))
   }
 
@@ -1409,7 +1414,8 @@ object Queries {
         | ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "q02_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS timestamp,
-        | MIN(event_id) AS event_id_min, ROUND(AVG(value), 4) AS value_mean
+        | MIN(event_id) AS event_id_min,
+        | ROUND(AVG(value) + 1e-9, 4) AS value_mean
         | FROM events GROUP BY date_trunc('hour', ts) ORDER BY timestamp""",
     "q03_join_countdistinct" ->
       """SELECT COUNT(DISTINCT c.c_custkey) AS total_customers
@@ -1507,7 +1513,7 @@ object Queries {
     "q21_etl_hourly_by_user" ->
       """SELECT date_trunc('hour', ts) AS ts, MIN(user_id) AS user_id_min,
         | make_timestamp(epoch_ns(MIN(ts)) // 1000) AS ts_min,
-        | ROUND(AVG(value), 4) AS value_mean
+        | ROUND(AVG(value) + 1e-9, 4) AS value_mean
         | FROM events GROUP BY user_id, date_trunc('hour', ts)
         | ORDER BY user_id_min, ts""",
     "q22_cube" ->
