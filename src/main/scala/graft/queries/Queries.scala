@@ -891,14 +891,20 @@ object Queries {
       .select(col("c_custkey").as("k"), col("c_name").as("nm"),
         when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1000)
           .otherwise(col("c_acctbal")).as("bal"))
+      // new keys are NEGATED, not offset: an additive offset collided
+      // with real replica keys at the 100× set, silently violating the
+      // one-row-per-key snapshot precondition (caught as a sort-tie
+      // divergence); -(k+1) is disjoint from real keys at ANY scale-up
       .unionByName(c.filter(col("c_custkey") % 11 === 0)
-        .select((col("c_custkey") + 1000000L).as("k"),
+        .select((-col("c_custkey") - 1L).as("k"),
           col("c_name").as("nm"), lit(-5.0).as("bal")))
     graft.etl.Scd2(hist, snap, Seq("k"),
         lit("2021-06-01 00:00:00").cast("timestamp"))
       .select(col("k"), col("nm"), round(col("bal"), 2).as("bal"),
         col("valid_from"), col("valid_to"))
-      .orderBy(col("k"), col("valid_from"))
+      // bal joins the sort so the order stays total even if a future
+      // fixture change reintroduces (k, valid_from) ties
+      .orderBy(col("k"), col("valid_from"), col("bal"))
   }
 
   /** Q64 — positional explode (the UDTF/table-function class):
@@ -1817,7 +1823,7 @@ object Queries {
         |        ELSE c_acctbal END AS bal
         |  FROM customer WHERE c_custkey % 13 <> 0
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_name, -5.0
+        |  SELECT -c_custkey - 1, c_name, -5.0
         |  FROM customer WHERE c_custkey % 11 = 0),
         | j AS (SELECT h.k AS hk, h.nm AS hnm, h.bal AS hbal,
         |   h.valid_from AS hvf, s.k AS sk, s.nm AS snm, s.bal AS sbal,
@@ -1836,7 +1842,7 @@ object Queries {
         |  SELECT sk, snm, sbal, CAST('2021-06-01' AS TIMESTAMP),
         |    CAST(NULL AS TIMESTAMP)
         |  FROM ch WHERE ps AND (changed OR NOT ph))
-        | ORDER BY k, valid_from""",
+        | ORDER BY k, valid_from, bal""",
     "q64_posexplode" ->
       """SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos, tok FROM (
         |  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
