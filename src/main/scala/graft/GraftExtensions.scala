@@ -15,6 +15,10 @@ import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, SimHash6
   *
   * cosine_sim / dot_product: array<float> vector kernels (X3).
   * minhash_signature(hashes, k) / simhash64(hashes): sketch kernels (X2).
+  *
+  * Also injects the engine's optimizer extension:
+  * [[graft.plans.RangeJoinRewrite]] (conf-gated; inert unless
+  * `spark.graft.rangeJoin.binWidth` is set).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -63,5 +67,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("jaccard_sorted",
         "jaccard_sorted(a, b) - exact Jaccard of two SORTED array<bigint> hash sets"),
       (es: Seq[Expression]) => graft.functions.JaccardSorted(es(0), es(1))))
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -28,6 +28,12 @@ object Sessions {
       appName: String = "graft"): SparkSession = {
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "on") != "off"
     val s = SparkSession.builder()
+      // the engine's own sessions carry its SQL surface natively: injected
+      // functions (cosine_sim, top_k_by, ...) plus the conf-gated
+      // RangeJoinRewrite optimizer rule. Only the FIRST session creation in
+      // a JVM applies extensions (getOrCreate reuses otherwise) — every
+      // main and every spec builds through here, so that is this line.
+      .withExtensions(new graft.GraftExtensions()(_))
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", "32")

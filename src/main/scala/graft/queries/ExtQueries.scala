@@ -573,8 +573,41 @@ object ExtQueries {
       .orderBy(col("split"))
   }
 
+  /** X34 — the range-join optimizer rule (graft.plans.RangeJoinRewrite) on
+    * real tables: plain SQL banding orders by total price into per-nation
+    * windows, NO equi key. Without the rule this exact SQL plans
+    * BroadcastNestedLoopJoin — O(|orders|·|nation|) compares, a
+    * cross-shuffle at cluster scale; with `spark.graft.rangeJoin.binWidth`
+    * set it plans a binned equi-join (shuffle O(rows)). DuckDB answers the
+    * same SQL with its native IEJoin — the oracle pins semantics;
+    * RangeRewriteSpec pins plan + edge cases.
+    *
+    * The result is materialized (localCheckpoint) INSIDE the conf scope:
+    * Spark plans lazily, and the driver's write happens after this
+    * function returns — without the eager step the rule would see an
+    * unset conf and silently fall back to the nested-loop plan. */
+  val x34_range_rule: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    t(s, d, "nation").createOrReplaceTempView("nation")
+    s.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "20000")
+    try {
+      val out = s.sql(
+        """SELECT n_nationkey AS band, count(*) AS n,
+          |  sum(o_totalprice) AS price_sum
+          | FROM orders JOIN nation
+          |   ON o_totalprice >= n_nationkey * 12000.0
+          |  AND o_totalprice <  n_nationkey * 12000.0 + 20000.0
+          | GROUP BY n_nationkey ORDER BY band""".stripMargin)
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin"),
+        "x34: RangeJoinRewrite did not fire — nested-loop join in plan")
+      out.localCheckpoint()
+    } finally s.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
+    "x34_range_rule" -> x34_range_rule,
     "x1_dedup_exact" -> x1_dedup_exact,
     "x1_dedup_exact_rows" -> x1_dedup_exact_rows,
     "x2_minhash_neardup" -> x2_minhash_neardup,
@@ -821,6 +854,13 @@ object ExtQueries {
         |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         | FROM documents ORDER BY doc_id""",
+    "x34_range_rule" ->
+      """SELECT n_nationkey AS band, count(*) AS n,
+        |  sum(o_totalprice) AS price_sum
+        | FROM orders JOIN nation
+        |   ON o_totalprice >= n_nationkey * 12000.0
+        |  AND o_totalprice <  n_nationkey * 12000.0 + 20000.0
+        | GROUP BY n_nationkey ORDER BY band""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Shared oracle for the two exact top-k paths: brute-force cosine per

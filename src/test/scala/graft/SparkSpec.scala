@@ -12,6 +12,8 @@ trait SparkSpec extends AnyFunSuite {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      // same extension surface as Sessions.local (functions + optimizer rule)
+      .withExtensions(new GraftExtensions()(_))
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
