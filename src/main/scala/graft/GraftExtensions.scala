@@ -16,9 +16,10 @@ import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, SimHash6
   * cosine_sim / dot_product: array<float> vector kernels (X3).
   * minhash_signature(hashes, k) / simhash64(hashes): sketch kernels (X2).
   *
-  * Also injects the engine's optimizer extension:
-  * [[graft.plans.RangeJoinRewrite]] (conf-gated; inert unless
-  * `spark.graft.rangeJoin.binWidth` is set).
+  * Also injects the engine's optimizer extensions, both conf-gated and
+  * inert without their conf: [[graft.plans.RangeJoinRewrite]]
+  * (`spark.graft.rangeJoin.binWidth`) and
+  * [[graft.plans.OverlapJoinRewrite]] (`spark.graft.overlapJoin.binWidth`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -68,5 +69,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "jaccard_sorted(a, b) - exact Jaccard of two SORTED array<bigint> hash sets"),
       (es: Seq[Expression]) => graft.functions.JaccardSorted(es(0), es(1))))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    e.injectOptimizerRule(_ => graft.plans.OverlapJoinRewrite)
   }
 }

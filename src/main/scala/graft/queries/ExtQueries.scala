@@ -605,9 +605,62 @@ object ExtQueries {
     } finally s.conf.unset(graft.plans.RangeJoinRewrite.BinWidthKey)
   }
 
+  /** X35 — the overlap-join optimizer rule (graft.plans.OverlapJoinRewrite)
+    * on real tables: supplier balance windows [s_acctbal, s_acctbal+1000]
+    * against customer windows [c_acctbal, c_acctbal+500], overlap
+    * predicate only, NO equi key — the interval-intersection shape that
+    * plans BroadcastNestedLoopJoin without the rule. With
+    * `spark.graft.overlapJoin.binWidth` set it becomes a binned equi-join
+    * with the first-shared-bin dedup residual. DuckDB pins semantics via
+    * IEJoin; OverlapRewriteSpec pins plan + degenerate intervals.
+    *
+    * Same eager-materialization contract as x34: the plan must be built
+    * and executed while the conf is set. */
+  val x35_overlap_rule: Q = (s, d) => {
+    t(s, d, "supplier").createOrReplaceTempView("supplier")
+    t(s, d, "customer").createOrReplaceTempView("customer")
+    s.conf.set(graft.plans.OverlapJoinRewrite.BinWidthKey, "750")
+    try {
+      val out = s.sql(
+        """SELECT s_nationkey AS nk, count(*) AS n,
+          |  round(sum(s_acctbal + c_acctbal) + 1e-9, 2) AS bal_sum
+          | FROM supplier JOIN customer
+          |   ON s_acctbal <= c_acctbal + 500.0
+          |  AND c_acctbal <= s_acctbal + 1000.0
+          | GROUP BY s_nationkey ORDER BY nk""".stripMargin)
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin"),
+        "x35: OverlapJoinRewrite did not fire — nested-loop join in plan")
+      out.localCheckpoint()
+    } finally s.conf.unset(graft.plans.OverlapJoinRewrite.BinWidthKey)
+  }
+
+  /** X36 — corpus-wide line dedup (`ext/LineDedup`): a synthetic web-ish
+    * corpus is built by wrapping every document's text in boilerplate — a
+    * header every doc shares (×500), a promo footer every third doc shares
+    * (×167), and a per-doc unique footer — then lines occurring >100 times
+    * corpus-wide are removed and documents reassembled in line order. The
+    * oracle builds the SAME corpus in SQL and counts LINE TEXT exactly;
+    * the engine counts xxhash64(line) (the 100 TB shuffle shape) — hash
+    * equality proves the hashed plan computes the exact semantics. */
+  val x36_line_dedup: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val corpus = docs.select(col("doc_id"),
+      concat(
+        lit("SHARED HEADER"), lit("\n"),
+        col("text"), lit("\n"),
+        when(col("doc_id") % 3 === 0, lit("PROMO FOOTER"))
+          .otherwise(concat(lit("unique footer "), col("doc_id").cast("string")))
+      ).as("text"))
+    graft.ext.LineDedup.dedupLines(corpus, "doc_id", "text", 100L)
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x34_range_rule" -> x34_range_rule,
+    "x35_overlap_rule" -> x35_overlap_rule,
+    "x36_line_dedup" -> x36_line_dedup,
     "x1_dedup_exact" -> x1_dedup_exact,
     "x1_dedup_exact_rows" -> x1_dedup_exact_rows,
     "x2_minhash_neardup" -> x2_minhash_neardup,
@@ -861,6 +914,27 @@ object ExtQueries {
         |   ON o_totalprice >= n_nationkey * 12000.0
         |  AND o_totalprice <  n_nationkey * 12000.0 + 20000.0
         | GROUP BY n_nationkey ORDER BY band""",
+    "x35_overlap_rule" ->
+      """SELECT s_nationkey AS nk, count(*) AS n,
+        |  round(sum(s_acctbal + c_acctbal) + 1e-9, 2) AS bal_sum
+        | FROM supplier JOIN customer
+        |   ON s_acctbal <= c_acctbal + 500.0
+        |  AND c_acctbal <= s_acctbal + 1000.0
+        | GROUP BY s_nationkey ORDER BY nk""",
+    "x36_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    'SHARED HEADER' || chr(10) || text || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'PROMO FOOTER'
+        |         ELSE 'unique footer ' || CAST(doc_id AS VARCHAR) END AS t
+        |  FROM documents),
+        | arrs AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM corpus),
+        | lines AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+        |                  unnest(arr) AS line FROM arrs),
+        | heavy AS (SELECT line FROM lines GROUP BY line HAVING count(*) > 100)
+        | SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        | FROM lines WHERE line NOT IN (SELECT line FROM heavy)
+        | GROUP BY doc_id ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Shared oracle for the two exact top-k paths: brute-force cosine per

@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[LineDedup]]: corpus-frequent line removal. The oracle query
+  * (x36_line_dedup) pins the happy path against DuckDB; this spec pins the
+  * edges: threshold boundary, all-lines-removed documents, empty lines as
+  * boilerplate, and order restoration with interleaved removals. */
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clean(rows: Seq[(Long, String)], maxOcc: Long): Map[Long, String] =
+    LineDedup.dedupLines(rows.toDF("doc_id", "text"), "doc_id", "text", maxOcc)
+      .as[(Long, String)].collect().toMap
+
+  test("line at exactly the threshold is KEPT; above it removed") {
+    // "twice" occurs 2×, "thrice" 3×
+    val docs = Seq(
+      (1L, "twice\nthrice\nown1"),
+      (2L, "twice\nthrice\nown2"),
+      (3L, "thrice\nown3"))
+    assert(clean(docs, 2L) === Map(
+      1L -> "twice\nown1", 2L -> "twice\nown2", 3L -> "own3"))
+    assert(clean(docs, 3L) === Map(
+      1L -> "twice\nthrice\nown1", 2L -> "twice\nthrice\nown2",
+      3L -> "thrice\nown3"))
+  }
+
+  test("document whose every line is boilerplate disappears") {
+    val docs = Seq(
+      (1L, "spam"), (2L, "spam"), (3L, "spam"),
+      (4L, "spam\nkeep me"))
+    assert(clean(docs, 2L) === Map(4L -> "keep me"))
+  }
+
+  test("empty lines count as lines and get removed when frequent") {
+    // every doc has the \n\n double newline ⇒ "" occurs 3× > 2
+    val docs = Seq(
+      (1L, "a\n\nb"), (2L, "c\n\nd"), (3L, "e\n\nf"))
+    assert(clean(docs, 2L) === Map(1L -> "a\nb", 2L -> "c\nd", 3L -> "e\nf"))
+  }
+
+  test("order restored when removals interleave with survivors") {
+    val boiler = (1 to 5).map(i => (100L + i, "X\nY\nZ"))
+    val doc = Seq((1L, "X\nfirst\nY\nsecond\nZ\nthird"))
+    val out = clean(boiler ++ doc, 4L)
+    assert(out(1L) === "first\nsecond\nthird")
+    assert(!out.contains(101L), "all-boilerplate docs are gone")
+  }
+
+  test("within-document repeats count toward the corpus total") {
+    // "dup" appears 3 times in ONE document — corpus count is 3 > 2
+    val docs = Seq((1L, "dup\na\ndup\nb\ndup"), (2L, "c"))
+    assert(clean(docs, 2L) === Map(1L -> "a\nb", 2L -> "c"))
+  }
+
+  test("lineFrequencies reports exact text counts") {
+    val docs = Seq((1L, "a\nb"), (2L, "a")).toDF("doc_id", "text")
+    val freqs = LineDedup.lineFrequencies(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(freqs === Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("heavy-set anti-join broadcasts (the scale contract)") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val plan = LineDedup.dedupLines(docs, "doc_id", "text", 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast left-anti join:\n$plan")
+  }
+}
