@@ -656,11 +656,50 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** X37 — exact substring dedup (`ext/SpanDedup`) on a corpus where every
+    * fifth document carries the same appended 7-token passage: all its
+    * 5-grams repeat ×100 corpus-wide, so the passage is cut from each
+    * carrier while the unique prose stays. The small synthetic vocabulary
+    * also produces NATURAL duplicated 5-grams across unrelated documents —
+    * deterministic in both engines, so the oracle exercises planted and
+    * organic repetition at once. Engine counts xxhash64(gram) (the scale
+    * shuffle); DuckDB counts gram text exactly. */
+  val x37_span_dedup: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val corpus = docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" COMMON COPIED SENTENCE TOKENS HERE PLUS TWO")))
+        .otherwise(col("text")).as("text"))
+    graft.ext.SpanDedup.dedupSpans(corpus, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+  }
+
+  /** X38 — incremental exact dedup (`ext/IncrementalDedup`): the planted
+    * corpus arrives in three chronological batches (originals <300, the
+    * rest of the originals, then the planted copies), each deduped ONLY
+    * against the accumulated 8-byte-per-doc hash index — history never
+    * rescanned. Because hash equality is transitive, the fold is provably
+    * identical to a full recompute keeping each text's first (batch, id);
+    * the oracle IS that recompute (window over everything). Exact copies
+    * (batch 2) die against batch-0 originals; near copies differ by a
+    * token and survive. */
+  val x38_incremental_dedup: Q = (s, d) => {
+    val corpus = withPlantedDups(t(s, d, "documents")).select("doc_id", "text")
+    val stage = when(col("doc_id") < 300, 0)
+      .when(col("doc_id") < 1000000, 1).otherwise(2)
+    val batches = Seq(0, 1, 2).map(b => corpus.filter(stage === b))
+    graft.ext.IncrementalDedup
+      .foldBatchesExact(s, batches, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x34_range_rule" -> x34_range_rule,
     "x35_overlap_rule" -> x35_overlap_rule,
     "x36_line_dedup" -> x36_line_dedup,
+    "x37_span_dedup" -> x37_span_dedup,
+    "x38_incremental_dedup" -> x38_incremental_dedup,
     "x1_dedup_exact" -> x1_dedup_exact,
     "x1_dedup_exact_rows" -> x1_dedup_exact_rows,
     "x2_minhash_neardup" -> x2_minhash_neardup,
@@ -935,6 +974,52 @@ object ExtQueries {
         | SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         | FROM lines WHERE line NOT IN (SELECT line FROM heavy)
         | GROUP BY doc_id ORDER BY doc_id""",
+    "x37_span_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN text || ' COMMON COPIED SENTENCE TOKENS HERE PLUS TWO'
+        |         ELSE text END AS t
+        |  FROM documents),
+        | toks AS (
+        |  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+        |  FROM (SELECT doc_id, string_split_regex(trim(t), '\s+') AS arr
+        |        FROM corpus)),
+        | grams AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN lead(tok, 4) OVER w IS NOT NULL THEN
+        |      tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |          || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+        |    END AS gram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        | dup AS (SELECT gram FROM grams WHERE gram IS NOT NULL
+        |         GROUP BY gram HAVING count(*) > 1),
+        | cov AS (
+        |  SELECT doc_id, pos, tok,
+        |    max(CASE WHEN gram IN (SELECT gram FROM dup) THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c
+        |  FROM grams)
+        | SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+        | FROM cov WHERE c = 0 GROUP BY doc_id ORDER BY doc_id""",
+    "x38_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' appended' FROM documents
+        |   WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10),
+        | staged AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id < 300 THEN 0
+        |         WHEN doc_id < 1000000 THEN 1 ELSE 2 END AS b
+        |  FROM corpus),
+        | ranked AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY text ORDER BY b, doc_id) AS rn
+        |  FROM staged)
+        | SELECT doc_id, text FROM ranked WHERE rn = 1 ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Shared oracle for the two exact top-k paths: brute-force cosine per
