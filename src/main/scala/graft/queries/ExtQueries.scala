@@ -1002,6 +1002,50 @@ object ExtQueries {
         |  FROM grams)
         | SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
         | FROM cov WHERE c = 0 GROUP BY doc_id ORDER BY doc_id""",
+    // x2_ngram_jaccard upgraded from Tier B (round 5): the inverted-index
+    // plan has FULL recall at any threshold > 0 (a pair with positive
+    // Jaccard shares >= 1 shingle; maxShingleFreq=1000 drops nothing at
+    // this corpus size), so DuckDB's exhaustive O(n^2) pair scan with
+    // exact list intersection is a true oracle for it
+    "x2_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' appended' FROM documents
+        |   WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10),
+        | sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |    END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM corpus)),
+        | pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | SELECT id_a, id_b,
+        |   round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+        | FROM pairs
+        | WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
+        | ORDER BY id_a, id_b""",
+    // x4_chunking upgraded from Tier B (round 5): window starts and sizes
+    // are pure arithmetic on the whitespace token count (stride =
+    // maxTokens - overlap = 28), so the chunk inventory is exactly
+    // SQL-expressible
+    "x4_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents),
+        | w AS (
+        |  SELECT doc_id, n,
+        |    unnest(range(0, CAST(floor((n - 1) / 28) AS BIGINT) + 1)) AS chunk_idx
+        |  FROM t WHERE n > 0)
+        | SELECT doc_id, chunk_idx, least(32, n - chunk_idx * 28) AS chunk_tokens
+        | FROM w ORDER BY doc_id, chunk_idx""",
     "x38_incremental_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
