@@ -693,8 +693,31 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** X2 infrastructure oracle (round 5) — the DISTRIBUTED
+    * connected-components path (min-label propagation), which normally
+    * only runs beyond `driverEdgeLimit` edges and was Tier-B-covered
+    * until now. A deterministic chain+star graph is built from customer
+    * keys by arithmetic (5-node chains every 10 keys; a 5-leaf star onto
+    * each century hub, welding two shapes into one 10-node component of
+    * diameter 5), `driverEdgeLimit = 0` forces the distributed loop, and
+    * DuckDB's recursive transitive closure (min reachable id per node) is
+    * the oracle. */
+  val x2_components: Q = (s, d) => {
+    val c = t(s, d, "customer").select(col("c_custkey"))
+    val chain = c.filter(col("c_custkey") % 10 < 4)
+      .select(col("c_custkey").as("id_a"), (col("c_custkey") + 1).as("id_b"))
+    val star = c.filter(col("c_custkey") % 100 >= 95)
+      .select(col("c_custkey").as("id_a"),
+        (col("c_custkey") - col("c_custkey") % 100).as("id_b"))
+    graft.ext.Dedup.connectedComponents(
+        chain.unionByName(star), maxIter = 10, driverEdgeLimit = 0L)
+      .select(col("id"), col("cluster"))
+      .orderBy("id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
+    "x2_components" -> x2_components,
     "x34_range_rule" -> x34_range_rule,
     "x35_overlap_rule" -> x35_overlap_rule,
     "x36_line_dedup" -> x36_line_dedup,
@@ -1002,6 +1025,21 @@ object ExtQueries {
         |  FROM grams)
         | SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
         | FROM cov WHERE c = 0 GROUP BY doc_id ORDER BY doc_id""",
+    "x2_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT c_custkey AS a, c_custkey + 1 AS b FROM customer
+        |   WHERE c_custkey % 10 < 4
+        |  UNION ALL
+        |  SELECT c_custkey, c_custkey - (c_custkey % 100) FROM customer
+        |   WHERE c_custkey % 100 >= 95),
+        | sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        | nodes AS (SELECT DISTINCT a AS id FROM sym),
+        | reach(src, node) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a)
+        | SELECT src AS id, min(node) AS cluster
+        | FROM reach GROUP BY src ORDER BY id""",
     // x2_ngram_jaccard upgraded from Tier B (round 5): the inverted-index
     // plan has FULL recall at any threshold > 0 (a pair with positive
     // Jaccard shares >= 1 shingle; maxShingleFreq=1000 drops nothing at
