@@ -121,6 +121,18 @@ object PlanCheck {
       if (!ok) println(s.linesIterator.take(40).mkString("\n"))
     }
 
+    check("x36_line_dedup", "heavy-line removal is a broadcast anti-join; no cartesian")(p =>
+      p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
+        !p.contains("CartesianProduct"))
+    check("x37_span_dedup", "dup-gram probe broadcast; windows reuse one per-doc partitioning (≤2 hash exchanges)")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 2)
+    check("x2_components", "distributed label propagation: equi-joins only, no cartesian")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // x34/x35 (optimizer-rule rewrites) assert the absence of the
+    // nested-loop join INSIDE the query itself — the conf must be set at
+    // plan time, which only the query closure controls.
+
     // full plans for the record
     Seq("q06_multi_agg", "q07_dim_joins", "q05_window_topk").foreach { n =>
       println(s"\n===== $n =====")

@@ -20,16 +20,19 @@ import org.apache.spark.sql.functions._
   * convention as [[LineDedup]]'s all-boilerplate case).
   *
   * Plan shape (the 100 TB contract — no suffix arrays, no self-joins):
-  *   1. one `posexplode` to (doc, pos, token);
-  *   2. k-grams by `lead` over (doc, pos) windows — row-local after one
-  *      per-doc sort, no shuffle beyond the doc partitioning;
-  *   3. duplicated-gram set by counting `xxhash64(gram)` — 8 bytes per
+  *   1. (token, k-gram) pairs built ROW-LOCALLY by array slicing inside
+  *      one `posexplode` — gram construction costs no shuffle and no
+  *      per-document sort (an earlier draft used `lead` windows, which
+  *      re-sorted the whole corpus by document twice; PlanCheck now pins
+  *      the ≤2-exchange shape);
+  *   2. duplicated-gram set by counting `xxhash64(gram)` — 8 bytes per
   *      gram on the count shuffle, map-side combine first; the dup set is
   *      the tail above count≥2, BROADCAST back (repeated passages are
   *      rare relative to corpus grams);
-  *   4. coverage = `max(isDupStart) OVER (doc ROWS k-1 PRECEDING)` —
-  *      reuses the step-2 partitioning, nothing new shuffles;
-  *   5. reassembly: one groupBy(doc) of surviving tokens in order.
+  *   3. coverage = `max(isDupStart) OVER (doc ROWS k-1 PRECEDING)` — the
+  *      plan's ONLY doc-partitioned exchange;
+  *   4. reassembly: one groupBy(doc) of surviving tokens, reusing the
+  *      window's partitioning.
   *
   * Hashed counting has the same collision caveat as [[LineDedup]]
   * (documented there); the oracle query (x37_span_dedup) pins the hashed
@@ -56,16 +59,26 @@ object SpanDedup {
     require(minCount >= 1, "minCount must be >= 1")
 
     val byPos = Window.partitionBy(idCol).orderBy("__pos")
-    val toks = docs.select(
-      col(idCol),
-      posexplode(TextStats.tokens(col(textCol))).as(Seq("__pos", "__tok")))
 
-    // k-gram starting at each position; null once lead runs off the end
-    val gram = concat_ws(" ",
-      (col("__tok") +: (1 until k).map(i => lead(col("__tok"), i).over(byPos))): _*)
-    val withGram = toks.withColumn("__gram",
-      when((1 until k).map(i => lead(col("__tok"), i).over(byPos).isNotNull)
-        .reduce(_ && _), gram))
+    // (token, k-gram-starting-here) built row-local from the token array:
+    // gram is null once the window would run off the end (and for every
+    // position of a below-resolution document)
+    import graft.functions.ColumnOps.letCol
+    val entries = letCol(TextStats.tokens(col(textCol))) { toks =>
+      when(size(toks) === 0,
+        array().cast("array<struct<t:string,g:string>>"))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - 1),
+          i => struct(
+            element_at(toks, i + 1).as("t"),
+            when(i <= size(toks) - k,
+              concat_ws(" ", slice(toks, i + 1, lit(k)))).as("g"))))
+    }
+    val withGram = docs.select(
+        col(idCol), posexplode(entries).as(Seq("__pos", "__e")))
+      .select(col(idCol), col("__pos"),
+        col("__e").getField("t").as("__tok"),
+        col("__e").getField("g").as("__gram"))
 
     val dup = withGram.filter(col("__gram").isNotNull)
       .groupBy(xxhash64(col("__gram")).as("__gh"))
