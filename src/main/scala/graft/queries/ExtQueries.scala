@@ -715,9 +715,28 @@ object ExtQueries {
       .orderBy("id")
   }
 
+  /** X39 — damped PageRank (`ext/Rank`), 3 iterations over the
+    * customer→supplier purchase graph (edge weight = line count). The
+    * oracle unrolls the identical recurrence as SQL CTEs, so this pins
+    * the engine's iterative numeric fixpoint arithmetic end-to-end —
+    * init, damping, weighted inflow normalization, and the
+    * no-inflow-node base-rank branch — not just "some ranking". */
+  val x39_pagerank: Q = (s, d) => {
+    val orders = t(s, d, "orders")
+    val li = t(s, d, "lineitem")
+    val edges = orders
+      .join(li, orders("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.ext.Rank.pageRank(edges, iterations = 3, damping = 0.85)
+      .select(col("id"), round(col("rank") + lit(1e-12), 9).as("rank"))
+      .orderBy("id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x2_components" -> x2_components,
+    "x39_pagerank" -> x39_pagerank,
     "x34_range_rule" -> x34_range_rule,
     "x35_overlap_rule" -> x35_overlap_rule,
     "x36_line_dedup" -> x36_line_dedup,
@@ -1025,6 +1044,41 @@ object ExtQueries {
         |  FROM grams)
         | SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
         | FROM cov WHERE c = 0 GROUP BY doc_id ORDER BY doc_id""",
+    "x39_pagerank" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS src, l_suppkey AS dst,
+        |         CAST(count(*) AS DOUBLE) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        | ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+        | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        | nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        | r0 AS (SELECT id, 1.0 / n AS r FROM nodes, nn),
+        | r1 AS (
+        |  SELECT nd.id,
+        |    0.15 / MAX(nn.n) + 0.85 * COALESCE(SUM(p.r * e.w / o.ow), 0) AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN e ON e.dst = nd.id
+        |  LEFT JOIN r0 p ON p.id = e.src
+        |  LEFT JOIN ow o ON o.src = e.src
+        |  GROUP BY nd.id),
+        | r2 AS (
+        |  SELECT nd.id,
+        |    0.15 / MAX(nn.n) + 0.85 * COALESCE(SUM(p.r * e.w / o.ow), 0) AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN e ON e.dst = nd.id
+        |  LEFT JOIN r1 p ON p.id = e.src
+        |  LEFT JOIN ow o ON o.src = e.src
+        |  GROUP BY nd.id),
+        | r3 AS (
+        |  SELECT nd.id,
+        |    0.15 / MAX(nn.n) + 0.85 * COALESCE(SUM(p.r * e.w / o.ow), 0) AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN e ON e.dst = nd.id
+        |  LEFT JOIN r2 p ON p.id = e.src
+        |  LEFT JOIN ow o ON o.src = e.src
+        |  GROUP BY nd.id)
+        | SELECT id, round(r + 1e-12, 9) AS rank FROM r3 ORDER BY id""",
     "x2_components" ->
       """WITH RECURSIVE e AS (
         |  SELECT c_custkey AS a, c_custkey + 1 AS b FROM customer
