@@ -558,7 +558,11 @@ object ExtQueries {
     val corpus = withPlantedDups(t(s, d, "documents"))
     val exact = Dedup.exactByContent(corpus, "text", "doc_id")
     val near = Dedup.dedupNear(exact, "doc_id", "text")
-    val screened = near
+    // round 5: the within-text cleaning passes join the flagship — line
+    // boilerplate first (coarse), then repeated >=8-token passages (fine)
+    val lineClean = graft.ext.LineDedup.dedupLines(near, "doc_id", "text", 100L)
+    val spanClean = graft.ext.SpanDedup.dedupSpans(lineClean, "doc_id", "text", k = 8)
+    val screened = spanClean
       .withColumn("quality", TextStats.qualityScore(col("text")))
       .withColumn("rep2", TextStats.dupNgramFraction(col("text"), 2))
       .filter(col("quality") >= 0.3 && col("rep2") <= 0.2)
