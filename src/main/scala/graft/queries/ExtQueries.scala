@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, NgramJaccard, Similarity, SimHash, Skew, TextStats}
+import graft.ext.{Dedup, Multimodal, NgramJaccard, SemDedup, Similarity, SimHash, Skew, TextStats}
 
 /** Extension-operator queries (SURVEY §2.8 X1–X5): the training-data-pipeline
   * surface. Oracle-checkable entries (portable SQL) are in [[oracleSql]];
@@ -719,6 +719,24 @@ object ExtQueries {
       .orderBy("id")
   }
 
+  /** X40 — SemDeDup (`ext/SemDedup`): cluster-blocked semantic dedup.
+    * Exact copies of vec_id < 10 are planted at +1,000,000; the centroid
+    * set is the first 8 corpus vectors VERBATIM (no Lloyd iterations), so
+    * the oracle replicates the nearest-centroid assignment exactly — both
+    * engines arg-max the same double-accumulated cosine with ties to the
+    * smaller centroid id, form pairs only inside one cluster, and take
+    * min-id survivors of the duplicate components (recursive closure on
+    * the DuckDB side). Output is the full surviving id set. */
+  val x40_semdedup: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+    val cents = emb.filter(col("vec_id") < 8)
+    SemDedup.dedup(planted, cents, threshold = 0.95)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
   /** X39 — damped PageRank (`ext/Rank`), 3 iterations over the
     * customer→supplier purchase graph (edge weight = line count). The
     * oracle unrolls the identical recurrence as SQL CTEs, so this pins
@@ -741,6 +759,7 @@ object ExtQueries {
     "x0_pipeline" -> x0_pipeline,
     "x2_components" -> x2_components,
     "x39_pagerank" -> x39_pagerank,
+    "x40_semdedup" -> x40_semdedup,
     "x34_range_rule" -> x34_range_rule,
     "x35_overlap_rule" -> x35_overlap_rule,
     "x36_line_dedup" -> x36_line_dedup,
@@ -836,6 +855,38 @@ object ExtQueries {
         | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |     CAST(b.embedding AS DOUBLE[])) >= 0.95
         | ORDER BY id_a, id_b""",
+    // SemDeDup with verbatim-corpus centroids: assignment, within-cluster
+    // edges, and component closure are all exactly SQL-expressible (same
+    // double cosine arithmetic both engines; tie-break on centroid id).
+    "x40_semdedup" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+        |   WHERE vec_id < 10),
+        | cents AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        | assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT c.vec_id, c.v, k.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.v, k.cv) DESC, k.cid) AS rn
+        |    FROM corpus c CROSS JOIN cents k) t WHERE rn = 1),
+        | edges AS (
+        |  SELECT a.vec_id AS ea, b.vec_id AS eb
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
+        | sym AS (SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges),
+        | reach(src, node) AS (
+        |  SELECT ea, ea FROM sym
+        |  UNION
+        |  SELECT r.src, s.eb FROM reach r JOIN sym s ON r.node = s.ea),
+        | labels AS (SELECT src AS id, MIN(node) AS cluster FROM reach GROUP BY src)
+        | SELECT vec_id FROM corpus
+        | WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
+        | ORDER BY vec_id""",
     // Bloom pruning is exact by construction (no false negatives +
     // residual semi join) — the oracle is the plain IN-subquery.
     "x9_bloom_semi" ->
