@@ -55,6 +55,14 @@ object Sessions {
       // the author knows the true post-filter cardinality; the estimator
       // does not.
       .config("spark.sql.session.timeZone", "UTC")
+      // Parquet timestamps WITHOUT isAdjustedToUTC (plain `timestamp[us]`,
+      // what pandas/pyarrow write by default) read as TIMESTAMP_NTZ under
+      // Spark 4's default inference. The engine's contract is
+      // instant-semantics UTC throughout (session TZ above, mirroring the
+      // reference's tz=utc transform), and the DuckDB oracle reads the same
+      // files as naive-UTC TIMESTAMP — so pin inference to TimestampType.
+      // Wall-clock values are identical under UTC; this only picks the type.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -67,9 +67,16 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/events.parquet")
     // Only ns-encoded files surface as LongType under nanosAsLong; a µs/ms
     // timestamp column reads natively and needs no conversion.
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    } else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // a session that kept NTZ inference on would surface untagged µs
+      // files as TIMESTAMP_NTZ; the engine contract is instants (UTC), and
+      // under the pinned UTC session TZ the cast is value-identical
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view (the engine's "catalog"),
