@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorFunctions.cosineSim
 
@@ -23,21 +24,26 @@ import graft.functions.VectorFunctions.cosineSim
   * equidistant to two).
   *
   * Scale story (100 TB):
-  *  - assignment is one scan; the production path is
-  *    [[Ivf.assign]]'s codegen'd TopCentroids kernel. [[assignExact]]
-  *    here instead broadcasts the k-row centroid table and arg-maxes an
-  *    exact double-accumulated cosine ([[graft.functions.CosineSimilarity]])
-  *    so the assignment is bit-reproducible against an independent engine —
-  *    that is what lets the whole operator be ORACLE-checked (TopCentroids
-  *    accumulates float products; its last-ulp ties are fine for IVF
-  *    probing but not for a cross-engine equality contract);
+  *  - assignment is one scan. The ORACLE face uses [[assignExact]]
+  *    (broadcast k-row centroid table, exact double-accumulated cosine
+  *    arg-max — bit-reproducible against an independent engine, which is
+  *    what lets the operator be oracle-checked). The PRODUCTION face
+  *    passes an `assign` hook — [[pairs]]/[[dedup]] accept any
+  *    corpus ⇒ corpus+`cluster` function, e.g. [[Ivf.assign]]'s codegen'd
+  *    TopCentroids kernel — so the N×k crossJoin+window of the oracle
+  *    face never appears in a production plan (see SemDedupSpec's plan
+  *    assertion);
   *  - the within-cluster self-join shuffles once on cluster id; cost is
   *    Σ|cluster|², so pick k ≈ N / targetClusterSize (SemDeDup uses ~10k
   *    clusters for 100 M docs). A skewed cluster is handled IN CODE, not
   *    by advice: [[pairs]] caps exact blocking at `maxClusterSize` and
   *    routes oversized clusters through identity-collapse + in-cluster
-  *    LSH (see its scaladoc) so one mega-cluster can never degenerate the
-  *    pass to all-pairs;
+  *    LSH with per-bucket occupancy caps (see its scaladoc), bounding the
+  *    candidate volume of literal-repeat skew completely and of
+  *    near-identical-noise skew to `bucketCap`² per bucket;
+  *  - the assignment is persisted (MEMORY_AND_DISK): it feeds the size
+  *    tag plus the small/big branches, and without the persist every
+  *    downstream action would recompute the assignment scan;
   *  - component merge collects only the EDGE set (duplicates above a high
   *    cosine threshold — tiny), not the corpus (see
   *    [[Dedup.connectedComponents]]'s driver/distributed switch).
@@ -51,7 +57,12 @@ object SemDedup {
 
   /** Corpus plus a `cluster` column: nearest centroid by EXACT
     * double-accumulated cosine, ties broken toward the smallest centroid
-    * id. Centroids `(cidCol, vecCol)` are broadcast (k rows). */
+    * id. Centroids `(cidCol, vecCol)` are broadcast (k rows).
+    *
+    * ORACLE face only — the N×k crossJoin + per-id window makes the
+    * assignment bit-reproducible for a cross-engine equality contract but
+    * is the dominant cost at corpus scale. Production callers pass
+    * [[pairs]]/[[dedup]] an `assign` hook ([[Ivf.assign]]) instead. */
   def assignExact(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cidCol: String = "vec_id"): DataFrame = {
@@ -66,6 +77,16 @@ object SemDedup {
       .drop("__cid", "__cvec", "__rn")
   }
 
+  /** `assign` hook for the production path: nearest-centroid assignment
+    * through [[Ivf]]'s codegen'd TopCentroids kernel (one map-only scan,
+    * no join, no window). Recall caveat vs [[assignExact]]: float-sum
+    * last-ulp ties can assign a vector sitting exactly between two
+    * centroids to either — irrelevant for dedup blocking. */
+  def assignIvf(model: Ivf.Model, vecCol: String = "embedding")
+      : DataFrame => DataFrame =
+    corpus => Ivf.assign(corpus, model, vecCol)
+      .withColumn("cluster", col("list_id")).drop("list_id")
+
   /** Within-cluster near-dup edges: (id_a, id_b, cosine) with
     * id_a < id_b and exact cosine >= threshold.
     *
@@ -79,27 +100,53 @@ object SemDedup {
     *     array — the degenerate corpora that CAUSE mega-clusters are
     *     dominated by literal repeats): each identity group emits
     *     |group|−1 star edges to its min-id member, never |group|²/2
-    *     pairs, and only the min-id representative goes on;
+    *     pairs, and only the min-id representative goes on. Star edges
+    *     are verified by EXACT VECTOR EQUALITY against the
+    *     representative's actual vector (carried by the same ordered
+    *     window that picks the representative), so an xxhash64 collision
+    *     inside a cluster can never merge unrelated vectors. Identity is
+    *     strictly stronger than any cosine threshold ≤ 1, so identical
+    *     vectors — INCLUDING all-zero embeddings, whose cosine is
+    *     undefined (NaN) and which the cosine filter would silently
+    *     drop — always form an edge; their `cosine` is emitted as 1.0 by
+    *     definition. (Pinned contract: byte-identical ⇒ duplicate,
+    *     regardless of whether the cosine is numerically defined.) A
+    *     collided row (same hash, different bytes) forms no false edge
+    *     and simply stays put — the ~2⁻⁶⁴-per-pair recall loss is the
+    *     documented cost of collision safety;
     *  2. the representatives pair up through multi-table sign-hash LSH
     *     buckets *within* the cluster ([[Similarity.lshTableBuckets]] —
-    *     same kernel as the corpus-wide X2/X3 paths), so candidate
-    *     volume is Σ per-bucket occupancy², not |cluster|².
+    *     same kernel as the corpus-wide X2/X3 paths), with per-bucket
+    *     occupancy capped at `bucketCap` (row_number by id inside each
+    *     (cluster, bucket)): candidate volume is bounded by
+    *     Σ min(occupancy, bucketCap)² even when a mega-cluster of
+    *     near-identical-but-not-byte-identical vectors lands every
+    *     representative in the SAME bucket of every table. LSH-path
+    *     candidates are verified by the same exact cosine >= threshold
+    *     filter as the small-cluster path.
     *
-    * Both steps verify candidates with the same exact cosine >= threshold
-    * filter as the small-cluster path, so edges that do form are identical
-    * in kind; what the guard trades away is recall on non-identical pairs
-    * whose vectors land in no common bucket — the standard LSH
-    * approximation, confined to clusters that exceed the cap. Clusters at
-    * or under `maxClusterSize` keep the exact SemDeDup contract
-    * bit-for-bit (the oracle face never crosses the cap). */
+    * What the guard trades away, precisely: recall on non-identical pairs
+    * whose vectors share no common bucket, and on pairs beyond the
+    * occupancy cap — the standard LSH approximation, confined to clusters
+    * that exceed the cap. Clusters at or under `maxClusterSize` keep the
+    * exact SemDeDup contract bit-for-bit (the oracle face never crosses
+    * the cap).
+    *
+    * @param assign optional production assignment hook (corpus ⇒ corpus
+    *   plus `cluster` column, e.g. [[assignIvf]]); None = [[assignExact]]
+    *   (the oracle face). */
   def pairs(corpus: DataFrame, centroids: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cidCol: String = "vec_id",
       maxClusterSize: Int = 1 << 16,
       lshBits: Int = 8, lshTables: Int = 4, lshSeed: Long = 42,
-      lshDim: Int = 64): DataFrame = {
-    val assigned = assignExact(corpus, centroids, idCol, vecCol, cidCol)
+      lshDim: Int = 64, bucketCap: Int = 1024,
+      assign: Option[DataFrame => DataFrame] = None): DataFrame = {
+    val assigned = assign.map(_(corpus))
+      .getOrElse(assignExact(corpus, centroids, idCol, vecCol, cidCol))
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cluster"))
+      // one assignment scan total: feeds the size tag + both branches
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // cluster-size tag: one row per centroid (k rows — always broadcastable)
     val sizes = assigned.groupBy(col("cluster"))
       .agg(count(lit(1)).as("__csize"))
@@ -125,30 +172,49 @@ object SemDedup {
     // (64-way parallel even for a single billion-row identity group), and
     // the ≤64 sub-reps per group link to the global min. Connected
     // components only need connectivity — star shape is irrelevant.
+    // Each level's ordered running window carries BOTH the representative
+    // id and its actual vector, so the identity check below compares the
+    // member to the real representative (never to itself).
     val saltBuckets = 64
     val big = tagged.filter(col("__csize") > maxClusterSize).drop("__csize")
       .withColumn("__vh", xxhash64(col("vec")))
       .withColumn("__salt", pmod(xxhash64(col("id")), lit(saltBuckets)))
+    // star edges exist iff identical vectors are duplicates under the
+    // caller's threshold — true for any threshold <= 1 (cosine's range)
+    val thresholdAdmitsIdentity = lit(threshold <= 1.0)
+    def starEdges(grouped: DataFrame, repCol: String, repVecCol: String)
+        : DataFrame = grouped
+      .filter(col("id") =!= col(repCol))
+      .filter(col("vec") === col(repVecCol) && thresholdAdmitsIdentity)
+      .select(col(repCol).as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("cosine"))
     val wSub = Window.partitionBy(col("cluster"), col("__vh"), col("__salt"))
-    val subGrouped = big.withColumn("__srep", min(col("id")).over(wSub))
-    val subStarEdges = verified(
-      subGrouped.filter(col("id") =!= col("__srep"))
-        .select(col("__srep").as("id_a"), col("id").as("id_b"),
-          col("vec").as("va"), col("vec").as("vb")))
+      .orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val subGrouped = big
+      .withColumn("__srep", first(col("id")).over(wSub))
+      .withColumn("__srepVec", first(col("vec")).over(wSub))
+    val subStarEdges = starEdges(subGrouped, "__srep", "__srepVec")
     val subReps = subGrouped.filter(col("id") === col("__srep"))
       .select(col("cluster"), col("__vh"), col("id"), col("vec"))
     val wIdent = Window.partitionBy(col("cluster"), col("__vh"))
-    val grouped = subReps.withColumn("__rep", min(col("id")).over(wIdent))
-    val topStarEdges = verified(
-      grouped.filter(col("id") =!= col("__rep"))
-        .select(col("__rep").as("id_a"), col("id").as("id_b"),
-          col("vec").as("va"), col("vec").as("vb")))
-    val starEdges = subStarEdges.unionByName(topStarEdges)
+      .orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grouped = subReps
+      .withColumn("__rep", first(col("id")).over(wIdent))
+      .withColumn("__repVec", first(col("vec")).over(wIdent))
+    val topStarEdges = starEdges(grouped, "__rep", "__repVec")
+    val allStarEdges = subStarEdges.unionByName(topStarEdges)
     val reps = grouped.filter(col("id") === col("__rep"))
       .select(col("cluster"), col("id"), col("vec"))
+    val wBucket = Window.partitionBy(col("cluster"), col("bucket"))
+      .orderBy(col("id"))
     val bucketed = reps.select(col("cluster"), col("id"), col("vec"),
       explode(Similarity.lshTableBuckets(
         col("vec"), lshDim, lshBits, lshTables, lshSeed)).as("bucket"))
+      .withColumn("__occ", row_number().over(wBucket))
+      .filter(col("__occ") <= bucketCap)
+      .drop("__occ")
     val ba = bucketed.as("a")
     val bb = bucketed.as("b")
     val lshEdges = verified(
@@ -158,17 +224,24 @@ object SemDedup {
           col("a.vec").as("va"), col("b.vec").as("vb"))
         .dropDuplicates("id_a", "id_b"))
 
-    exactEdges.unionByName(starEdges).unionByName(lshEdges)
+    exactEdges.unionByName(allStarEdges).unionByName(lshEdges)
   }
 
   /** Full semantic dedup: drop every non-representative member of each
     * within-cluster duplicate component; keep all corpus columns.
-    * `maxClusterSize` is the skew guard documented on [[pairs]]. */
+    * `maxClusterSize` is the skew guard documented on [[pairs]]; the
+    * `lsh*`/`bucketCap` knobs tune its oversized-cluster LSH stage
+    * (`lshDim` should be the embedding dimension — the default 64
+    * projects onto the first min(dim, 64) components); `assign` is the
+    * production assignment hook ([[assignIvf]]). */
   def dedup(corpus: DataFrame, centroids: DataFrame, threshold: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      cidCol: String = "vec_id", maxClusterSize: Int = 1 << 16): DataFrame = {
+      cidCol: String = "vec_id", maxClusterSize: Int = 1 << 16,
+      lshBits: Int = 8, lshTables: Int = 4, lshSeed: Long = 42,
+      lshDim: Int = 64, bucketCap: Int = 1024,
+      assign: Option[DataFrame => DataFrame] = None): DataFrame = {
     val edges = pairs(corpus, centroids, threshold, idCol, vecCol, cidCol,
-      maxClusterSize)
+      maxClusterSize, lshBits, lshTables, lshSeed, lshDim, bucketCap, assign)
     val losers = Dedup.connectedComponents(edges)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))

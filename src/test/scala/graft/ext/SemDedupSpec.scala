@@ -78,4 +78,95 @@ class SemDedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(labels(3L) === 1L && labels(6L) === 4L)
   }
+
+  // ---- skew guard (oversized-cluster path) ----
+
+  /** N byte-identical copies of e1 — the degenerate mega-cluster the guard
+    * exists for (every row lands in cluster 10). */
+  private def degenerate(n: Int, zero: Boolean = false): DataFrame = {
+    val v: Seq[Float] =
+      if (zero) Seq(0.0f, 0.0f, 0.0f, 0.0f) else Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    (1 to n).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+  }
+
+  test("guard: degenerate identical mega-cluster completes with O(N) edges") {
+    val n = 100
+    val p = SemDedup.pairs(degenerate(n), cents, threshold = 0.95,
+      maxClusterSize = 4)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    // two-level identity star: exactly N-1 edges, never N^2/2 pairs
+    assert(p.length === n - 1)
+    assert(p.forall { case (a, b) => a < b })
+    // all N collapse to the min-id survivor
+    val kept = SemDedup.dedup(degenerate(n), cents, threshold = 0.95,
+      maxClusterSize = 4).select(col("vec_id")).as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+  }
+
+  test("guard: all-zero embeddings (NaN cosine) still collapse by identity") {
+    // pinned contract: byte-identical => duplicate even where cosine is
+    // undefined; the star edge is verified by vector equality, not cosine
+    val kept = SemDedup.dedup(degenerate(50, zero = true), cents,
+      threshold = 0.95, maxClusterSize = 4)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+  }
+
+  test("guard: survivors match the exact path where both are feasible") {
+    // corpus + byte-identical copies (7 of 1, 8 of 4): cap=2 forces BOTH
+    // clusters through the guarded path; cap=1<<16 keeps the exact path
+    val dup = corpus.union(Seq(
+      (7L, vec(0, 0.00f)), (8L, vec(1, 0.00f))).toDF("vec_id", "embedding"))
+    def survivors(cap: Int): Set[Long] =
+      SemDedup.dedup(dup, cents, threshold = 0.99, maxClusterSize = cap,
+        lshDim = 4)
+        .select(col("vec_id")).as[Long].collect().toSet
+    val exact = survivors(1 << 16)
+    val guarded = survivors(2)
+    assert(exact === Set(1L, 3L, 4L, 6L))
+    assert(guarded === exact)
+    // and the guarded edge set still respects the id_a < id_b contract
+    val p = SemDedup.pairs(dup, cents, threshold = 0.99, maxClusterSize = 2,
+      lshDim = 4).select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    assert(p.forall { case (a, b) => a < b })
+  }
+
+  test("guard: bucketCap bounds a near-identical (non-byte-equal) mega-cluster") {
+    // every vector unique bytes, all within cos>=0.999 of e1: identity
+    // collapse keeps all 40 as reps; every rep lands in the same LSH
+    // bucket of every table, so without the cap the bucket join would be
+    // |reps|^2. bucketCap=8 bounds candidates; survivors stay bounded too.
+    val jitter = (1 to 40).map { i =>
+      (i.toLong, Seq(1.0f, 0.0f, 0.0f, i.toFloat * 1e-5f))
+    }.toDF("vec_id", "embedding")
+    val p = SemDedup.pairs(jitter, cents, threshold = 0.999,
+      maxClusterSize = 4, lshDim = 4, bucketCap = 8)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    // per table: C(8,2)=28 pairs max; 4 tables, same first-8-by-id occupants
+    // => <=28 distinct pairs after dedup, never C(40,2)=780
+    assert(p.nonEmpty && p.length <= 28)
+    assert(p.forall { case (a, b) => a < b && a <= 8 && b <= 8 })
+  }
+
+  test("production assignment hook: no crossJoin in the plan, same result") {
+    val model = Ivf.Model(Seq(
+      Seq(1.0f, 0.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+    // plan contract is on pairs(): dedup() resolves components eagerly, so
+    // its returned frame no longer carries the assignment subtree
+    val plan = SemDedup.pairs(corpus, cents, threshold = 0.99,
+      assign = Some(SemDedup.assignIvf(model)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the persisted single assignment scan is what the branches read
+    assert(plan.contains("InMemoryTableScan"))
+    val hooked = SemDedup.dedup(corpus, cents, threshold = 0.99,
+      assign = Some(SemDedup.assignIvf(model)))
+    assert(hooked.select(col("vec_id")).as[Long].collect().toSet
+      === Set(1L, 3L, 4L, 6L))
+    // contrast: the oracle face (assignExact) pays the crossJoin by design
+    assert(SemDedup.pairs(corpus, cents, threshold = 0.99)
+      .queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
 }
