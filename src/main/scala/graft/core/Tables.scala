@@ -79,9 +79,64 @@ object Tables {
     }
   }
 
-  /** Register every table as a temp view (the engine's "catalog"),
-    * so `spark.sql` named queries resolve — the Spark analog of the
-    * reference's Glue catalog tables (SURVEY §2.1 S6). */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+  /** Register every table so `spark.sql` named queries resolve — the Spark
+    * analog of the reference's Glue catalog tables (SURVEY §2.1 S6).
+    *
+    * `persistent = false` (default): session-scoped temp views — gone when
+    * the session goes.
+    *
+    * `persistent = true`: EXTERNAL catalog tables (plus a catalog VIEW for
+    * `events`, see below) in the shared `ExternalCatalog`, the durable
+    * registration the reference keeps in Glue
+    * (`/root/reference/etl/oedi_etl/main.py:114-148`): every session of
+    * the SparkContext sees them without re-registering (`newSession()`
+    * included), and under a metastore-backed deployment
+    * (`spark.sql.catalogImplementation=hive` — Derby/RDBMS/Glue Data
+    * Catalog via the Hive client) the same `createTable` calls land in the
+    * metastore and survive JVM restarts too. Tables are EXTERNAL (path-
+    * backed): dropping one drops metadata only, exactly like dropping a
+    * Glue table. Idempotent: re-registration replaces.
+    *
+    * `events` is registered as raw table + catalog view: the parquet is
+    * TIMESTAMP(NANOS), which the engine reads as long and converts ns→µs
+    * ([[loadEvents]]); the persistent face pins that contract in a VIEW
+    * (`events` over `events_raw`) so every session sees the same µs
+    * instants. Sessions need the legacy nanos conf to scan the raw file —
+    * [[prepare]] sets it; in deployment it belongs in spark-defaults.conf,
+    * a once-per-cluster decision made alongside the catalog itself. */
+  def registerAll(spark: SparkSession, sfDir: String,
+      persistent: Boolean = false): Unit =
+    if (!persistent) {
+      all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    } else {
+      prepare(spark)
+      all.foreach {
+        case "events" =>
+          createExternal(spark, "events_raw", s"$sfDir/events.parquet")
+          val cols = spark.table("events_raw").schema.fields.map { f =>
+            if (f.name == "ts" &&
+                f.dataType == org.apache.spark.sql.types.LongType)
+              "timestamp_micros(ts DIV 1000) AS ts"
+            else if (f.name == "ts") "cast(ts AS timestamp) AS ts"
+            else s"`${f.name}`"
+          }.mkString(", ")
+          spark.sql(s"CREATE OR REPLACE VIEW events AS SELECT $cols FROM events_raw")
+        case n =>
+          createExternal(spark, n, s"$sfDir/$n.parquet")
+      }
+    }
+
+  /** Session prerequisite for scanning the raw `events` file (ns
+    * timestamps): the one engine conf that cannot live in the catalog
+    * entry itself. No-op for every other table. */
+  def prepare(spark: SparkSession): Unit =
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  private def createExternal(spark: SparkSession, name: String, path: String): Unit = {
+    // drop-then-create: external tables are metadata-only, so this is the
+    // replace semantics of createOrReplaceTempView at catalog level
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.catalog.createTable(name, path, "parquet")
+  }
 }

@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Declared-schema enforcement for ETL input (SURVEY §2 S2; the gap the
   * round-2 review ranked #1): the reference re-crawls schemas every run and
@@ -74,20 +74,29 @@ object SchemaEnforce {
     *
     * `files` must be FULL paths/URIs as listed from the source filesystem
     * (e.g. `s3a://bucket/...`) — scheme-stripped paths would resolve
-    * against the default filesystem and silently find nothing. */
-  def detect(
+    * against the default filesystem and silently find nothing.
+    *
+    * This is the SINK face: the report never touches the driver — write it
+    * (`detectDS(...).write.parquet(reportDir)`), join it, aggregate it.
+    * Under systemic drift (every one of millions of files drifting — e.g.
+    * a release-wide column rename) the report is file-count-sized, which
+    * is exactly why it must stay a dataset; the driver-side convenience
+    * face [[detect]] caps what it materializes. */
+  def detectDS(
       spark: SparkSession,
       files: Seq[String],
       declared: org.apache.spark.sql.types.StructType,
-      partitionCols: Set[String] = Set("upgrade", "state")): Seq[Drift] = {
-    if (files.isEmpty) return Nil
+      partitionCols: Set[String] = Set("upgrade", "state")): Dataset[Drift] = {
+    import spark.implicits._
+    if (files.isEmpty) return spark.emptyDataset[Drift]
     val declaredTypes: Map[String, String] = declared.fields
       .filterNot(f => partitionCols.contains(f.name))
       .map(f => f.name -> f.dataType.typeName).toMap
     val confBc = spark.sparkContext.broadcast(
       new SerializableConf(spark.sparkContext.hadoopConfiguration))
-    val slices = math.max(1, math.min(files.size, 32))
-    spark.sparkContext.parallelize(files, slices).mapPartitions { paths =>
+    val slices = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism * 4))
+    val drifts = spark.sparkContext.parallelize(files, slices).mapPartitions { paths =>
       import scala.jdk.CollectionConverters._
       val conf = confBc.value.value
       paths.flatMap { p =>
@@ -118,6 +127,31 @@ object SchemaEnforce {
           case _: Exception => None // unreadable footer = corrupt-file path
         }
       }
-    }.collect().toSeq.sortBy(_.path)
+    }
+    spark.createDataset(drifts)
   }
+
+  /** [[detectDS]] as an untyped frame (path, missing, extra, typeMismatch)
+    * — the shape a report sink or downstream SQL wants. */
+  def detectDF(
+      spark: SparkSession,
+      files: Seq[String],
+      declared: org.apache.spark.sql.types.StructType,
+      partitionCols: Set[String] = Set("upgrade", "state")): DataFrame =
+    detectDS(spark, files, declared, partitionCols).toDF()
+
+  /** Driver-side convenience face (what the ledger embeds): the
+    * lexicographically first `maxReport` drifted files. The cap is what
+    * makes this safe under systemic drift — `orderBy.take` plans a
+    * per-partition top-k + driver merge (TakeOrdered), never a full
+    * collect; the complete report is [[detectDS]]. */
+  def detect(
+      spark: SparkSession,
+      files: Seq[String],
+      declared: org.apache.spark.sql.types.StructType,
+      partitionCols: Set[String] = Set("upgrade", "state"),
+      maxReport: Int = 10000): Seq[Drift] =
+    detectDS(spark, files, declared, partitionCols)
+      .orderBy(org.apache.spark.sql.functions.col("path"))
+      .take(maxReport).toSeq
 }

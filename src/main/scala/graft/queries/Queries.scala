@@ -180,14 +180,22 @@ object Queries {
     // explicit broadcast, gated on the optimizer's size estimate: orders is
     // the dim side of this theta join and stays broadcastable at bench
     // scales (18 MB at 10x) but grows linearly with SF, so an unconditional
-    // hint would OOM the broadcast at large scale instead of degrading to
-    // SMJ. The gate reads logical-plan stats (file bytes x pruning ratio —
-    // no job runs) and only hints below a memory-safe cap. Removes the
+    // hint would OOM the broadcast at large scale instead of degrading.
+    // The gate reads logical-plan stats (file bytes x pruning ratio — no
+    // job runs) and only hints below a memory-safe cap. Removes the
     // fact-side shuffle: measured 2.5 s -> 2.0 s at 10x.
+    // Above the gate, hint SHUFFLE_HASH instead of letting the planner
+    // default to sort-merge: SMJ would sort BOTH inputs by orderkey only
+    // to throw that order away at the final (l_orderkey, l_linenumber)
+    // range sort, so the query paid three large sorts. A shuffled hash
+    // join builds per-partition maps on orders — the PK side, so no build
+    // skew, and the build stays bounded by orders/numPartitions at any SF
+    // — leaving the output range sort as the only sort in the plan
+    // (measured at 100x: 35.3 s SMJ -> 5.3 s SHJ; DuckDB 13.7 s).
     val oSide =
       if (o.queryExecution.optimizedPlan.stats.sizeInBytes < (64L << 20))
         broadcast(o)
-      else o
+      else o.hint("SHUFFLE_HASH")
     l.join(oSide, l("l_orderkey") === o("o_orderkey")
         && l("l_shipdate") > o("o_orderdate"))
       .select(col("l_orderkey"), col("l_linenumber"))

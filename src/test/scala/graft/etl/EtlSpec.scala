@@ -249,6 +249,45 @@ class JobRunnerSpec extends SparkSpec {
     assert(res.ledger.toJson.contains("\"type_mismatch\":[\"m: declared double, stored BINARY\"]"))
   }
 
+  test("drift sink: systemic many-file drift stays off the driver; detect is capped") {
+    // 40 files, EVERY one drifting (m missing, zz_extra added) — the
+    // systemic-drift shape where a driver collect would be file-count-sized
+    val root = Files.createTempDirectory("graft_etl_driftsink").toString
+    val src = s"$root/src"
+    (1 to 40).foreach { i =>
+      Seq((ts("2024-03-01 00:00:00"), i.toLong, s"x$i"))
+        .toDF("timestamp", "bldg_id", "zz_extra")
+        .write.mode("append").parquet(src)
+    }
+    val files = new java.io.File(src).listFiles()
+      .map(_.getPath).filter(_.endsWith(".parquet")).toSeq
+    assert(files.size === 40)
+    val declared = StructType(Seq(
+      StructField("timestamp", TimestampType),
+      StructField("bldg_id", LongType),
+      StructField("m", DoubleType)))
+
+    // sink face: a frame you aggregate/write, never collect
+    val report = SchemaEnforce.detectDF(spark, files, declared)
+    assert(report.count() === 40L)
+    val byMissing = report.selectExpr("explode(missing) AS miss")
+      .groupBy($"miss").count().collect()
+    assert(byMissing.map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("m", 40L)))
+    report.write.parquet(s"$root/report")
+    assert(spark.read.parquet(s"$root/report").count() === 40L)
+
+    // ledger face: capped, lexicographically-first, top-k planned (no
+    // full collect even under systemic drift)
+    val capped = SchemaEnforce.detect(spark, files, declared, maxReport = 7)
+    assert(capped.size === 7)
+    assert(capped.map(_.path) === files.sorted.take(7))
+    assert(capped.forall(d => d.missing === Seq("m") && d.extra === Seq("zz_extra")))
+    val plan = SchemaEnforce.detectDS(spark, files, declared)
+      .orderBy($"path").limit(7).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("single pass: the job's SQL executions contain exactly one FileScan") {
     val root = Files.createTempDirectory("graft_etl_onescan").toString
     val src = s"$root/src"

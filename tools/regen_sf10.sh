@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# Regenerate the sf10 (100x sf0.1) stress set and recompute BOTH sides of
+# the at-scale parity claim from repo sources alone:
+#   1. $DST via tools/ScaleUp (deterministic key-shifted 100x replication)
+#   2. DUCK_BENCH_sf10.json    - DuckDB medians over the headline oracle SQL
+#   3. BENCH_${TAG}_sf10.json  - engine medians (graft.Bench, local[32])
+# then prints the per-query engine/DuckDB ratio table (tools/ratio.py).
+#
+# Usage: tools/regen_sf10.sh [dstDir] [roundTag]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+DST="${1:-/tmp/sf10}"
+TAG="${2:-r07}"
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+
+sbt -batch compile >/dev/null
+if [ ! -d "$DST/lineitem.parquet" ]; then
+  java -cp "$CP" graft.tools.ScaleUp /root/testdata/sf0.1 "$DST" 100
+fi
+
+# oracle SQL dump without a full verify pass: run the cheapest query only —
+# Verify always writes the complete oracle_sql.json alongside
+SPARK_GRAFT_VERIFY_ONLY=q16_case_label SPARK_GRAFT_CPUS=8 \
+  java -cp "$CP" graft.Verify "$DST" /tmp/verify_sf10_dump >/dev/null 2>&1
+
+# DuckDB side, headline queries only (q01..q85 — the BENCH entry set)
+python3 - <<'EOF'
+import json
+oracle = json.load(open("/tmp/verify_sf10_dump/oracle_sql.json"))
+head = {k: v for k, v in oracle.items() if k.startswith("q")}
+json.dump(head, open("/tmp/oracle_headline_sf10.json", "w"))
+EOF
+python3 tools/duck_bench.py "$DST" /tmp/oracle_headline_sf10.json 32 \
+  > DUCK_BENCH_sf10.json
+
+# engine side (same entry set plus etl_slice)
+SPARK_GRAFT_SF_DIR="$DST" java -cp "$CP" graft.Bench \
+  | grep '"metric"' > "BENCH_${TAG}_sf10.json"
+
+echo "== engine/DuckDB ratios at $DST =="
+python3 tools/ratio.py DUCK_BENCH_sf10.json "BENCH_${TAG}_sf10.json"
