@@ -31,28 +31,32 @@ object Robust {
     * Exact-median machinery is chosen by the optimizer's SIZE ESTIMATE
     * (the q14 broadcast-gate pattern): below the threshold the builtin
     * `median()` aggregate runs — it buffers each group's values, which
-    * is fast while groups fit comfortably in executor memory (measured
-    * 0.7 s vs 3.3 s for the selection path at the 10× bench set, whose
-    * multi-stage fixed cost dominates small inputs); above it (or for
-    * any single-key input the estimate deems large) the medians run
-    * through [[Quantiles.exactQuantiles]] — distributed selection, NO
-    * per-group buffering, so a billion-row group cannot OOM an executor
-    * (measured time-neutral at the 100× set: both paths are scan-bound
-    * there, but only selection is memory-bounded). Composite keys always
-    * use the buffered path (the coarse-screen assumption). Both engines
-    * produce the same interpolated-median semantics (pinned by q51's
-    * oracle). */
+    * is fast while groups fit comfortably in executor memory; above it
+    * (or for any single-key input the estimate deems large) the medians
+    * run through [[Quantiles.exactQuantiles]] — distributed selection,
+    * NO per-group buffering, so a billion-row group cannot OOM an
+    * executor. Composite keys always use the buffered path (the
+    * coarse-screen assumption). Both engines produce the same
+    * interpolated-median semantics (pinned by q51's oracle).
+    *
+    * Threshold calibration (tools/MadProbe at the 100× bench set, 10 M
+    * rows / 5 groups): buffered 2.2 s, selection 8.8 s (4.8 s with the
+    * input persisted), percentile_approx 2.4 s — the selection path pays
+    * its fixed multi-stage cost TWICE (median, then MAD over
+    * deviations), so it only earns its keep where per-group buffers
+    * genuinely threaten task memory; note approx buys nothing over
+    * buffered-exact at this scale, which is why the default stays
+    * exact. The gate bounds the PESSIMISTIC case — a single group
+    * holding the whole input: a 512 MB (g, x) estimate ≈ 20 M rows
+    * ≈ 160 MB of value buffer in one task, the upper edge of
+    * comfortable; beyond that, selection's memory-boundedness is worth
+    * its constant factor. */
   def madStats(df: DataFrame, keyCols: Seq[String], valueCol: String,
       approxMedians: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column")
     val keys = keyCols.map(k => col(s"`$k`"))
     val x = col(s"`$valueCol`")
-    // calibrated against the plan-stats scale: the 10×/100× bench inputs
-    // estimate at ~10 MB / ~104 MB for a 3-column events projection, so
-    // 48 MB ≈ tens of millions of rows — the regime where per-group
-    // value buffers (rows/groups × 8 B, group count unknowable here)
-    // start to threaten task memory
-    val big = df.queryExecution.optimizedPlan.stats.sizeInBytes > (48L << 20)
+    val big = df.queryExecution.optimizedPlan.stats.sizeInBytes > (512L << 20)
     if (!approxMedians && keyCols.size == 1 && big) {
       val g = keyCols.head
       val m1 = Quantiles.exactQuantiles(df, g, Seq((valueCol, 0.5, "med")))
