@@ -311,6 +311,47 @@ object ExtQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** X41 oracle model: a deterministic literal model whose constants both
+    * engines compute from the same closed forms — exact binary fractions
+    * (sixteenths/eighths) so the per-term products stay exact and only
+    * the 64-term accumulation order can differ at the last ulp (ROUND 4
+    * absorbs it, the x3 cosine pattern). The FIT side (moments kernel +
+    * Jacobi) is spec-verified (PcaSpec) — no SQL engine can replicate an
+    * eigendecomposition, so the oracle pins the projection kernel. */
+  private val pcaDim = 64
+  private val pcaK = 3
+  private def pcaComp(j: Int, i: Int): Double = (((i * 7 + j * 13) % 17) - 8) / 16.0
+  private def pcaMean(i: Int): Double = ((i % 5) - 2) / 8.0
+  private def pcaModel = graft.ext.Pca.Model(
+    mean = (0 until pcaDim).map(pcaMean),
+    components = (0 until pcaK).map(j => (0 until pcaDim).map(i => pcaComp(j, i))),
+    eigenvalues = IndexedSeq.fill(pcaK)(1.0))
+
+  /** X41 — PCA projection audit ([[graft.ext.Pca]]): embeddings projected
+    * onto the deterministic literal model, coordinates as rounded columns. */
+  val x41_pca_project: Q = (s, d) =>
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        graft.ext.Pca.projectCol(col("embedding"), pcaModel).as("p"))
+      .select(col("vec_id"),
+        round(element_at(col("p"), 1), 4).as("p0"),
+        round(element_at(col("p"), 2), 4).as("p1"),
+        round(element_at(col("p"), 3), 4).as("p2"))
+      .orderBy(col("vec_id"))
+
+  /** The DuckDB face of [[x41_pca_project]], generated from the SAME
+    * constants: centered dot = raw dot − (mean·component), the second
+    * term folded to a literal. */
+  private[queries] def x41OracleSql: String = {
+    def lst(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
+    val cols = (0 until pcaK).map { j =>
+      val comp = (0 until pcaDim).map(i => pcaComp(j, i))
+      val meanDot = (0 until pcaDim).map(i => pcaMean(i) * pcaComp(j, i)).sum
+      s"ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), ${lst(comp)}) - ($meanDot), 4) AS p$j"
+    }.mkString(", ")
+    s"SELECT vec_id, $cols FROM embeddings ORDER BY vec_id"
+  }
+
   /** X8 — mergeable cardinality sketches: per-segment HLL estimates plus
     * the union-merged global estimate (the re-aggregatable form a rollup
     * store needs — exact COUNT(DISTINCT) cannot merge). */
@@ -806,7 +847,8 @@ object ExtQueries {
     "x4_repetition" -> x4_repetition,
     "x10_orc_roundtrip" -> x10_orc_roundtrip,
     "x5_audio" -> x5_audio,
-    "x7_split" -> x7_split)
+    "x7_split" -> x7_split,
+    "x41_pca_project" -> x41_pca_project)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -1211,6 +1253,7 @@ object ExtQueries {
         |    row_number() OVER (PARTITION BY text ORDER BY b, doc_id) AS rn
         |  FROM staged)
         | SELECT doc_id, text FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+    "x41_pca_project" -> x41OracleSql,
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Shared oracle for the two exact top-k paths: brute-force cosine per
