@@ -51,23 +51,55 @@ object Pca {
       if (totalVariance <= 0) 0.0 else eigenvalues.sum / totalVariance
   }
 
-  /** Fit a k-component model in one aggregation pass (+ driver eigen).
-    * @param sampleFraction deterministic hash-sample of the corpus to fit
-    *   on (1.0 = all rows); the same seeded `xxhash64` gate as
+  /** The sufficient statistics of a fit: count, per-dim sums, upper-
+    * triangular product sums. ALGEBRAIC — `merge` of two corpora's
+    * moments equals the union's moments exactly (addition of exact
+    * per-batch sums), which is what makes PCA INCREMENTAL here: persist
+    * the tiny state (d(d+3)/2 + 1 doubles), fold each arriving batch's
+    * moments in, refit anytime — history is never rescanned, the same
+    * contract as [[graft.etl.IncrementalAgg]] / [[IncrementalDedup]]. */
+  final case class Moments(n: Long, sums: IndexedSeq[Double],
+      prods: IndexedSeq[Double]) {
+    def dim: Int = sums.length
+    def merge(other: Moments): Moments = {
+      if (n == 0) return other
+      if (other.n == 0) return this
+      require(other.dim == dim, s"moments dim ${other.dim} != $dim")
+      Moments(n + other.n,
+        sums.zip(other.sums).map { case (a, b) => a + b },
+        prods.zip(other.prods).map { case (a, b) => a + b })
+    }
+  }
+
+  /** One aggregation pass → the corpus's [[Moments]].
+    * @param sampleFraction deterministic hash-sample of the corpus
+    *   (1.0 = all rows); the same seeded `xxhash64` gate as
     *   [[Ivf.train]], so refits see the same sample. */
-  def fit(corpus: DataFrame, k: Int, vecCol: String = "embedding",
-      sampleFraction: Double = 1.0, seed: Long = 42): (Model, Double) = {
-    require(k >= 1, "k >= 1")
+  def moments(corpus: DataFrame, vecCol: String = "embedding",
+      sampleFraction: Double = 1.0, seed: Long = 42): Moments = {
     val base = corpus.select(col(vecCol).as("v")).filter(col("v").isNotNull)
     val sample =
       if (sampleFraction >= 1.0) base
       else base.where(pmod(xxhash64(col("v"), lit(seed)), lit(1000000)) <
         lit((sampleFraction * 1000000).toLong))
     val m = sample.select(vectorMoments(col("v")).as("m")).head().getStruct(0)
-    val n = m.getLong(0)
+    Moments(m.getLong(0), m.getSeq[Double](1).toIndexedSeq,
+      m.getSeq[Double](2).toIndexedSeq)
+  }
+
+  /** Fit a k-component model in one aggregation pass (+ driver eigen). */
+  def fit(corpus: DataFrame, k: Int, vecCol: String = "embedding",
+      sampleFraction: Double = 1.0, seed: Long = 42): (Model, Double) =
+    fitFromMoments(moments(corpus, vecCol, sampleFraction, seed), k)
+
+  /** Eigendecompose accumulated [[Moments]] into a model — the refit step
+    * of the incremental path (driver-only, no Spark job). */
+  def fitFromMoments(mom: Moments, k: Int): (Model, Double) = {
+    require(k >= 1, "k >= 1")
+    val n = mom.n
     require(n >= 2, s"PCA needs at least 2 vectors, got $n")
-    val sums = m.getSeq[Double](1).toArray
-    val prods = m.getSeq[Double](2).toArray
+    val sums = mom.sums.toArray
+    val prods = mom.prods.toArray
     val d = sums.length
     require(k <= d, s"k=$k > dimension $d")
 

@@ -352,6 +352,16 @@ object ExtQueries {
     s"SELECT vec_id, $cols FROM embeddings ORDER BY vec_id"
   }
 
+  /** X42 — skip-gram co-occurrence counts ([[graft.ext.Cooccur]]): the
+    * GloVe-style embedding-training prep pass over the documents table.
+    * window=2 keeps every 1/distance weight an exact binary fraction
+    * (1.0 or 0.5), so `wsum` is hash-exact across engines, not just
+    * round-tolerant. */
+  val x42_cooccur: Q = (s, d) =>
+    graft.ext.Cooccur.pairCounts(t(s, d, "documents"), window = 2)
+      .select(col("wa"), col("wb"), col("n"), round(col("wsum"), 4).as("wsum"))
+      .orderBy(col("n").desc, col("wa"), col("wb"))
+
   /** X8 — mergeable cardinality sketches: per-segment HLL estimates plus
     * the union-merged global estimate (the re-aggregatable form a rollup
     * store needs — exact COUNT(DISTINCT) cannot merge). */
@@ -848,7 +858,8 @@ object ExtQueries {
     "x10_orc_roundtrip" -> x10_orc_roundtrip,
     "x5_audio" -> x5_audio,
     "x7_split" -> x7_split,
-    "x41_pca_project" -> x41_pca_project)
+    "x41_pca_project" -> x41_pca_project,
+    "x42_cooccur" -> x42_cooccur)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -1254,6 +1265,24 @@ object ExtQueries {
         |  FROM staged)
         | SELECT doc_id, text FROM ranked WHERE rn = 1 ORDER BY doc_id""",
     "x41_pca_project" -> x41OracleSql,
+    // the token-table self-join formulation — deliberately a DIFFERENT
+    // algorithm from the engine's row-local HOF pair generation
+    "x42_cooccur" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        | tok AS (
+        |  SELECT doc_id, u.p AS pos, u.w AS w FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(t, (x, i) -> struct_pack(p := i, w := x))) AS u
+        |    FROM d2) s),
+        | pairs AS (
+        |  SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb,
+        |    b.pos - a.pos AS dist
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2)
+        | SELECT wa, wb, COUNT(*) AS n, ROUND(SUM(1.0 / dist), 4) AS wsum
+        | FROM pairs GROUP BY wa, wb ORDER BY n DESC, wa, wb""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Shared oracle for the two exact top-k paths: brute-force cosine per

@@ -106,6 +106,38 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(dot(ms.components(0), u)) > 0.98)
   }
 
+  test("incremental: batch moments fold to the union's fit, history unscanned") {
+    val full = fixture
+    val batches = Seq(
+      full.filter($"vec_id" <= 100),
+      full.filter($"vec_id" > 100 && $"vec_id" <= 300),
+      full.filter($"vec_id" > 300))
+    // the fold touches each batch exactly once
+    val folded = batches.map(b => Pca.moments(b))
+      .reduce(_ merge _)
+    val whole = Pca.moments(full)
+    assert(folded.n === whole.n)
+    folded.sums.zip(whole.sums).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9)
+    }
+    folded.prods.zip(whole.prods).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6)
+    }
+    // refit from the folded state recovers the same structure
+    val (mf, _) = Pca.fitFromMoments(folded, k = 2)
+    val (mw, _) = Pca.fit(full, k = 2)
+    mf.components.zip(mw.components).foreach { case (a, b) =>
+      assert(math.abs(math.abs(dot(a, b)) - 1.0) < 1e-6)
+    }
+    mf.eigenvalues.zip(mw.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6)
+    }
+    // merge is commutative and respects the empty identity
+    val empty = Pca.Moments(0, IndexedSeq.empty, IndexedSeq.empty)
+    assert((empty merge folded) === folded)
+    assert((folded merge empty) === folded)
+  }
+
   test("moments kernel: driver-checked covariance on a tiny corpus") {
     val rows = Seq(
       Seq(1.0f, 2.0f), Seq(3.0f, 5.0f), Seq(-1.0f, 0.5f), Seq(2.0f, -2.0f))
