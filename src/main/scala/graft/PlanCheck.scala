@@ -129,6 +129,12 @@ object PlanCheck {
         "Exchange hashpartitioning".r.findAllIn(p).size <= 2)
     check("x2_components", "distributed label propagation: equi-joins only, no cartesian")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("x41_pca_project", "PCA projection is row-local: no join, no aggregation, no hash shuffle")(p =>
+      !p.contains("Join") && !p.contains("HashAggregate") &&
+        "Exchange hashpartitioning".r.findAllIn(p).isEmpty)
+    check("x42_cooccur", "co-occurrence: row-local pair generation, ONE partial-aggregated hash shuffle, no token self-join")(p =>
+      !p.contains("Join") && p.contains("partial_") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size == 1)
     // x34/x35 (optimizer-rule rewrites) assert the absence of the
     // nested-loop join INSIDE the query itself — the conf must be set at
     // plan time, which only the query closure controls.

@@ -628,6 +628,30 @@ object ExtQueries {
       .orderBy(col("split"))
   }
 
+  /** X0 — the EMBEDDING-side flagship composition, mirroring what
+    * [[x0_pipeline]] does for text: the SemDeDup paper's own production
+    * recipe — PCA-reduce the embeddings (X41, 64 → 8 dims), train the
+    * IVF coarse quantizer ON the reduced space (X3), then run semantic
+    * dedup (X40) with the production `assignIvf` hook, so the whole
+    * chain is the map-only TopCentroids assignment + cluster-blocked
+    * verification — no crossJoin anywhere (the hooked-plan contract
+    * SemDedupSpec pins). Tier B (rows-only): every stage is
+    * oracle-checked/spec'd individually; this adds their composition.
+    * Deterministic end to end (seeded PCA sample, seeded Lloyd init,
+    * min-id survivors). */
+  val x0_semdedup_pca: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val (model, _) = graft.ext.Pca.fit(emb, k = 8)
+    val reduced = graft.ext.Pca.project(emb, model)
+      .select(col("vec_id"), col("pca").cast("array<float>").as("embedding"))
+    val ivf = graft.ext.Ivf.train(reduced, k = 8, iters = 2)
+    graft.ext.SemDedup.dedup(
+        reduced, reduced.limit(0), threshold = 0.9,
+        assign = Some(graft.ext.SemDedup.assignIvf(ivf)))
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** X34 — the range-join optimizer rule (graft.plans.RangeJoinRewrite) on
     * real tables: plain SQL banding orders by total price into per-nation
     * windows, NO equi key. Without the rule this exact SQL plans
@@ -859,7 +883,8 @@ object ExtQueries {
     "x5_audio" -> x5_audio,
     "x7_split" -> x7_split,
     "x41_pca_project" -> x41_pca_project,
-    "x42_cooccur" -> x42_cooccur)
+    "x42_cooccur" -> x42_cooccur,
+    "x0_semdedup_pca" -> x0_semdedup_pca)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
