@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X47/X48 — corpus-curation arithmetic: domain mixture weights and
+  * token-budget selection. The two decisions every pretraining-data
+  * pipeline makes after cleaning: HOW MUCH of each source to sample
+  * (temperature-scaled mixture, the DoReMi/Pile recipe) and WHICH
+  * documents fit the token budget (ranked cumulative cutoff).
+  *
+  * Plan shape, 100 TB reading: mixture weights are one hash aggregation
+  * to |sources| rows (tiny) plus scalar normalization — all driver-free.
+  * Token-budget selection needs a GLOBAL running sum; a single
+  * all-rows window is a one-partition bottleneck at corpus scale, so it
+  * is decomposed exactly over range buckets of the rank column: a
+  * within-bucket window runs per bucket in parallel, the |buckets|-row
+  * subtotal relation rolls up through one tiny window, and the offsets
+  * broadcast back. Identical result to the single window, no partition
+  * ever sees more than one bucket.
+  */
+object Curation {
+
+  /** Temperature-scaled mixture weights per `sourceCol`: share_i =
+    * tokens_i / Σ tokens; weight_i = share_i^alpha / Σ share^alpha.
+    * alpha < 1 upsamples small domains (alpha = 1 → natural mix). */
+  def mixtureWeights(docs: DataFrame, sourceCol: String = "source",
+      tokensCol: String = "n_tokens", alpha: Double = 0.3): DataFrame = {
+    val bySrc = docs.groupBy(col(s"`$sourceCol`").as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(s"`$tokensCol`")).as("n_tokens"))
+    val tot = bySrc.agg(sum(col("n_tokens")).as("__tot"))
+    val shared = bySrc.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens") / col("__tot"))
+      .withColumn("__pow", pow(col("share"), lit(alpha)))
+    val z = shared.agg(sum(col("__pow")).as("__z"))
+    shared.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("__pow") / col("__z"), 6).as("weight"))
+  }
+
+  /** Keep the top-ranked documents whose cumulative `tokensCol` stays
+    * within `budget`. Ranking = (`rankCol` DESC, `idCol` ASC) — a
+    * deterministic total order. A document is kept when the running
+    * total THROUGH it is ≤ budget (first-fit prefix, the standard
+    * corpus-freeze rule).
+    *
+    * Exact two-level running sum: rows bucket by value ranges of
+    * `rankCol` (ties share a bucket, so bucket order is consistent with
+    * the row order), local window per bucket, per-bucket totals roll up
+    * through a |buckets|-row window and broadcast back as offsets.
+    */
+  def tokenBudget(docs: DataFrame, budget: Long,
+      idCol: String = "doc_id", tokensCol: String = "n_tokens",
+      rankCol: String = "n_chars", buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "at least one bucket")
+    val id = col(s"`$idCol`"); val tok = col(s"`$tokensCol`")
+    val rk = col(s"`$rankCol`")
+    val base = docs.select(id.as("__id"), tok.cast("long").as("__tok"),
+      rk.cast("double").as("__rk"))
+
+    // range-bucket on the rank value (DESC order ⇒ high rank = bucket 0);
+    // min/max are one tiny broadcast aggregate
+    val bounds = base.agg(min(col("__rk")).as("__lo"), max(col("__rk")).as("__hi"))
+    val bucketed = base.crossJoin(broadcast(bounds)).withColumn("__b",
+      when(col("__hi") === col("__lo"), lit(0)).otherwise(
+        least(lit(buckets - 1), floor(
+          (col("__hi") - col("__rk")) / ((col("__hi") - col("__lo")) / buckets))
+          .cast("int"))))
+
+    val wLocal = Window.partitionBy(col("__b"))
+      .orderBy(col("__rk").desc, col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__local", sum(col("__tok")).over(wLocal))
+
+    // |buckets| rows: running offset of all earlier buckets
+    val wBucket = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = local.groupBy(col("__b")).agg(sum(col("__tok")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wBucket), lit(0L)))
+      .select(col("__b"), col("__off"))
+
+    local.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__cum", col("__local") + col("__off"))
+      .filter(col("__cum") <= budget)
+      .select(col("__id").as(idCol), col("__tok").as(tokensCol),
+        col("__cum").as("cum_tokens"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X43 — bigram language-model scoring (KenLM-style perplexity filter).
+  *
+  * The classic training-data quality gate: fit an n-gram LM on the corpus
+  * (or a trusted reference corpus) and drop documents whose per-token
+  * negative log-likelihood is an outlier — garbled text, boilerplate and
+  * non-language bytes score far from the corpus mode. Reference analog:
+  * the quality screens of `oedi_etl`'s curation stage generalized to the
+  * n-gram LM filter used by large-scale LLM pipelines (CCNet/KenLM).
+  *
+  * Model: add-k smoothed bigram model over lowercased alpha tokens,
+  * P(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V), with c(w1 ·) the count of
+  * bigram contexts starting at w1 and V the distinct context vocabulary.
+  * Document score = mean −ln P over its bigrams (per-token NLL; perplexity
+  * is exp of it, monotone — we keep the NLL face because it is exactly
+  * portable SQL).
+  *
+  * Plan shape, 100 TB reading: bigrams are built ROW-LOCALLY (slice +
+  * arrays_zip — no shuffle, no self-join on position). Counts are two
+  * hash aggregations with map-side partial combine; V is a scalar
+  * broadcast. Scoring joins the exploded bigram relation against the
+  * count tables on their natural keys — plain shuffle equi-joins whose
+  * width is 16 bytes + the two token strings, with AQE free to pick
+  * broadcast when a fitted model is small (trusted-corpus case). Nothing
+  * materializes at driver; nothing is quadratic.
+  */
+object NgramLm {
+
+  /** Lowercased alphabetic tokens (empty tokens dropped) — deliberately
+    * the simplest tokenizer expressible identically in the DuckDB oracle. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+
+  /** Row-local (w1, w2) bigram structs of `text`; empty array when the
+    * document has fewer than two tokens. */
+  def bigrams(text: Column): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    arrays_zip(
+      slice(ts, lit(1), greatest(n - 1, lit(0))),
+      slice(ts, lit(2), greatest(n - 1, lit(0))))
+  }
+
+  /** Exploded (id, w1, w2) bigram relation. */
+  private def bigramRel(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(s"`$idCol`").as("__id"),
+        explode(bigrams(col(s"`$textCol`"))).as("__bg"))
+      .select(col("__id"),
+        col("__bg").getField("0").as("__w1"),
+        col("__bg").getField("1").as("__w2"))
+
+  /** Fitted model: (bigram counts, context counts, context vocabulary).
+    * Fit on a trusted corpus, score any other corpus against it. */
+  case class Model(bigramCounts: DataFrame, contextCounts: DataFrame, vocab: DataFrame)
+
+  /** Fit the bigram model on `docs`. */
+  def fit(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Model = {
+    val bi = bigramRel(docs, idCol, textCol)
+    Model(
+      bigramCounts = bi.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12")),
+      contextCounts = bi.groupBy(col("__w1")).agg(count(lit(1)).as("__c1")),
+      vocab = bi.agg(count_distinct(col("__w1")).as("__V")))
+  }
+
+  /** Score `docs` against `model`: per-document mean −ln P(w2|w1) with
+    * add-`k` smoothing. Documents with < 2 tokens (no bigrams) are absent
+    * from the result — they carry no LM evidence. Out-of-model bigrams
+    * fall back to the smoothed floor k / (c1 + k·V) (and k/(k·V) = 1/V
+    * when the context itself is unseen). */
+  def score(docs: DataFrame, model: Model,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Double = 0.5): DataFrame = {
+    val bi = bigramRel(docs, idCol, textCol)
+    bi
+      .join(model.bigramCounts, Seq("__w1", "__w2"), "left")
+      .join(model.contextCounts, Seq("__w1"), "left")
+      .crossJoin(broadcast(model.vocab))
+      .withColumn("__p",
+        (coalesce(col("__c12"), lit(0L)) + lit(k)) /
+          (coalesce(col("__c1"), lit(0L)) + lit(k) * col("__V")))
+      .groupBy(col("__id"))
+      .agg(avg(-log(col("__p"))).as("__nll"), count(lit(1)).as("n_bigrams"))
+      .select(col("__id").as(idCol), round(col("__nll"), 4).as("nll"),
+        col("n_bigrams"))
+  }
+
+  /** Self-scored corpus (fit and score on the same data) — the usual
+    * "drop the tail" quality pass. */
+  def selfScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Double = 0.5): DataFrame =
+    score(docs, fit(docs, idCol, textCol), idCol, textCol, k)
+}

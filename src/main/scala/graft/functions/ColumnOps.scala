@@ -30,4 +30,12 @@ object ColumnOps {
   def doubleSortBits(c: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       DoubleSortBits(org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** [[JaroWinklerSim]] as a Column: codegen'd Jaro-Winkler similarity
+    * of two string columns (DuckDB-compatible semantics). */
+  def jaroWinklerSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      JaroWinklerSim(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 }

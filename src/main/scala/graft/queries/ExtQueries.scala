@@ -830,6 +830,83 @@ object ExtQueries {
       .orderBy("id")
   }
 
+  /** X43 — bigram-LM quality scoring (`ext/NgramLm`): fit an add-k
+    * smoothed bigram model on the corpus, score each document's mean
+    * −ln P(w2|w1) — the KenLM-style perplexity filter. The oracle
+    * reproduces tokenization, counting and smoothing in SQL. */
+  val x43_ngram_lm: Q = (s, d) =>
+    graft.ext.NgramLm.selfScore(t(s, d, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** X44 — Jaro-Winkler fuzzy linkage (`functions/JaroWinklerSim`):
+    * blocked self-join of part names (block = trailing noun), best match
+    * per record by the codegen'd native expression. DuckDB's
+    * `jaro_winkler_similarity` is the oracle — semantics pinned
+    * cross-engine (boost threshold 0.7, prefix scale 0.1, cap 4).
+    *
+    * This face pins the SCORER; it is deliberately bounded to the first
+    * 2,000 keys (= the whole part table at the sf0.01 oracle scale)
+    * because noun-blocking has data-independent key cardinality, so
+    * block sizes — and the pair count — grow quadratically with SF. At
+    * corpus scale, candidate GENERATION belongs to `ext/FuzzyJoin`'s
+    * n-gram/LSH machinery (bounded candidates by construction); JW is
+    * the verification scorer over those candidates. */
+  val x44_jaro_winkler: Q = (s, d) => {
+    import graft.functions.ColumnOps.jaroWinklerSim
+    val p = t(s, d, "part").filter(col("p_partkey") < 2000)
+      .select(col("p_partkey"), col("p_name"),
+        element_at(split(col("p_name"), " "), -1).as("__noun"))
+    val a = p.alias("a"); val b = p.alias("b")
+    val scored = a.join(b, col("a.__noun") === col("b.__noun") &&
+        col("a.p_partkey") =!= col("b.p_partkey"))
+      .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+        round(jaroWinklerSim(col("a.p_name"), col("b.p_name")), 4).as("jw"))
+    // best candidate per record; rank on the ROUNDED score so the order
+    // is ulp-stable cross-engine, ties to the smaller candidate id
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("jw").desc, col("id_b"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id_a"), col("id_b"), col("jw"))
+      .orderBy(col("id_a"))
+  }
+
+  /** X45 — weekly retention cohorts (`ext/Behavior.retention`). */
+  val x45_retention: Q = (s, d) =>
+    graft.ext.Behavior.retention(t(s, d, "events"))
+      .select(col("cohort_week").cast("date").as("cohort_week"),
+        col("week_offset").cast("long").as("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  /** X46 — ordered funnel conversion (`ext/Behavior.funnel`):
+    * view → click → purchase, each step strictly after the previous. */
+  val x46_funnel: Q = (s, d) =>
+    graft.ext.Behavior.funnel(t(s, d, "events"),
+        Seq("view", "click", "purchase"))
+      .select(col("step_idx").cast("long").as("step_idx"), col("step"),
+        col("n_users"))
+      .orderBy(col("step_idx"))
+
+  /** X47 — temperature-scaled domain mixture weights
+    * (`ext/Curation.mixtureWeights`), alpha = 0.3 over source shares. */
+  val x47_mixture: Q = (s, d) => {
+    val docs = t(s, d, "documents").withColumn("n_tokens",
+      size(split(trim(col("text")), "\\s+")).cast("long"))
+    graft.ext.Curation.mixtureWeights(docs, alpha = 0.3)
+      .orderBy(col("source"))
+  }
+
+  /** X48 — token-budget corpus freeze (`ext/Curation.tokenBudget`):
+    * rank by (n_chars DESC, doc_id), keep the prefix whose running token
+    * total stays ≤ 30,000. The engine computes the running sum with the
+    * two-level range-bucket decomposition; the oracle is the plain
+    * global window — results must be identical. */
+  val x48_token_budget: Q = (s, d) => {
+    val docs = t(s, d, "documents").withColumn("n_tokens",
+      size(split(trim(col("text")), "\\s+")).cast("long"))
+    graft.ext.Curation.tokenBudget(docs, budget = 30000L)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x2_components" -> x2_components,
@@ -884,7 +961,13 @@ object ExtQueries {
     "x7_split" -> x7_split,
     "x41_pca_project" -> x41_pca_project,
     "x42_cooccur" -> x42_cooccur,
-    "x0_semdedup_pca" -> x0_semdedup_pca)
+    "x0_semdedup_pca" -> x0_semdedup_pca,
+    "x43_ngram_lm" -> x43_ngram_lm,
+    "x44_jaro_winkler" -> x44_jaro_winkler,
+    "x45_retention" -> x45_retention,
+    "x46_funnel" -> x46_funnel,
+    "x47_mixture" -> x47_mixture,
+    "x48_token_budget" -> x48_token_budget)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -1308,6 +1391,98 @@ object ExtQueries {
         |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2)
         | SELECT wa, wb, COUNT(*) AS n, ROUND(SUM(1.0 / dist), 4) AS wsum
         | FROM pairs GROUP BY wa, wb ORDER BY n DESC, wa, wb""",
+    // add-k smoothed bigram LM: identical tokenization / counting /
+    // smoothing arithmetic as ext/NgramLm (k = 0.5)
+    "x43_ngram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        | bi AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+        |  WHERE len(ts) >= 2),
+        | bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+        | uc AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+        | v AS (SELECT COUNT(DISTINCT w1) AS vv FROM bi)
+        | SELECT bi.doc_id,
+        |   ROUND(AVG(-ln((c12 + 0.5) / (c1 + 0.5 * vv))), 4) AS nll,
+        |   COUNT(*) AS n_bigrams
+        | FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+        | GROUP BY bi.doc_id ORDER BY bi.doc_id""",
+    // DuckDB's jaro_winkler_similarity IS the pinned semantics
+    "x44_jaro_winkler" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS noun
+        |  FROM part WHERE p_partkey < 2000),
+        | scored AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |    ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+        |  FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey <> b.p_partkey),
+        | ranked AS (
+        |  SELECT id_a, id_b, jw,
+        |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY jw DESC, id_b) AS rn
+        |  FROM scored)
+        | SELECT id_a, id_b, jw FROM ranked WHERE rn = 1 ORDER BY id_a""",
+    "x45_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM events GROUP BY 1)
+        | SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+        |   CAST(date_diff('day', c.cohort_week,
+        |     date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset,
+        |   COUNT(DISTINCT e.user_id) AS n_users
+        | FROM events e JOIN cohorts c USING (user_id)
+        | GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x46_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        | s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        | SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |    COUNT(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3) f
+        | ORDER BY step_idx""",
+    "x47_mixture" ->
+      """WITH by_src AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        | tot AS (SELECT SUM(n_tokens) AS t FROM by_src),
+        | shared AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    n_tokens / (SELECT t FROM tot) AS share,
+        |    pow(n_tokens / (SELECT t FROM tot), 0.3) AS p
+        |  FROM by_src)
+        | SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |   ROUND(share, 6) AS share,
+        |   ROUND(p / (SELECT SUM(p) FROM shared), 6) AS weight
+        | FROM shared ORDER BY source""",
+    // plain global running-sum window: the engine's two-level
+    // range-bucket decomposition must reproduce it exactly
+    "x48_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    n_chars
+        |  FROM documents),
+        | r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM d)
+        | SELECT doc_id, n_tokens, cum_tokens FROM r
+        | WHERE cum_tokens <= 30000 ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Shared oracle for the two exact top-k paths: brute-force cosine per

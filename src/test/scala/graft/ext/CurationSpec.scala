@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Curation]] — mixture weights and token-budget selection; the
+  * documents-table faces are oracle-checked as x47_mixture /
+  * x48_token_budget. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mixtureWeights: alpha=1 is the natural mix, alpha<1 flattens") {
+    val docs = Seq(
+      ("web", 900L), ("web", 100L), // 1000 tokens
+      ("code", 200L), ("books", 50L), ("books", 50L)
+    ).toDF("source", "n_tokens")
+    val natural = Curation.mixtureWeights(docs, alpha = 1.0)
+      .select(col("source"), col("weight")).as[(String, Double)]
+      .collect().toMap
+    assert(math.abs(natural("web") - 1000.0 / 1300) < 1e-6)
+    assert(math.abs(natural("code") - 200.0 / 1300) < 1e-6)
+
+    val flat = Curation.mixtureWeights(docs, alpha = 0.3)
+      .select(col("source"), col("weight")).as[(String, Double)]
+      .collect().toMap
+    // temperature upsamples the small domain, downsamples the big one
+    assert(flat("books") > natural("books"))
+    assert(flat("web") < natural("web"))
+    assert(math.abs(flat.values.sum - 1.0) < 1e-5)
+  }
+
+  test("tokenBudget: two-level decomposition equals the single global window") {
+    // deterministic pseudo-random corpus with heavy rank ties
+    val docs = (1L to 500L).map { i =>
+      (i, 10L + (i * 37 % 90), (i * 13 % 25).toInt)
+    }.toDF("doc_id", "n_tokens", "n_chars")
+
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val oracle = docs
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 7000)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id")).as[(Long, Long, Long)].collect().toSeq
+
+    for (b <- Seq(1, 7, 64)) {
+      val got = Curation.tokenBudget(docs, budget = 7000L, buckets = b)
+        .orderBy(col("doc_id")).as[(Long, Long, Long)].collect().toSeq
+      assert(got === oracle, s"buckets=$b")
+    }
+  }
+
+  test("tokenBudget: constant rank column degenerates to one bucket safely") {
+    val docs = Seq((1L, 5L, 7), (2L, 5L, 7), (3L, 5L, 7))
+      .toDF("doc_id", "n_tokens", "n_chars")
+    val got = Curation.tokenBudget(docs, budget = 10L)
+      .orderBy(col("doc_id")).as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 5L, 5L), (2L, 5L, 10L)))
+  }
+}
