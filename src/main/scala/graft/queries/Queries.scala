@@ -1140,12 +1140,9 @@ object Queries {
       .select(col("event_type").as("g"),
         (col("value") * when(col("event_id") % 97 === 0, 20.0).otherwise(1.0))
           .as("x"))
-    graft.ext.Robust.flagOutliers(v, Seq("g"), "x", k = 5.0)
-      .groupBy(col("g"))
-      .agg(sum(col("is_outlier")).as("n_outliers"),
-        count(lit(1)).as("n"),
-        round(first(col("med")), 4).as("med"),
-        round(first(col("mad")), 4).as("madv"))
+    graft.ext.Robust.outlierSummary(v, Seq("g"), "x", k = 5.0)
+      .select(col("g"), col("n_outliers"), col("n"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("madv"))
       .orderBy(col("g"))
   }
 

@@ -79,6 +79,16 @@ object MadProbe {
         approxMedians = true))
     }
 
+    time("histogram") {
+      val v = input()
+      val stats = Robust.madStatsHistogram(v, Seq("g"), "x")
+      val flagged = v.join(broadcast(stats), Seq("g"))
+        .withColumn("is_outlier",
+          when(abs(col("x") - col("med")) > lit(5.0) * col("mad"), lit(1))
+            .otherwise(lit(0)))
+      q77Tail(flagged)
+    }
+
     spark.stop()
   }
 }
