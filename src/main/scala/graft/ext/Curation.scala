@@ -87,4 +87,18 @@ object Curation {
       .select(col("__id").as(idCol), col("__tok").as(tokensCol),
         col("__cum").as("cum_tokens"))
   }
+
+  /** X51 — per-domain contribution cap (the CommonCrawl-curation rule
+    * "no domain may dominate the corpus"): keep at most `n` documents
+    * per `keyCol`, ranked by (`rankCol` DESC, `idCol`). One window per
+    * domain — domains partition the work, so parallelism grows with the
+    * corpus; no global ordering anywhere. */
+  def domainCap(docs: DataFrame, n: Int, keyCol: String = "source",
+      idCol: String = "doc_id", rankCol: String = "n_chars"): DataFrame = {
+    require(n >= 1, "cap must be positive")
+    val w = Window.partitionBy(col(s"`$keyCol`"))
+      .orderBy(col(s"`$rankCol`").desc, col(s"`$idCol`"))
+    docs.withColumn("rank_in_domain", row_number().over(w))
+      .filter(col("rank_in_domain") <= n)
+  }
 }

@@ -907,6 +907,37 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** X49 — model-based quality scoring (`ext/QualityModel`): pinned
+    * linear model over length/shape features, sigmoid score, rounded
+    * threshold cut; the oracle reproduces the arithmetic in SQL. */
+  val x49_quality_model: Q = (s, d) =>
+    graft.ext.QualityModel.scoreDocs(t(s, d, "documents"))
+      .select(col("doc_id"), col("score"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** X50 — perplexity-bucketed corpus split (the CCNet head/middle/tail
+    * recipe): bigram-LM self-score (X43) → exact global NTILE(3) through
+    * `ext/Tiling` (no single-partition sort) → per-bucket counts and
+    * mean NLL. Ordering is on the ROUNDED nll with doc_id ties so the
+    * tile boundary is ulp-stable cross-engine. */
+  val x50_ppl_buckets: Q = (s, d) => {
+    val scored = graft.ext.NgramLm.selfScore(t(s, d, "documents"))
+    graft.ext.Tiling.ntileByValue(scored, 3, "nll", "doc_id", "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("nll")), 4).as("avg_nll"))
+      .select(col("bucket").cast("long").as("bucket"), col("n_docs"),
+        col("avg_nll"))
+      .orderBy(col("bucket"))
+  }
+
+  /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
+    * ≤ 30 docs per source by (n_chars DESC, doc_id). */
+  val x51_domain_cap: Q = (s, d) =>
+    graft.ext.Curation.domainCap(t(s, d, "documents"), n = 30)
+      .select(col("doc_id"), col("source"),
+        col("rank_in_domain").cast("long").as("rank_in_domain"))
+      .orderBy(col("doc_id"))
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x2_components" -> x2_components,
@@ -967,7 +998,10 @@ object ExtQueries {
     "x45_retention" -> x45_retention,
     "x46_funnel" -> x46_funnel,
     "x47_mixture" -> x47_mixture,
-    "x48_token_budget" -> x48_token_budget)
+    "x48_token_budget" -> x48_token_budget,
+    "x49_quality_model" -> x49_quality_model,
+    "x50_ppl_buckets" -> x50_ppl_buckets,
+    "x51_domain_cap" -> x51_domain_cap)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -1483,6 +1517,59 @@ object ExtQueries {
         |  FROM d)
         | SELECT doc_id, n_tokens, cum_tokens FROM r
         | WHERE cum_tokens <= 30000 ORDER BY doc_id""",
+    // identical linear-model arithmetic: sigmoid(-3 + 0.9 ln(1+tokens)
+    // + 0.35 mean_token_len - 0.25 ln(1+chars)); keep cut on the ROUNDED
+    // score in both engines
+    "x49_quality_model" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS t,
+        |    CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS m,
+        |    n_chars
+        |  FROM documents)
+        | SELECT doc_id,
+        |   ROUND(1.0 / (1.0 + exp(-(-3.0 + 0.9 * ln(1.0 + t)
+        |     + 0.35 * m - 0.25 * ln(1.0 + n_chars)))), 4) AS score,
+        |   CASE WHEN ROUND(1.0 / (1.0 + exp(-(-3.0 + 0.9 * ln(1.0 + t)
+        |     + 0.35 * m - 0.25 * ln(1.0 + n_chars)))), 4) >= 0.5
+        |     THEN 1 ELSE 0 END AS keep
+        | FROM f ORDER BY doc_id""",
+    // NTILE(3) over (rounded nll, doc_id): the engine computes the same
+    // tiles WITHOUT a global sort (ext/Tiling); nll from the x43 model
+    "x50_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        | bi AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+        |  WHERE len(ts) >= 2),
+        | bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+        | uc AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+        | v AS (SELECT COUNT(DISTINCT w1) AS vv FROM bi),
+        | scored AS (
+        |  SELECT bi.doc_id,
+        |    ROUND(AVG(-ln((c12 + 0.5) / (c1 + 0.5 * vv))), 4) AS nll
+        |  FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+        |  GROUP BY bi.doc_id),
+        | tiled AS (
+        |  SELECT doc_id, nll,
+        |    NTILE(3) OVER (ORDER BY nll, doc_id) AS bucket
+        |  FROM scored)
+        | SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+        |   ROUND(AVG(nll), 4) AS avg_nll
+        | FROM tiled GROUP BY bucket ORDER BY bucket""",
+    "x51_domain_cap" ->
+      """SELECT doc_id, source, CAST(rank_in_domain AS BIGINT)
+        |   AS rank_in_domain FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank_in_domain
+        |  FROM documents) r
+        | WHERE rank_in_domain <= 30 ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Shared oracle for the two exact top-k paths: brute-force cosine per

@@ -52,6 +52,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("domainCap keeps exactly n top-ranked rows per domain") {
+    val docs = (1L to 100L).map { i =>
+      (i, "s" + (i % 4), (i * 13 % 40).toInt)
+    }.toDF("doc_id", "source", "n_chars")
+    val out = Curation.domainCap(docs, n = 5, keyCol = "source")
+      .select("doc_id", "source", "rank_in_domain")
+      .as[(Long, String, Int)].collect()
+    assert(out.groupBy(_._2).forall(_._2.length == 5))
+    // rank 1 in each domain is the (n_chars desc, doc_id) max
+    val byHand = (1L to 100L).map(i => (i, "s" + (i % 4), (i * 13 % 40).toInt))
+      .groupBy(_._2).map { case (srcKey, rows) =>
+        srcKey -> rows.sortBy(r => (-r._3, r._1)).take(5).map(_._1).toSet
+      }
+    out.groupBy(_._2).foreach { case (srcKey, rows) =>
+      assert(rows.map(_._1).toSet === byHand(srcKey), srcKey)
+    }
+  }
+
   test("tokenBudget: constant rank column degenerates to one bucket safely") {
     val docs = Seq((1L, 5L, 7), (2L, 5L, 7), (3L, 5L, 7))
       .toDF("doc_id", "n_tokens", "n_chars")
