@@ -600,7 +600,9 @@ object ExtQueries {
     * stage an engine operator: planted-dup corpus → exact dedup (X1) →
     * MinHash near-dup removal (X2) → quality + repetition screens (X4/X27)
     * → deterministic split assignment (X7) → per-split token accounting
-    * (X4). This is the "switch your pipeline to this library" face: the
+    * (X4), LM-perplexity tail drop (X43 via X29 tiling), linear
+    * quality-model cut (X49), per-domain caps (X51). This is the
+    * "switch your pipeline to this library" face: the
     * composition itself is the feature — one lazy plan end to end, no
     * materialization between stages except the near-dup sketch's own
     * checkpoint. Tier B (rows-only): the stages are individually
@@ -617,7 +619,24 @@ object ExtQueries {
       .withColumn("quality", TextStats.qualityScore(col("text")))
       .withColumn("rep2", TextStats.dupNgramFraction(col("text"), 2))
       .filter(col("quality") >= 0.3 && col("rep2") <= 0.2)
-    screened
+    // round 7: the model-based curation stages join the flagship —
+    // bigram-LM tail drop (worst-perplexity decile out, X43+X29),
+    // linear quality-model cut (X49), per-domain contribution cap (X51)
+    // the cleaning passes narrow to (doc_id, text, …): re-derive chars
+    // from the CLEANED text (the honest post-cleaning length) and join
+    // the domain back from the corpus
+    val lmScored = screened
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .join(graft.ext.NgramLm.selfScore(screened)
+        .select(col("doc_id"), col("nll")), Seq("doc_id"))
+    val lmKept = graft.ext.Tiling
+      .ntileByValue(lmScored, 10, "nll", "doc_id", "ppl_tile")
+      .filter(col("ppl_tile") <= 9)
+    val modelKept = graft.ext.QualityModel.scoreDocs(lmKept)
+      .filter(col("keep") === 1)
+    val capped = graft.ext.Curation.domainCap(modelKept, n = 200)
+    capped
       .withColumn("split",
         when(md5(col("doc_id").cast("string")) < "cccccccc", "train")
           .when(md5(col("doc_id").cast("string")) < "e6666666", "val")
