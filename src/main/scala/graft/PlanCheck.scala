@@ -135,6 +135,20 @@ object PlanCheck {
     check("x42_cooccur", "co-occurrence: row-local pair generation, ONE partial-aggregated hash shuffle, no token self-join")(p =>
       !p.contains("Join") && p.contains("partial_") &&
         "Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    check("x43_ngram_lm", "bigram LM: row-local pair gen + equi joins only; the sole single-partition exchange is the vocab scalar")(p =>
+      !p.contains("CartesianProduct") && p.contains("partial_") &&
+        "Exchange SinglePartition".r.findAllIn(p).size <= 1)
+    check("x44_jaro_winkler", "JW scoring through the native codegen expression (no UDF), no cartesian")(p =>
+      p.contains("jaro_winkler_sim") && !p.contains("CartesianProduct") &&
+        !p.contains("BatchEvalPython"))
+    check("x48_token_budget", "running sum decomposed: row-sized window is BUCKET-partitioned; single-partition exchanges only on scalar/offsets relations")(p =>
+      p.contains("windowspecdefinition(__b") &&
+        "Exchange SinglePartition".r.findAllIn(p).size <= 3)
+    check("x50_ppl_buckets", "exact NTILE without global sort: rank window partitioned by tiling bucket")(p =>
+      p.contains("row_number() windowspecdefinition(__b") &&
+        "Exchange SinglePartition".r.findAllIn(p).size <= 3 &&
+        !p.contains("CartesianProduct"))
+
     // x34/x35 (optimizer-rule rewrites) assert the absence of the
     // nested-loop join INSIDE the query itself — the conf must be set at
     // plan time, which only the query closure controls.

@@ -57,13 +57,29 @@ object NgramLm {
     * Fit on a trusted corpus, score any other corpus against it. */
   case class Model(bigramCounts: DataFrame, contextCounts: DataFrame, vocab: DataFrame)
 
-  /** Fit the bigram model on `docs`. */
+  /** Fit the bigram model on `docs`. The vocabulary scalar is derived
+    * from the context-count relation (its row count IS |distinct w1|),
+    * so fit, and any [[merge]] of fits, agree by construction. */
   def fit(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Model = {
     val bi = bigramRel(docs, idCol, textCol)
+    val ctx = bi.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
     Model(
       bigramCounts = bi.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12")),
-      contextCounts = bi.groupBy(col("__w1")).agg(count(lit(1)).as("__c1")),
-      vocab = bi.agg(count_distinct(col("__w1")).as("__V")))
+      contextCounts = ctx,
+      vocab = ctx.agg(count(lit(1)).as("__V")))
+  }
+
+  /** Mergeable-counts incremental fit (the X33/X38/X41 incremental
+    * contract extended to the LM): count tables are additive, so a model
+    * over `corpus₁ ∪ corpus₂` is the keyed SUM of the two models —
+    * history is never rescanned when a batch arrives. Persist the two
+    * count relations, fold each new batch's [[fit]] in. */
+  def merge(a: Model, b: Model): Model = {
+    val bc = a.bigramCounts.unionByName(b.bigramCounts)
+      .groupBy(col("__w1"), col("__w2")).agg(sum(col("__c12")).as("__c12"))
+    val ctx = a.contextCounts.unionByName(b.contextCounts)
+      .groupBy(col("__w1")).agg(sum(col("__c1")).as("__c1"))
+    Model(bc, ctx, ctx.agg(count(lit(1)).as("__V")))
   }
 
   /** Score `docs` against `model`: per-document mean −ln P(w2|w1) with

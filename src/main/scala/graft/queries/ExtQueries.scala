@@ -596,6 +596,42 @@ object ExtQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** X10 — CSV sink+source roundtrip: free-text columns force the
+    * quoting/escaping path (texts contain the delimiter space and
+    * commas would, in a real corpus); read back with an EXPLICIT schema
+    * (never inference in a pipeline) and aggregate. The oracle runs the
+    * same aggregate on the canonical parquet — equality proves the
+    * roundtrip lost nothing. */
+  val x11_csv_roundtrip: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val docs = t(s, d, "documents")
+    docs.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .csv(dir)
+    s.read.schema(docs.schema).option("header", "true").csv(dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(length(col("text"))).as("text_len_sum"))
+      .orderBy(col("source"))
+  }
+
+  /** X10 — JSON-lines sink+source roundtrip (the interchange format of
+    * every LLM-corpus dump), explicit schema on read, same
+    * oracle-vs-parquet equality contract as the CSV face. */
+  val x12_jsonl_roundtrip: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val docs = t(s, d, "documents")
+    docs.write.mode("overwrite").json(dir)
+    s.read.schema(docs.schema).json(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"),
+        sum(length(col("text"))).as("text_len_sum"))
+      .orderBy(col("lang"))
+  }
+
   /** X0 — the WHOLE training-corpus pipeline as one composed plan, every
     * stage an engine operator: planted-dup corpus → exact dedup (X1) →
     * MinHash near-dup removal (X2) → quality + repetition screens (X4/X27)
@@ -940,7 +976,11 @@ object ExtQueries {
     * mean NLL. Ordering is on the ROUNDED nll with doc_id ties so the
     * tile boundary is ulp-stable cross-engine. */
   val x50_ppl_buckets: Q = (s, d) => {
+    // tiling needs two passes over its input (bucket counts, then
+    // ranks); pin the EXPENSIVE upstream (the LM scoring joins) once so
+    // both passes read the small (doc_id, nll) relation — q80's lesson
     val scored = graft.ext.NgramLm.selfScore(t(s, d, "documents"))
+      .select(col("doc_id"), col("nll")).localCheckpoint(true)
     graft.ext.Tiling.ntileByValue(scored, 3, "nll", "doc_id", "bucket")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("nll")), 4).as("avg_nll"))
@@ -1007,6 +1047,8 @@ object ExtQueries {
     "x2_fuzzy_join" -> x2_fuzzy_join,
     "x4_repetition" -> x4_repetition,
     "x10_orc_roundtrip" -> x10_orc_roundtrip,
+    "x11_csv_roundtrip" -> x11_csv_roundtrip,
+    "x12_jsonl_roundtrip" -> x12_jsonl_roundtrip,
     "x5_audio" -> x5_audio,
     "x7_split" -> x7_split,
     "x41_pca_project" -> x41_pca_project,
@@ -1251,6 +1293,17 @@ object ExtQueries {
         |  MAX(l_shipdate) AS ship_max
         | FROM lineitem WHERE l_quantity > 40
         | GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "x11_csv_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS text_len_sum
+        | FROM documents GROUP BY source ORDER BY source""",
+    "x12_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS text_len_sum
+        | FROM documents GROUP BY lang ORDER BY lang""",
     "x7_split" ->
       """SELECT doc_id,
         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccc' THEN 'train'

@@ -38,6 +38,27 @@ class NgramLmSpec extends SparkSpec {
     assert(out(0).getLong(2) === 3L && out(1).getLong(2) === 2L)
   }
 
+  test("merge of batch fits ≡ whole-corpus fit (incremental contract)") {
+    val all = Seq(
+      (1L, "a b a b c"), (2L, "b c a"), (3L, "c c b a"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val whole = NgramLm.fit(all)
+    val folded = NgramLm.merge(
+      NgramLm.merge(
+        NgramLm.fit(all.filter(col("doc_id") === 1)),
+        NgramLm.fit(all.filter(col("doc_id") === 2))),
+      NgramLm.fit(all.filter(col("doc_id") >= 3)))
+    val probe = Seq((9L, "a b c a x b")).toDF("doc_id", "text")
+    val a = NgramLm.score(probe, whole).collect().head
+    val b = NgramLm.score(probe, folded).collect().head
+    assert(a.getDouble(1) === b.getDouble(1) && a.getLong(2) === b.getLong(2))
+    // and the merged count tables are literally equal, not just score-equal
+    assert(whole.bigramCounts.orderBy("__w1", "__w2").collect().toSeq ===
+      folded.bigramCounts.orderBy("__w1", "__w2").collect().toSeq)
+    assert(whole.vocab.collect().head.getLong(0) ===
+      folded.vocab.collect().head.getLong(0))
+  }
+
   test("unseen bigrams fall back to the smoothed floor against a fitted model") {
     val model = NgramLm.fit(docs)
     // "c a": context c unseen (c1=0) -> p = k/(k*V) = 1/V = 0.5
