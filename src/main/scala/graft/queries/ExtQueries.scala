@@ -989,6 +989,20 @@ object ExtQueries {
       .orderBy(col("bucket"))
   }
 
+  /** X52 — per-key EWMA (`ext/Smooth.ewma`): sequential smoothing state
+    * over each user's event series, α = 0.3. The engine runs the
+    * recurrence in one partition-parallel forward pass; the oracle
+    * expands the closed form (y_i = (1−α)^{i−1}x_1 + Σ α(1−α)^{i−j}x_j)
+    * as a per-key pairs join — deliberately a different algorithm.
+    * Rounded at 4 with the +1e-9 nudge (q44's lesson) since the two
+    * evaluation orders differ in the last ulps. */
+  val x52_ewma: Q = (s, d) =>
+    graft.ext.Smooth.ewma(t(s, d, "events"), "user_id", "ts", "value",
+        alpha = 0.3)
+      .select(col("user_id"), col("ts"), col("value"),
+        round(col("ewma") + lit(1e-9), 4).as("ewma"))
+      .orderBy(col("user_id"), col("ts"), col("value"))
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1062,7 +1076,8 @@ object ExtQueries {
     "x48_token_budget" -> x48_token_budget,
     "x49_quality_model" -> x49_quality_model,
     "x50_ppl_buckets" -> x50_ppl_buckets,
-    "x51_domain_cap" -> x51_domain_cap)
+    "x51_domain_cap" -> x51_domain_cap,
+    "x52_ewma" -> x52_ewma)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -1634,6 +1649,21 @@ object ExtQueries {
         | SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
         |   ROUND(AVG(nll), 4) AS avg_nll
         | FROM tiled GROUP BY bucket ORDER BY bucket""",
+    // closed-form expansion of the recurrence, per-key pairs join —
+    // deliberately a DIFFERENT algorithm from the engine's forward pass
+    "x52_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, value) AS i
+        |  FROM events)
+        | SELECT a.user_id, a.ts, a.value,
+        |   ROUND(SUM(CASE WHEN b.i = 1 THEN power(0.7, a.i - 1) * b.value
+        |     ELSE 0.3 * power(0.7, a.i - b.i) * b.value END) + 1e-9, 4)
+        |     AS ewma
+        | FROM e a JOIN e b ON a.user_id = b.user_id AND b.i <= a.i
+        | GROUP BY a.user_id, a.ts, a.value, a.i
+        | ORDER BY a.user_id, a.ts, a.value""",
     "x51_domain_cap" ->
       """SELECT doc_id, source, CAST(rank_in_domain AS BIGINT)
         |   AS rank_in_domain FROM (
