@@ -38,4 +38,14 @@ object ColumnOps {
       JaroWinklerSim(
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** [[NfcNormalize]] as a Column. */
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      NfcNormalize(org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** [[StripAccents]] as a Column. */
+  def stripAccents(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      StripAccents(org.apache.spark.sql.GraftBridge.expression(c)))
 }

@@ -1003,6 +1003,25 @@ object ExtQueries {
         round(col("ewma") + lit(1e-9), 4).as("ewma"))
       .orderBy(col("user_id"), col("ts"), col("value"))
 
+  /** X53 — Unicode canonicalization (`functions/NfcNormalize` /
+    * `StripAccents`): part names get decomposed accents planted
+    * (e → e+U+0301, a → a+U+0300), then NFC recomposes (codepoint count
+    * drops) and accent-stripping recovers the original. Both kernels
+    * are pinned cross-engine against DuckDB's nfc_normalize /
+    * strip_accents on the same constructed input. */
+  val x53_normalize: Q = (s, d) => {
+    import graft.functions.ColumnOps.{nfcNormalize, stripAccents}
+    val decomposed = regexp_replace(
+      regexp_replace(col("p_name"), "e", "e\u0301"), "a", "a\u0300")
+    t(s, d, "part").filter(col("p_partkey") < 2000)
+      .select(col("p_partkey"),
+        nfcNormalize(decomposed).as("nfc"),
+        stripAccents(decomposed).as("plain"),
+        length(decomposed).cast("long").as("len_decomposed"),
+        length(nfcNormalize(decomposed)).cast("long").as("len_nfc"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1077,7 +1096,8 @@ object ExtQueries {
     "x49_quality_model" -> x49_quality_model,
     "x50_ppl_buckets" -> x50_ppl_buckets,
     "x51_domain_cap" -> x51_domain_cap,
-    "x52_ewma" -> x52_ewma)
+    "x52_ewma" -> x52_ewma,
+    "x53_normalize" -> x53_normalize)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -1649,6 +1669,21 @@ object ExtQueries {
         | SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
         |   ROUND(AVG(nll), 4) AS avg_nll
         | FROM tiled GROUP BY bucket ORDER BY bucket""",
+    // same decomposed-accent construction (chr(769)=U+0301 acute,
+    // chr(768)=U+0300 grave); nfc_normalize/strip_accents ARE the
+    // pinned kernels
+    "x53_normalize" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    replace(replace(p_name, 'e', 'e' || chr(769)),
+        |      'a', 'a' || chr(768)) AS dec
+        |  FROM part WHERE p_partkey < 2000)
+        | SELECT p_partkey,
+        |   nfc_normalize(dec) AS nfc,
+        |   strip_accents(dec) AS plain,
+        |   CAST(length(dec) AS BIGINT) AS len_decomposed,
+        |   CAST(length(nfc_normalize(dec)) AS BIGINT) AS len_nfc
+        | FROM p ORDER BY p_partkey""",
     // closed-form expansion of the recurrence, per-key pairs join —
     // deliberately a DIFFERENT algorithm from the engine's forward pass
     "x52_ewma" ->
