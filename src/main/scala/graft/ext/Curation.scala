@@ -88,6 +88,28 @@ object Curation {
         col("__cum").as("cum_tokens"))
   }
 
+  /** X54 — deterministic per-class exact-k sample (class-balancing for
+    * training sets): rank rows within each class by a seeded hash of
+    * the id and keep the first `k` — every class contributes EXACTLY
+    * min(k, |class|) rows, the draw is uniform over ids, reproducible
+    * under reruns AND stable under corpus growth for surviving ids
+    * (a row's hash never changes; it is displaced only when new ids
+    * hash ahead of it). Same per-class window shape as [[domainCap]]:
+    * parallel across classes, no global order. */
+  def classSample(docs: DataFrame, k: Int, classCol: String,
+      idCol: String, seed: Long = 42L,
+      rankHash: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(k >= 1, "sample size must be positive")
+    // engine-native draw is xxhash64 (8 B, codegen'd); pass `rankHash`
+    // to substitute a cross-engine-portable hash (the x54 oracle face
+    // uses md5 hex so DuckDB reproduces the identical draw)
+    val h = rankHash.getOrElse(xxhash64(col(s"`$idCol`"), lit(seed)))
+    val w = Window.partitionBy(col(s"`$classCol`"))
+      .orderBy(h, col(s"`$idCol`"))
+    docs.withColumn("draw", row_number().over(w))
+      .filter(col("draw") <= k)
+  }
+
   /** X51 — per-domain contribution cap (the CommonCrawl-curation rule
     * "no domain may dominate the corpus"): keep at most `n` documents
     * per `keyCol`, ranked by (`rankCol` DESC, `idCol`). One window per

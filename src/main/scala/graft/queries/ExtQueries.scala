@@ -1022,6 +1022,20 @@ object ExtQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** X54 — per-class exact-k sample (`ext/Curation.classSample`):
+    * 20 docs per (source, lang) class drawn by seeded hash rank; the
+    * face uses the md5 draw so DuckDB reproduces it bit-for-bit (the
+    * engine-native xxhash64 draw is spec-covered). */
+  val x54_class_sample: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .withColumn("cls", concat_ws("|", col("source"), col("lang")))
+    graft.ext.Curation.classSample(docs, k = 20, classCol = "cls",
+        idCol = "doc_id",
+        rankHash = Some(md5(concat(col("doc_id").cast("string"), lit(":42")))))
+      .select(col("doc_id"), col("cls"), col("draw").cast("long").as("draw"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1097,7 +1111,8 @@ object ExtQueries {
     "x50_ppl_buckets" -> x50_ppl_buckets,
     "x51_domain_cap" -> x51_domain_cap,
     "x52_ewma" -> x52_ewma,
-    "x53_normalize" -> x53_normalize)
+    "x53_normalize" -> x53_normalize,
+    "x54_class_sample" -> x54_class_sample)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -1669,6 +1684,14 @@ object ExtQueries {
         | SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
         |   ROUND(AVG(nll), 4) AS avg_nll
         | FROM tiled GROUP BY bucket ORDER BY bucket""",
+    "x54_class_sample" ->
+      """SELECT doc_id, cls, CAST(draw AS BIGINT) AS draw FROM (
+        |  SELECT doc_id, source || '|' || lang AS cls,
+        |    ROW_NUMBER() OVER (PARTITION BY source || '|' || lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id)
+        |      AS draw
+        |  FROM documents) r
+        | WHERE draw <= 20 ORDER BY doc_id""",
     // same decomposed-accent construction (chr(769)=U+0301 acute,
     // chr(768)=U+0300 grave); nfc_normalize/strip_accents ARE the
     // pinned kernels

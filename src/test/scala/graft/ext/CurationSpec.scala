@@ -70,6 +70,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("classSample: exact k per class, deterministic, growth-stable draws") {
+    val docs = (1L to 200L).map(i => (i, "c" + (i % 3)))
+      .toDF("doc_id", "cls")
+    val a = Curation.classSample(docs, k = 10, "cls", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Curation.classSample(docs, k = 10, "cls", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b && a.size === 30)
+    // class smaller than k contributes everything
+    val small = Curation.classSample(docs.filter($"doc_id" <= 5), 10,
+      "cls", "doc_id").count()
+    assert(small === 5)
+    // growth: doubling the corpus never ADDS an old id to the sample —
+    // survivors of the bigger draw that are old ids were already drawn
+    val grown = docs.unionByName(
+      (201L to 400L).map(i => (i, "c" + (i % 3))).toDF("doc_id", "cls"))
+    val g = Curation.classSample(grown, k = 10, "cls", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(g.filter(_ <= 200L).subsetOf(a))
+  }
+
   test("tokenBudget: constant rank column degenerates to one bucket safely") {
     val docs = Seq((1L, 5L, 7), (2L, 5L, 7), (3L, 5L, 7))
       .toDF("doc_id", "n_tokens", "n_chars")
