@@ -33,13 +33,23 @@ object AsOfJoin {
     * @param rightTime validity-start column on `right`
     * @param payload   right-side columns to carry (default: all non-key,
     *                  non-time columns)
-    * @param toleranceMs max staleness; None = unbounded */
+    * @param toleranceMs max staleness; None = unbounded
+    * @param direction "backward" (most recent right row at or before the
+    *                  event — the default) or "forward" (next right row
+    *                  at or after it); same plan either way, only the
+    *                  scan order flips
+    * @param matchTimeCol output column carrying the matched right time */
   def apply(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String],
       leftTime: String, rightTime: String,
       payload: Seq[String] = Nil,
-      toleranceMs: Option[Long] = None): DataFrame = {
+      toleranceMs: Option[Long] = None,
+      direction: String = "backward",
+      matchTimeCol: String = "asof_time"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
 
     // backtick-quote every caller-supplied name: the engine's own metadata
     // schema has dotted columns (`in.state`, SchemaDefs), which bare col()
@@ -76,7 +86,8 @@ object AsOfJoin {
     // right rows sort before left rows at the same instant (a reference row
     // AT the event time is visible to it)
     val w = Window.partitionBy(keyCols.map(qcol): _*)
-      .orderBy(col(unifiedTime), col("__is_left"))
+      .orderBy(if (fwd) col(unifiedTime).desc else col(unifiedTime).asc,
+        col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = lProjected.unionByName(rProjected)
@@ -86,10 +97,11 @@ object AsOfJoin {
     // staleness compared at microsecond precision (timestamp resolution):
     // cast("long") would truncate to whole seconds and void sub-second
     // tolerances entirely
+    val signedAge: Column =
+      if (fwd) unix_micros(matchT) - unix_micros(col(unifiedTime))
+      else unix_micros(col(unifiedTime)) - unix_micros(matchT)
     val stale: Column = toleranceMs match {
-      case Some(tol) =>
-        matchT.isNull ||
-          unix_micros(col(unifiedTime)) - unix_micros(matchT) > tol * 1000L
+      case Some(tol) => matchT.isNull || signedAge > tol * 1000L
       case None => matchT.isNull
     }
     filled
@@ -99,7 +111,7 @@ object AsOfJoin {
           payloadCols.zipWithIndex.map { case (c, i) =>
             when(stale, lit(null)).otherwise(col("__m").getField(s"p_$i")).as(c)
           } :+
-          when(stale, lit(null)).otherwise(matchT).as("asof_time"): _*)
+          when(stale, lit(null)).otherwise(matchT).as(matchTimeCol): _*)
   }
 }
 
@@ -122,5 +134,48 @@ object RangeJoin {
     l.join(r, "__bin")
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bin")
+  }
+}
+
+/** Nearest-in-time join (X55): attach to each left row the right row
+  * minimizing |t_left − t_right| within the key — event attribution,
+  * sensor alignment, nearest-snapshot enrichment. Composed from TWO
+  * as-of passes (backward, then forward over the enriched relation) and
+  * a row-local winner pick: |Δ| ties go BACKWARD (equivalently: order
+  * candidates by (|Δ|, right time) and take the first). Cost = two
+  * sorted-window scans on the same key partitioning — no candidate
+  * explosion, no self-join; the second pass reuses the first's shuffle
+  * partitioning. */
+object NearestJoin {
+
+  def apply(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String, rightTime: String,
+      payload: Seq[String] = Nil,
+      toleranceMs: Option[Long] = None): DataFrame = {
+    def qcol(name: String): Column = col(s"`$name`")
+    val payloadCols =
+      if (payload.nonEmpty) payload
+      else right.columns.toSeq.diff(keyCols :+ rightTime)
+
+    def renamed(suffix: String): DataFrame =
+      right.select((keyCols.map(qcol) :+ qcol(rightTime)) ++
+        payloadCols.map(c => qcol(c).as(s"$c$suffix")): _*)
+
+    val back = AsOfJoin(left, renamed("__b"), keyCols, leftTime, rightTime,
+      payloadCols.map(_ + "__b"), toleranceMs, "backward", "__tb")
+    val both = AsOfJoin(back, renamed("__f"), keyCols, leftTime, rightTime,
+      payloadCols.map(_ + "__f"), toleranceMs, "forward", "__tf")
+
+    val lt = unix_micros(qcol(leftTime))
+    val useBack = col("__tf").isNull ||
+      (col("__tb").isNotNull &&
+        (lt - unix_micros(col("__tb")) <= unix_micros(col("__tf")) - lt))
+    both.select(
+      left.columns.toSeq.map(qcol) ++
+        payloadCols.map(c =>
+          when(useBack, qcol(s"${c}__b")).otherwise(qcol(s"${c}__f")).as(c)) :+
+        when(useBack, col("__tb")).otherwise(col("__tf")).as("nearest_time"): _*)
   }
 }

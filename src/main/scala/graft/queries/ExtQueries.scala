@@ -1036,6 +1036,24 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** X55 — nearest-in-time join (`operators/NearestJoin`): each view
+    * event attributed to the user's closest purchase in time (|Δ| ties
+    * go backward). Engine = two as-of window passes sharing one key
+    * partitioning; oracle = exhaustive per-key candidates ranked by
+    * (|Δ|, right time) — a deliberately different algorithm. */
+  val x55_nearest_join: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    graft.operators.NearestJoin(views, buys, Seq("user_id"), "ts", "ts",
+        Seq("purchase_value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("purchase_value"), col("nearest_time"))
+      .orderBy(col("event_id"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1112,7 +1130,8 @@ object ExtQueries {
     "x51_domain_cap" -> x51_domain_cap,
     "x52_ewma" -> x52_ewma,
     "x53_normalize" -> x53_normalize,
-    "x54_class_sample" -> x54_class_sample)
+    "x54_class_sample" -> x54_class_sample,
+    "x55_nearest_join" -> x55_nearest_join)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -1684,6 +1703,24 @@ object ExtQueries {
         | SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
         |   ROUND(AVG(nll), 4) AS avg_nll
         | FROM tiled GROUP BY bucket ORDER BY bucket""",
+    // exhaustive candidate ranking — deliberately different from the
+    // engine's two-pass as-of composition; (|delta|, pt) order makes the
+    // backward-on-tie rule explicit
+    "x55_nearest_join" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'view'),
+        | p AS (
+        |  SELECT user_id, ts AS pt, value AS pval FROM events
+        |  WHERE event_type = 'purchase'),
+        | ranked AS (
+        |  SELECT v.event_id, v.user_id, v.ts, p.pt, p.pval,
+        |    ROW_NUMBER() OVER (PARTITION BY v.event_id
+        |      ORDER BY abs(epoch_us(p.pt) - epoch_us(v.ts)), p.pt) AS rn
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id)
+        | SELECT event_id, user_id, ts, pval AS purchase_value,
+        |   pt AS nearest_time
+        | FROM ranked WHERE rn = 1 ORDER BY event_id""",
     "x54_class_sample" ->
       """SELECT doc_id, cls, CAST(draw AS BIGINT) AS draw FROM (
         |  SELECT doc_id, source || '|' || lang AS cls,

@@ -89,6 +89,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(voided === null)
   }
 
+  test("forward direction picks the NEXT reference at-or-after; tolerance forward") {
+    val got = AsOfJoin(events, meta, Seq("id"), "ts", "rts",
+        direction = "forward")
+      .select("id", "ts", "label")
+      .as[(Long, Timestamp, Option[String])].collect().toSet
+    assert(got === Set(
+      (1L, ts("2024-01-01 10:00:00"), Some("m1b")), // next is 11:30
+      (1L, ts("2024-01-01 12:00:00"), None),        // nothing after noon
+      (2L, ts("2024-01-01 11:00:00"), Some("m2a")), // at-instant visible
+      (3L, ts("2024-01-01 09:00:00"), None)))
+    val tol = AsOfJoin(events, meta, Seq("id"), "ts", "rts",
+        toleranceMs = Some(60L * 60 * 1000), direction = "forward")
+      .select("id", "ts", "label")
+      .as[(Long, Timestamp, Option[String])].collect().toSet
+    // 10:00 → 11:30 is 90 min: beyond a 60-min forward tolerance
+    assert(tol.contains((1L, ts("2024-01-01 10:00:00"), None)))
+  }
+
+  test("nearest join picks min |delta| with backward ties") {
+    val buys = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 2.0),  // 30 min after the 10:00 view
+      (1L, ts("2024-01-01 13:00:00"), 3.0),  // 60 min after the 12:00 view
+      (2L, ts("2024-01-01 10:00:00"), 4.0),
+      (2L, ts("2024-01-01 12:00:00"), 5.0)   // EXACT tie around 11:00
+    ).toDF("id", "bts", "bv")
+    val got = NearestJoin(events, buys, Seq("id"), "ts", "bts")
+      .select("id", "ts", "bv")
+      .as[(Long, Timestamp, Option[Double])].collect().toSet
+    assert(got === Set(
+      (1L, ts("2024-01-01 10:00:00"), Some(2.0)), // 30 min fwd beats 60 back
+      (1L, ts("2024-01-01 12:00:00"), Some(3.0)), // 60 fwd beats 90 back
+      (2L, ts("2024-01-01 11:00:00"), Some(4.0)), // tie → backward
+      (3L, ts("2024-01-01 09:00:00"), None)))
+  }
+
   test("brute-force differential on random data") {
     val rnd = new scala.util.Random(7)
     val ev = (1 to 300).map(_ => (rnd.nextInt(5).toLong,
