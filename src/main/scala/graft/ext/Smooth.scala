@@ -30,12 +30,15 @@ object Smooth {
   /** Append `ewma` to (keyCol, tsCol, valueCol) rows. Rows with null
     * value pass through with a null ewma and do NOT advance the state
     * (pandas `ignore_na=True` semantics). Ties on (key, ts) are ordered
-    * by the value column to keep the scan deterministic. */
+    * by the value column to keep the scan deterministic. `carryCols`
+    * ride along unexamined (per-row attributes downstream consumers
+    * need — avoids a fan-out-prone re-join on non-unique triples). */
   def ewma(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
-      alpha: Double): DataFrame = {
+      alpha: Double, carryCols: Seq[String] = Nil): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
-    val in = df.select(col(s"`$keyCol`"), col(s"`$tsCol`"),
-      col(s"`$valueCol`").cast("double").as(valueCol))
+    val in = df.select(col(s"`$keyCol`") +: col(s"`$tsCol`") +:
+      col(s"`$valueCol`").cast("double").as(valueCol) +:
+      carryCols.map(c => col(s"`$c`")): _*)
     val outSchema = StructType(in.schema.fields :+
       StructField("ewma", DoubleType, nullable = true))
     val enc = RowEncoder.encoderFor(outSchema)

@@ -1054,6 +1054,31 @@ object ExtQueries {
       .orderBy(col("event_id"))
   }
 
+  /** X56 — EWMA-residual anomaly screen: the X52 baseline composed with
+    * the X30 robust screen. Per user, each event's PREDICTION is the
+    * smoothed value BEFORE it (lag of the EWMA); residual = value −
+    * prediction; residuals then MAD-screen per event_type through the
+    * one-scan histogram summary. First event per user has no prediction
+    * and is excluded. Engine = recurrence scan + lag window (same key
+    * partitioning) + histogram summary; oracle = closed-form EWMA pairs
+    * join + SQL lag + from-scratch median/MAD. */
+  val x56_anomaly: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val smoothed = graft.ext.Smooth.ewma(ev, "user_id", "ts", "value", 0.3,
+      carryCols = Seq("event_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("value"))
+    val resid = smoothed
+      .withColumn("pred", lag(col("ewma"), 1).over(w))
+      .filter(col("pred").isNotNull)
+      .withColumn("resid", col("value") - col("pred"))
+    graft.ext.Robust.outlierSummary(resid, Seq("event_type"), "resid", k = 5.0)
+      .select(col("event_type"), col("n_outliers"), col("n"),
+        round(col("med") + lit(1e-9), 4).as("med"),
+        round(col("mad") + lit(1e-9), 4).as("madv"))
+      .orderBy(col("event_type"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1131,7 +1156,8 @@ object ExtQueries {
     "x52_ewma" -> x52_ewma,
     "x53_normalize" -> x53_normalize,
     "x54_class_sample" -> x54_class_sample,
-    "x55_nearest_join" -> x55_nearest_join)
+    "x55_nearest_join" -> x55_nearest_join,
+    "x56_anomaly" -> x56_anomaly)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -1703,6 +1729,40 @@ object ExtQueries {
         | SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
         |   ROUND(AVG(nll), 4) AS avg_nll
         | FROM tiled GROUP BY bucket ORDER BY bucket""",
+    // EWMA via closed form + SQL lag + from-scratch median/MAD — every
+    // stage a different algorithm from the engine composition
+    "x56_anomaly" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, value) AS i
+        |  FROM events),
+        | y AS (
+        |  SELECT a.user_id, a.event_type, a.value, a.i,
+        |    SUM(CASE WHEN b.i = 1 THEN power(0.7, a.i - 1) * b.value
+        |      ELSE 0.3 * power(0.7, a.i - b.i) * b.value END) AS ewma
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND b.i <= a.i
+        |  GROUP BY a.user_id, a.event_type, a.value, a.i),
+        | r AS (
+        |  SELECT event_type,
+        |    value - lag(ewma) OVER (PARTITION BY user_id ORDER BY i)
+        |      AS resid
+        |  FROM y),
+        | rr AS (SELECT event_type, resid FROM r WHERE resid IS NOT NULL),
+        | m AS (SELECT event_type, median(resid) AS med FROM rr GROUP BY 1),
+        | mm AS (
+        |  SELECT rr.event_type, m.med, rr.resid,
+        |    abs(rr.resid - m.med) AS dev
+        |  FROM rr JOIN m USING (event_type)),
+        | md AS (SELECT event_type, median(dev) AS mad FROM mm GROUP BY 1)
+        | SELECT mm.event_type,
+        |   CAST(SUM(CASE WHEN dev > 5 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_outliers,
+        |   COUNT(*) AS n,
+        |   ROUND(ANY_VALUE(med) + 1e-9, 4) AS med,
+        |   ROUND(ANY_VALUE(mad) + 1e-9, 4) AS madv
+        | FROM mm JOIN md USING (event_type)
+        | GROUP BY mm.event_type ORDER BY mm.event_type""",
     // exhaustive candidate ranking — deliberately different from the
     // engine's two-pass as-of composition; (|delta|, pt) order makes the
     // backward-on-tie rule explicit
