@@ -1079,6 +1079,23 @@ object ExtQueries {
       .orderBy(col("event_type"))
   }
 
+  /** X57 — Zipf-law corpus statistics: token frequency table → exact
+    * global rank WITHOUT a global sort (X29 tiling over the negated
+    * frequency) → log-log regression slope/fit. The corpus-health
+    * number every tokenizer/LM-data report quotes; slope ≈ −1 for
+    * natural text, degenerate for boilerplate-heavy dumps. */
+  val x57_zipf: Q = (s, d) => {
+    val tf = t(s, d, "documents")
+      .select(explode(TextStats.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .withColumn("negf", -col("f").cast("double"))
+    val ranked = graft.ext.Tiling.ntileByValue(tf, 1, "negf", "word")
+    ranked.agg(
+        round(regr_slope(log(col("f")), log(col("__rank"))), 4).as("slope"),
+        round(regr_r2(log(col("f")), log(col("__rank"))), 4).as("r2"),
+        count(lit(1)).as("n_vocab"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1157,7 +1174,8 @@ object ExtQueries {
     "x53_normalize" -> x53_normalize,
     "x54_class_sample" -> x54_class_sample,
     "x55_nearest_join" -> x55_nearest_join,
-    "x56_anomaly" -> x56_anomaly)
+    "x56_anomaly" -> x56_anomaly,
+    "x57_zipf" -> x57_zipf)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -1729,6 +1747,20 @@ object ExtQueries {
         | SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
         |   ROUND(AVG(nll), 4) AS avg_nll
         | FROM tiled GROUP BY bucket ORDER BY bucket""",
+    // plain window rank — the engine ranks via the no-global-sort tiling
+    "x57_zipf" ->
+      """WITH tf AS (
+        |  SELECT word, COUNT(*) AS f FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents WHERE len(trim(text)) > 0) u
+        |  GROUP BY word),
+        | r AS (
+        |  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, word) AS rank
+        |  FROM tf)
+        | SELECT ROUND(regr_slope(ln(f), ln(rank)), 4) AS slope,
+        |   ROUND(regr_r2(ln(f), ln(rank)), 4) AS r2,
+        |   COUNT(*) AS n_vocab
+        | FROM r""",
     // EWMA via closed form + SQL lag + from-scratch median/MAD — every
     // stage a different algorithm from the engine composition
     "x56_anomaly" ->
