@@ -1096,6 +1096,33 @@ object ExtQueries {
         count(lit(1)).as("n_vocab"))
   }
 
+  /** X58 — per-group winsorization: clip values to [p05, p95] of their
+    * event type — the standard heavy-tail cleaning pass before model
+    * features. Bounds come from X28's distributed-selection exact
+    * quantiles (no row-sized shuffle, no per-group buffering), clipping
+    * is a row-local broadcast-join + least/greatest at scan speed. */
+  val x58_winsorize: Q = (s, d) => {
+    val ev = t(s, d, "events").select(col("event_type").as("g"), col("value"))
+    // bounds ROUNDED to 4 decimals before clipping: the interpolated
+    // quantile differs across engines in the last ulp, and at 10x-
+    // replicated data the boundary value has many copies that would all
+    // flip on a strict compare against an ulp-different bound
+    val bounds = graft.ext.Quantiles.exactQuantiles(ev, "g",
+        Seq(("value", 0.05, "lo"), ("value", 0.95, "hi")))
+      .select(col("g"), round(col("lo") + lit(1e-9), 4).as("lo"),
+        round(col("hi") + lit(1e-9), 4).as("hi"))
+    ev.join(broadcast(bounds), Seq("g"))
+      .withColumn("clipped", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("clipped")), 4).as("clipped_sum"),
+        round(min(col("clipped")), 4).as("clip_min"),
+        round(max(col("clipped")), 4).as("clip_max"),
+        sum((col("value") < col("lo") || col("value") > col("hi"))
+          .cast("long")).as("n_clipped"))
+      .orderBy(col("g"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1175,7 +1202,8 @@ object ExtQueries {
     "x54_class_sample" -> x54_class_sample,
     "x55_nearest_join" -> x55_nearest_join,
     "x56_anomaly" -> x56_anomaly,
-    "x57_zipf" -> x57_zipf)
+    "x57_zipf" -> x57_zipf,
+    "x58_winsorize" -> x58_winsorize)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -1747,6 +1775,25 @@ object ExtQueries {
         | SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
         |   ROUND(AVG(nll), 4) AS avg_nll
         | FROM tiled GROUP BY bucket ORDER BY bucket""",
+    // quantile_cont bounds (interpolation parity pinned by q51) + clip
+    "x58_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    ROUND(quantile_cont(value, 0.05) + 1e-9, 4) AS lo,
+        |    ROUND(quantile_cont(value, 0.95) + 1e-9, 4) AS hi
+        |  FROM events GROUP BY 1),
+        | c AS (
+        |  SELECT e.event_type AS g,
+        |    least(greatest(e.value, b.lo), b.hi) AS clipped,
+        |    (e.value < b.lo OR e.value > b.hi) AS was_clipped
+        |  FROM events e JOIN b ON e.event_type = b.g)
+        | SELECT g, COUNT(*) AS n,
+        |   ROUND(SUM(clipped), 4) AS clipped_sum,
+        |   ROUND(MIN(clipped), 4) AS clip_min,
+        |   ROUND(MAX(clipped), 4) AS clip_max,
+        |   CAST(SUM(CASE WHEN was_clipped THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_clipped
+        | FROM c GROUP BY g ORDER BY g""",
     // plain window rank — the engine ranks via the no-global-sort tiling
     "x57_zipf" ->
       """WITH tf AS (
