@@ -149,6 +149,14 @@ object PlanCheck {
         "Exchange SinglePartition".r.findAllIn(p).size <= 3 &&
         !p.contains("CartesianProduct"))
 
+    check("x55_nearest_join", "nearest = two as-of window passes, no candidate explosion (no cartesian/BNLJ)")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        "Window ".r.findAllIn(p).size >= 2)
+    check("x56_anomaly", "anomaly screen: lag reuses the smoothing key partitioning; histogram summary; no cartesian")(p =>
+      !p.contains("CartesianProduct") && p.contains("lag("))
+    check("x58_winsorize", "winsorize: broadcast quantile bounds, clip at scan speed, no cartesian")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+
     // x34/x35 (optimizer-rule rewrites) assert the absence of the
     // nested-loop join INSIDE the query itself — the conf must be set at
     // plan time, which only the query closure controls.
