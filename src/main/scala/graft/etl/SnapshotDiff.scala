@@ -21,24 +21,35 @@ import org.apache.spark.sql.functions._
 object SnapshotDiff {
 
   /** One row per differing key: (keys..., change ∈ added|removed|changed).
-    * Unchanged keys produce nothing. */
+    * Unchanged keys produce nothing.
+    *
+    * The content column is computed BELOW the join on each side (a
+    * projection under the exchange), so in hash mode the shuffle really
+    * does carry (key, 8-byte hash, flag) and nothing else — computing the
+    * hash after the join would drag every wide attribute column through
+    * both exchanges, because Catalyst prunes unused columns but never
+    * pushes computed expressions below a join on its own. */
   def diff(before: DataFrame, after: DataFrame, keys: Seq[String],
       exact: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "at least one key column")
     val attrCols = before.columns.filterNot(keys.contains)
     require(after.columns.filterNot(keys.contains).sorted.sameElements(attrCols.sorted),
       "snapshots must share the same non-key columns")
-    def content(prefix: String): Column =
-      if (exact) struct(attrCols.map(c => col(s"$prefix.`$c`")): _*)
-      else xxhash64(attrCols.map(c => col(s"$prefix.`$c`")): _*)
-    val b = before.withColumn("__b", lit(1)).alias("b")
-    val a = after.withColumn("__a", lit(1)).alias("a")
+    def side(df: DataFrame, flag: String): DataFrame = {
+      val content: Column =
+        if (exact) struct(attrCols.map(c => col(s"`$c`")): _*)
+        else xxhash64(attrCols.map(c => col(s"`$c`")): _*)
+      df.select(keys.map(k => col(s"`$k`"))
+        :+ content.as("__c") :+ lit(1).as(flag): _*)
+    }
+    val b = side(before, "__b").alias("b")
+    val a = side(after, "__a").alias("a")
     b.join(a, keys.map(k => col(s"b.`$k`") <=> col(s"a.`$k`")).reduce(_ && _),
         "full_outer")
       .withColumn("change",
         when(col("__b").isNull, lit("added"))
           .when(col("__a").isNull, lit("removed"))
-          .when(!(content("b") <=> content("a")), lit("changed")))
+          .when(!(col("b.__c") <=> col("a.__c")), lit("changed")))
       .filter(col("change").isNotNull)
       .select(keys.map(k => coalesce(col(s"b.`$k`"), col(s"a.`$k`")).as(k))
         :+ col("change"): _*)

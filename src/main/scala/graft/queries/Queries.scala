@@ -989,8 +989,13 @@ object Queries {
     val inserts = o.filter(col("o_orderkey") % 100 === 7)
       .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
       .withColumn("o_orderstatus", lit("N"))
+    // delta keys are ~11% of base — the documented caller-knows case for
+    // the broadcast hint: the anti join then keeps the wide base
+    // UNSHUFFLED, so the only wide exchanges left are the diff's own two
+    // (the full-outer minimum)
     val after = graft.etl.Upsert.upsert(
-      o, updates.unionByName(inserts), Seq("o_orderkey"))
+      o, updates.unionByName(inserts), Seq("o_orderkey"),
+      broadcastKeys = Some(true))
     graft.etl.SnapshotDiff.diff(o, after, Seq("o_orderkey"), exact = true)
       .orderBy(col("o_orderkey"))
   }

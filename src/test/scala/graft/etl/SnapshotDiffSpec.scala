@@ -29,6 +29,21 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(SnapshotDiff.diff(before, before, Seq("k")).count() === 0)
   }
 
+  test("hash mode shuffles only (key, hash, flag): content below the join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val qe = SnapshotDiff.diff(before, after, Seq("k")).queryExecution
+    val joins = qe.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size === 1)
+    // each join input is exactly (k, __c, flag) — the wide attr columns
+    // were folded into the 8-byte hash below the join, so the exchanges
+    // feeding it carry 3 narrow columns, never the row
+    joins.head.children.foreach { c =>
+      assert(c.output.map(_.name).toSet.subsetOf(Set("k", "__c", "__b", "__a")),
+        c.output.map(_.name).mkString(","))
+      assert(c.output.size === 3)
+    }
+  }
+
   test("summary counts") {
     val got = SnapshotDiff.summary(before, after, Seq("k"))
       .as[(String, Long)].collect().toSeq
