@@ -110,6 +110,55 @@ object Curation {
       .filter(col("draw") <= k)
   }
 
+  /** X60 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): each row draws key = −ln(u)/w from a seeded per-id uniform u
+    * and the k smallest keys win — provably equivalent to sequential
+    * weighted draws without replacement. This is the sampling half of
+    * [[mixtureWeights]]: temperature weights say how much of each source
+    * to keep, A-ES actually draws the documents (w = the row's weight,
+    * e.g. tokens × source weight).
+    *
+    * Scale shape: the draw is one row-local projection; selection is
+    * either a per-stratum row_number window (strata partition the work)
+    * or, global, a sort-limit that Spark plans as TakeOrderedAndProject —
+    * per-partition top-k then a k-row driver merge, NEVER a global sort.
+    * Rows with weight ≤ 0 are unsampleable by the A-ES contract and are
+    * filtered out.
+    *
+    * Determinism contract (same as [[classSample]]): u comes from a hash
+    * of the id and seed only, so a row's key never changes as the corpus
+    * grows — re-runs reproduce, new data can displace but never re-draw.
+    * Keys are ROUNDED to 9 decimals with an id tie-break before ranking
+    * (the q44 rule): −ln and ÷ agree across engines only to the last
+    * ulp, and the rounded compare makes the k-boundary bit-stable for
+    * the cross-engine face.
+    *
+    * @param draw optional portable uniform u ∈ (0,1) (the x60 oracle
+    *   face passes an md5-based u DuckDB reproduces bit-for-bit);
+    *   None = engine-native xxhash64 draw. */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+      idCol: String = "doc_id", strataCol: Option[String] = None,
+      seed: Long = 42L,
+      draw: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(k >= 1, "sample size must be positive")
+    val twoTo52 = (1L << 52).toDouble
+    val u = draw.getOrElse(
+      (pmod(xxhash64(col(s"`$idCol`"), lit(seed)), lit(1L << 52))
+        .cast("double") + 0.5) / twoTo52)
+    val key = round(-log(u) / col(s"`$weightCol`"), 9)
+    val keyed = docs.filter(col(s"`$weightCol`") > 0)
+      .withColumn("__aes", key)
+    strataCol match {
+      case Some(sc) =>
+        val w = Window.partitionBy(col(s"`$sc`"))
+          .orderBy(col("__aes"), col(s"`$idCol`"))
+        keyed.withColumn("draw", row_number().over(w))
+          .filter(col("draw") <= k).drop("__aes")
+      case None =>
+        keyed.orderBy(col("__aes"), col(s"`$idCol`")).limit(k).drop("__aes")
+    }
+  }
+
   /** X51 — per-domain contribution cap (the CommonCrawl-curation rule
     * "no domain may dominate the corpus"): keep at most `n` documents
     * per `keyCol`, ranked by (`rankCol` DESC, `idCol`). One window per

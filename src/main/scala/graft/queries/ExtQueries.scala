@@ -1123,6 +1123,83 @@ object ExtQueries {
       .orderBy(col("g"))
   }
 
+  /** X59 — URL canonicalization (`ext/Urls`): dirty URLs are SYNTHESIZED
+    * from documents by an identical construction on both engines (mixed
+    * scheme/host case, www label, varied TLDs incl. a second-level
+    * suffix, default and non-default ports, trailing slashes, tracking
+    * params, fragments), then each engine runs its own canonicalizer —
+    * the engine's `parse_url`+HOF kernel vs the same contract spelled in
+    * DuckDB regexp/list SQL. Row-level hash equality pins the canonical
+    * form and the registered-domain label arithmetic. */
+  val x59_url_canon: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+      when(id % 3 === 0, "www.").otherwise(""),
+      when(id % 6 === 0, upper(col("source"))).otherwise(col("source")),
+      lit("."),
+      when(id % 4 === 0, "com").when(id % 4 === 1, "co.uk")
+        .when(id % 4 === 2, "org").otherwise("io"),
+      when(id % 2 === 0 && id % 5 === 0, ":443")
+        .when(id % 2 === 1 && id % 7 === 0, ":8080").otherwise(""),
+      lit("/Docs/"), id.cast("string"),
+      when(id % 3 === 0, "/").otherwise(""),
+      when(id % 2 === 0, "?utm_source=feed&b=2&a=1").otherwise("?a=1"),
+      when(id % 4 === 1, "#sec").otherwise(""))
+    docs.select(id, url.as("u"))
+      .select(id,
+        graft.ext.Urls.canonicalize(col("u")).as("canon"),
+        graft.ext.Urls.registeredDomain(graft.ext.Urls.host(col("u")))
+          .as("rdom"))
+      .orderBy(id)
+  }
+
+  /** X60 — weighted sampling without replacement (`ext/Curation
+    * .weightedSample`, Efraimidis–Spirakis): 25 docs per lang drawn with
+    * probability ∝ n_chars. The face passes the portable md5-based
+    * uniform so DuckDB reproduces the identical draw; the engine-native
+    * xxhash64 draw is spec-covered. */
+  val x60_weighted_sample: Q = (s, d) => {
+    val u = (expr(
+      "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':42')), 1, 13), 16, 10) AS DOUBLE)")
+      + 0.5) / 4503599627370496.0
+    graft.ext.Curation.weightedSample(t(s, d, "documents"), k = 25,
+        weightCol = "n_chars", idCol = "doc_id", strataCol = Some("lang"),
+        draw = Some(u))
+      .select(col("doc_id"), col("lang"), col("draw").cast("long").as("draw"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X61 — HTML text extraction (`ext/Html`): markup is SYNTHESIZED
+    * around each document's text by an identical construction on both
+    * engines (script with a raw `<` inside, style, comment, entities,
+    * single- and double-quoted hrefs), then each engine strips it with
+    * its own kernel — the same RE2-safe patterns. Title content stays
+    * (the contract is deterministic tag-stripping, not browser
+    * rendering); script/style/comment CONTENT goes. */
+  val x61_html_strip: Q = (s, d) => {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><head><title>Doc "), id.cast("string"),
+      lit("</title><style media=\"all\">p{color:red}</style>"),
+      lit("<script type=\"text/javascript\">var x=1; if(x<2){x=3;}</script></head>"),
+      lit("<body><!-- nav --><h1>"), upper(col("source")),
+      lit("</h1><p>"), col("text"), lit(" &amp; more &lt;tags&gt;</p>"),
+      lit("<a href=\"https://"), col("source"),
+      lit(".example.com/d/"), id.cast("string"), lit("\">go</a>"),
+      when(id % 3 === 0, "<p>extra&nbsp;para</p>").otherwise(""),
+      lit("</body></html>"))
+    t(s, d, "documents").select(id, html.as("h"))
+      .select(id,
+        graft.ext.Html.stripTags(col("h")).as("clean"),
+        graft.ext.Html.title(col("h")).as("title"),
+        regexp_extract(col("h"), "href=\"([^\"]*)\"", 1).as("first_link"),
+        round(graft.ext.Html.visibleRatio(col("h")) + lit(1e-9), 4)
+          .as("ratio"))
+      .orderBy(id)
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1203,7 +1280,10 @@ object ExtQueries {
     "x55_nearest_join" -> x55_nearest_join,
     "x56_anomaly" -> x56_anomaly,
     "x57_zipf" -> x57_zipf,
-    "x58_winsorize" -> x58_winsorize)
+    "x58_winsorize" -> x58_winsorize,
+    "x59_url_canon" -> x59_url_canon,
+    "x60_weighted_sample" -> x60_weighted_sample,
+    "x61_html_strip" -> x61_html_strip)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -1775,6 +1855,112 @@ object ExtQueries {
         | SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
         |   ROUND(AVG(nll), 4) AS avg_nll
         | FROM tiled GROUP BY bucket ORDER BY bucket""",
+    // same dirty-URL synthesis, then the canonicalization contract spelled
+    // in regexp/list SQL (starts_with, not LIKE 'utm_%' — '_' is a LIKE
+    // wildcard); registered domain = label arithmetic over string_split
+    "x59_url_canon" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN upper(source) ELSE source END) || '.' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'com' WHEN doc_id % 4 = 1 THEN 'co.uk'
+        |          WHEN doc_id % 4 = 2 THEN 'org' ELSE 'io' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN ':443'
+        |          WHEN doc_id % 2 = 1 AND doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+        |    '/Docs/' || CAST(doc_id AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1' ELSE '?a=1' END) ||
+        |    (CASE WHEN doc_id % 4 = 1 THEN '#sec' ELSE '' END) AS u
+        |  FROM documents),
+        | pieces AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS proto,
+        |    lower(regexp_replace(regexp_extract(f, '://([^/?#]*)', 1), '^[^@]*@', '')) AS auth,
+        |    regexp_replace(regexp_extract(f, '://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+        |    regexp_extract(f, '\?([^#]*)', 1) AS q
+        |  FROM (SELECT doc_id, regexp_replace(u, '#.*$', '') AS f FROM raw)),
+        | hp AS (
+        |  SELECT doc_id, proto, path,
+        |    split_part(auth, ':', 1) AS host,
+        |    (CASE WHEN contains(auth, ':') THEN split_part(auth, ':', 2)
+        |          ELSE '' END) AS port,
+        |    list_sort(list_filter(string_split(q, '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+        |        AND NOT starts_with(p, 'fbclid=')
+        |        AND NOT starts_with(p, 'gclid=')
+        |        AND NOT starts_with(p, 'ref='))) AS qs
+        |  FROM pieces),
+        | canon AS (
+        |  SELECT doc_id, host,
+        |    proto || '://' || host ||
+        |    (CASE WHEN port <> '' AND NOT (proto = 'http' AND port = '80')
+        |              AND NOT (proto = 'https' AND port = '443')
+        |          THEN ':' || port ELSE '' END) ||
+        |    path ||
+        |    (CASE WHEN len(qs) > 0 THEN '?' || array_to_string(qs, '&')
+        |          ELSE '' END) AS canon
+        |  FROM hp)
+        | SELECT doc_id, canon,
+        |  (CASE WHEN len(labels) <= 2 THEN host
+        |        WHEN (labels[-2] || '.' || labels[-1]) IN
+        |          ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+        |           'org.au','co.jp','co.in','co.nz','co.za','co.kr',
+        |           'com.br','com.cn','com.mx','com.tr','com.sg','com.hk',
+        |           'com.ar')
+        |          THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+        |        ELSE labels[-2] || '.' || labels[-1] END) AS rdom
+        | FROM (SELECT *, string_split(host, '.') AS labels FROM canon)
+        | ORDER BY doc_id""",
+    // identical md5-hex -> 52-bit uniform -> A-ES key arithmetic; rounded
+    // key + doc_id tiebreak makes the k-boundary bit-stable cross-engine
+    "x60_weighted_sample" ->
+      """SELECT doc_id, lang, CAST(draw AS BIGINT) AS draw FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY ROUND(-ln(
+        |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))
+        |         ::UBIGINT::DOUBLE + 0.5) / 4503599627370496.0)
+        |      / n_chars, 9), doc_id) AS draw
+        |  FROM documents WHERE n_chars > 0) r
+        | WHERE draw <= 25 ORDER BY doc_id""",
+    // same markup synthesis, same RE2-safe patterns; DuckDB regexp_replace
+    // needs the explicit 'g' flag (Spark's is global by default); entity
+    // decode via plain replace(), amp LAST so &amp;lt; stays literal
+    "x61_html_strip" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style media="all">p{color:red}</style>' ||
+        |    '<script type="text/javascript">var x=1; if(x<2){x=3;}</script></head>' ||
+        |    '<body><!-- nav --><h1>' || upper(source) ||
+        |    '</h1><p>' || text || ' &amp; more &lt;tags&gt;</p>' ||
+        |    '<a href="https://' || source || '.example.com/d/' ||
+        |    CAST(doc_id AS VARCHAR) || '">go</a>' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '<p>extra&nbsp;para</p>'
+        |          ELSE '' END) || '</body></html>' AS h
+        |  FROM documents),
+        | stripped AS (
+        |  SELECT doc_id, h,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM raw)
+        | SELECT doc_id, clean,
+        |   trim(regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1)) AS title,
+        |   regexp_extract(h, 'href="([^"]*)"', 1) AS first_link,
+        |   ROUND(CASE WHEN length(h) > 0
+        |     THEN CAST(length(clean) AS DOUBLE) / length(h) ELSE 0 END
+        |     + 1e-9, 4) AS ratio
+        | FROM stripped ORDER BY doc_id""",
     // quantile_cont bounds (interpolation parity pinned by q51) + clip
     "x58_winsorize" ->
       """WITH b AS (

@@ -91,6 +91,32 @@ class CurationSpec extends SparkSpec {
     assert(g.filter(_ <= 200L).subsetOf(a))
   }
 
+  test("weightedSample: deterministic, k-bounded, weight-biased, w<=0 excluded") {
+    val docs = (1L to 200L).map { i =>
+      (i, "s" + (i % 2), if (i == 7L) 1e9 else if (i % 50 == 0) 0.0 else 1.0)
+    }.toDF("doc_id", "src", "w")
+    val a = Curation.weightedSample(docs, k = 10, "w", "doc_id",
+      strataCol = Some("src")).select("doc_id").as[Long].collect().toSet
+    val b = Curation.weightedSample(docs, k = 10, "w", "doc_id",
+      strataCol = Some("src")).select("doc_id").as[Long].collect().toSet
+    assert(a === b && a.size === 20)
+    // zero-weight rows are unsampleable by the A-ES contract
+    assert(a.forall(_ % 50 != 0))
+    // key = -ln(u)/w: the 1e9-weight row has key ~0 and must win its
+    // stratum's first slot
+    val first = Curation.weightedSample(docs, k = 1, "w", "doc_id",
+      strataCol = Some("src")).select("doc_id").as[Long].collect().toSet
+    assert(first.contains(7L))
+    // global face (TakeOrdered) picks the same k smallest keys as a
+    // single-stratum window would
+    val g = Curation.weightedSample(docs, k = 15, "w", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val one = Curation.weightedSample(docs.withColumn("c", lit(1)),
+      k = 15, "w", "doc_id", strataCol = Some("c"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(g === one && g.size === 15)
+  }
+
   test("tokenBudget: constant rank column degenerates to one bucket safely") {
     val docs = Seq((1L, 5L, 7), (2L, 5L, 7), (3L, 5L, 7))
       .toDF("doc_id", "n_tokens", "n_chars")
