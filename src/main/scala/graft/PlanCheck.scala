@@ -157,6 +157,16 @@ object PlanCheck {
     check("x58_winsorize", "winsorize: broadcast quantile bounds, clip at scan speed, no cartesian")(p =>
       p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
 
+    check("x59_url_canon", "URL canonicalization is map-only: no join, no hash shuffle (output sort only)")(p =>
+      !p.contains("Join") && !p.contains("Exchange hashpartitioning") &&
+        !p.contains("HashAggregate"))
+    check("x60_weighted_sample", "A-ES draw row-local; per-stratum rank windows (no global sort before the window)")(p =>
+      !p.contains("Join") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 1)
+    check("x61_html_strip", "HTML strip is map-only regexp at scan speed: no join, no hash shuffle, no UDF")(p =>
+      !p.contains("Join") && !p.contains("Exchange hashpartitioning") &&
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+
     // x34/x35 (optimizer-rule rewrites) assert the absence of the
     // nested-loop join INSIDE the query itself — the conf must be set at
     // plan time, which only the query closure controls.
