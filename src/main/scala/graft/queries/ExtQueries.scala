@@ -683,6 +683,52 @@ object ExtQueries {
       .orderBy(col("split"))
   }
 
+  /** X0 — the WEB-corpus flagship composition (round 7): the crawl-side
+    * front end the text flagship assumes has already run. Synthesized
+    * pages (markup + dirty URLs, the x59/x61 construction) flow through
+    * HTML text extraction (X61) → URL canonicalization + registered
+    * domain (X59) → canonical-URL exact dedup (X1 on the URL key — the
+    * crawl dedup) → visible-ratio and quality screens (X61+X4) →
+    * per-registered-domain contribution cap (X51) → per-domain corpus
+    * accounting. Every stage map-only or hash-agg; no joins until the
+    * final cap window. Tier B (rows-only): each constituent is
+    * independently oracle-checked (x59, x61, x1, x51). */
+  val x0_web_pipeline: Q = (s, d) => {
+    val id = col("doc_id")
+    val pages = t(s, d, "documents").select(
+      id,
+      concat(
+        lit("<html><head><title>Doc "), id.cast("string"),
+        lit("</title><style>p{}</style><script>if(1<2){}</script></head><body><p>"),
+        col("text"), lit("</p></body></html>")).as("html"),
+      concat(
+        when(id % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+        when(id % 3 === 0, "www.").otherwise(""), col("source"),
+        when(id % 4 === 0, ".com").otherwise(".co.uk"),
+        // planted URL dups: ids sharing (id % 150) collapse to one page
+        lit("/p/"), (id % 150).cast("string"),
+        when(id % 2 === 0, "/?utm_source=x&b=2&a=1").otherwise("?a=1"))
+        .as("url"))
+    val extracted = pages.select(id,
+      graft.ext.Urls.canonicalize(col("url")).as("canon"),
+      graft.ext.Urls.registeredDomain(graft.ext.Urls.host(col("url")))
+        .as("rdom"),
+      graft.ext.Html.stripTags(col("html")).as("text"),
+      graft.ext.Html.visibleRatio(col("html")).as("vr"))
+    // crawl dedup: one survivor per canonical URL (min doc_id)
+    val urlDeduped = Dedup.exactByContent(extracted, "canon", "doc_id")
+    val screened = urlDeduped
+      .withColumn("quality", TextStats.qualityScore(col("text")))
+      .filter(col("vr") >= 0.05 && col("quality") >= 0.3)
+    graft.ext.Curation
+      .domainCap(screened, n = 100, keyCol = "rdom", idCol = "doc_id",
+        rankCol = "quality")
+      .groupBy(col("rdom"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(TextStats.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy(col("rdom"))
+  }
+
   /** X0 — the EMBEDDING-side flagship composition, mirroring what
     * [[x0_pipeline]] does for text: the SemDeDup paper's own production
     * recipe — PCA-reduce the embeddings (X41, 64 → 8 dims), train the
@@ -1210,6 +1256,7 @@ object ExtQueries {
 
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
+    "x0_web_pipeline" -> x0_web_pipeline,
     "x2_components" -> x2_components,
     "x39_pagerank" -> x39_pagerank,
     "x40_semdedup" -> x40_semdedup,
