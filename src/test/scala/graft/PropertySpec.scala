@@ -305,4 +305,39 @@ class RoundFivePropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("url canonicalization: idempotent; invariant to param order, tracking params, fragments") {
+    import graft.ext.Urls
+    val urlGen: Gen[(String, List[String], String)] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      www <- Gen.oneOf("", "www.")
+      hostCase <- Gen.oneOf("site", "Site", "SITE")
+      tld <- Gen.oneOf("com", "co.uk", "io")
+      port <- Gen.oneOf("", ":8080", ":9090")
+      depth <- Gen.choose(0, 3)
+      trail <- Gen.oneOf("", "/", "//")
+      params <- Gen.someOf(List("a=1", "b=2", "zz=3", "k=v")).map(_.toList)
+    } yield (
+      s"$scheme://$www$hostCase.$tld$port" +
+        (0 until depth).map(i => s"/p$i").mkString + trail,
+      params,
+      s"$scheme://$www$hostCase.$tld$port" +
+        (0 until depth).map(i => s"/p$i").mkString)
+    def canonOf(urls: Seq[String]): Seq[String] =
+      urls.toDF("u").select(Urls.canonicalize(col("u"))).as[String].collect()
+        .toSeq
+    forAllSeeded(urlGen, n = 15) { case (base, params, _) =>
+      val clean = base + (if (params.nonEmpty) "?" + params.mkString("&") else "")
+      // the same URL with permuted params, injected tracking noise and a
+      // fragment must canonicalize identically — and canonicalization of
+      // a canonical form must be a fixpoint
+      val noisy = base +
+        "?" + scala.util.Random.shuffle(params ++ List(
+          "utm_source=x", "utm_medium=y", "gclid=123", "ref=abc"))
+          .mkString("&") + "#frag"
+      val Seq(c1, c2) = canonOf(Seq(clean, noisy))
+      assert(c1 === c2, s"clean=$clean noisy=$noisy")
+      assert(canonOf(Seq(c1)).head === c1, s"not a fixpoint: $c1")
+    }
+  }
 }
