@@ -34,9 +34,16 @@ object Urls {
   /** Tracking-parameter prefixes dropped by [[canonicalize]]. */
   val DropParams: Seq[String] = Seq("utm_", "fbclid=", "gclid=", "ref=")
 
+  /** `parse_url` that NEVER throws: under ANSI mode (the Spark 4 default)
+    * `parse_url` raises INVALID_URL on malformed input — one bad URL in a
+    * 100 TB crawl must become NULL, not a dead task (the q69 ingestion
+    * contract). */
+  private def part(url: Column, p: String): Column =
+    try_parse_url(url, lit(p))
+
   private def authority(url: Column): Column =
     // userinfo ('user:pass@') dropped, rest lowercased
-    lower(regexp_replace(parse_url(url, lit("AUTHORITY")), "^[^@]*@", ""))
+    lower(regexp_replace(part(url, "AUTHORITY"), "^[^@]*@", ""))
 
   /** Host without port, lowercased, userinfo stripped. */
   def host(url: Column): Column = substring_index(authority(url), ":", 1)
@@ -51,7 +58,7 @@ object Urls {
     * sorted, rejoined; '' when nothing survives. */
   private def canonicalQuery(url: Column): Column = {
     val params = filter(
-      split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
+      split(coalesce(part(url, "QUERY"), lit("")), "&"),
       p => p =!= "" && DropParams.map(d => p.startsWith(d))
         .reduce(_ || _).unary_!)
     array_join(array_sort(params), "&")
@@ -59,13 +66,13 @@ object Urls {
 
   /** The canonical URL per the contract above. */
   def canonicalize(url: Column): Column = {
-    val proto = lower(parse_url(url, lit("PROTOCOL")))
+    val proto = lower(part(url, "PROTOCOL"))
     val h = host(url)
     val p = port(url)
     val keepPort = p.isNotNull &&
       !(proto === "http" && p === "80") && !(proto === "https" && p === "443")
     val path = regexp_replace(
-      coalesce(parse_url(url, lit("PATH")), lit("")), "/+$", "")
+      coalesce(part(url, "PATH"), lit("")), "/+$", "")
     val q = canonicalQuery(url)
     concat(
       proto, lit("://"), h,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, NgramJaccard, SemDedup, Similarity, SimHash, Skew, TextStats}
+import graft.ext.{CrossDedup, Dedup, Multimodal, NgramJaccard, SemDedup, Similarity, SimHash, Skew, TextStats}
 
 /** Extension-operator queries (SURVEY §2.8 X1–X5): the training-data-pipeline
   * surface. Oracle-checkable entries (portable SQL) are in [[oracleSql]];
@@ -1246,6 +1246,23 @@ object ExtQueries {
       .orderBy(id)
   }
 
+  /** X62 — cross-corpus near-dup join (`ext/CrossDedup.jaccardJoin`):
+    * the per-pair decontamination audit — benchmark docs (doc_id < 25)
+    * joined against the planted-dup corpus by exact trigram Jaccard ≥
+    * 0.5 through the inverted-index equi-join (cap off ⇒ recall exactly
+    * 1, which is what lets an exhaustive SQL cross join be the oracle).
+    * Expected structure by construction: each benchmark doc matches
+    * itself in-corpus at 1.0, its near copy (+1 M id) just under, and
+    * doc_id < 10 additionally the exact re-id'd copy (+2 M id) at 1.0. */
+  val x62_neardup_join: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    CrossDedup.jaccardJoin(
+        docs.filter(col("doc_id") < 25), withPlantedDups(docs),
+        "doc_id", "text", "doc_id", "text",
+        minJaccard = 0.5, maxShingleFreq = None)
+      .orderBy(col("id_l"), col("id_r"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1330,7 +1347,8 @@ object ExtQueries {
     "x58_winsorize" -> x58_winsorize,
     "x59_url_canon" -> x59_url_canon,
     "x60_weighted_sample" -> x60_weighted_sample,
-    "x61_html_strip" -> x61_html_strip)
+    "x61_html_strip" -> x61_html_strip,
+    "x62_neardup_join" -> x62_neardup_join)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -1970,6 +1988,39 @@ object ExtQueries {
         |      / n_chars, 9), doc_id) AS draw
         |  FROM documents WHERE n_chars > 0) r
         | WHERE draw <= 25 ORDER BY doc_id""",
+    // exhaustive cross join over token-trigram sets — the recall-1 pin of
+    // the inverted-index equi-join (same shingle construction as x2)
+    "x62_neardup_join" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' appended'
+        |    FROM documents WHERE doc_id < 25
+        |  UNION ALL SELECT doc_id + 2000000, text
+        |    FROM documents WHERE doc_id < 10),
+        | bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+        | shc AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM corpus)),
+        | shb AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM bench)),
+        | pairs AS (
+        |  SELECT b.doc_id AS id_l, c.doc_id AS id_r,
+        |    len(list_intersect(b.s, c.s)) AS inter, len(b.s) AS nb,
+        |    len(c.s) AS nc
+        |  FROM shb b CROSS JOIN shc c)
+        | SELECT id_l, id_r,
+        |   round(CAST(inter AS DOUBLE) / (nb + nc - inter), 4) AS jaccard
+        | FROM pairs WHERE CAST(inter AS DOUBLE) / (nb + nc - inter) >= 0.5
+        | ORDER BY id_l, id_r""",
     // same markup synthesis, same RE2-safe patterns; DuckDB regexp_replace
     // needs the explicit 'g' flag (Spark's is global by default); entity
     // decode via plain replace(), amp LAST so &amp;lt; stays literal

@@ -49,6 +49,14 @@ class UrlsSpec extends SparkSpec {
       "shop.com.au", "localhost", "site.org"))
   }
 
+  test("malformed URLs canonicalize to NULL, never a thrown task (ANSI-safe)") {
+    val got = Seq("http://exa mple.com/a", "not a url at all",
+      "https://ok.com/x").toDF("u")
+      .select(Urls.canonicalize(col("u"))).as[String].collect()
+    assert(got(0) == null && got(1) == null)
+    assert(got(2) === "https://ok.com/x")
+  }
+
   test("host/port extraction") {
     val df = Seq("https://U:p@Host.COM:8443/x").toDF("u")
     assert(df.select(Urls.host(col("u"))).as[String].head() === "host.com")
