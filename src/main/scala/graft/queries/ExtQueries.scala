@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.ext.{CrossDedup, Dedup, Multimodal, NgramJaccard, SemDedup, Similarity, SimHash, Skew, TextStats}
+import graft.streaming.StreamingContamination
 
 /** Extension-operator queries (SURVEY §2.8 X1–X5): the training-data-pipeline
   * surface. Oracle-checkable entries (portable SQL) are in [[oracleSql]];
@@ -483,6 +484,27 @@ object ExtQueries {
         docs.filter(col("doc_id") % 17 =!= 0),
         docs.filter(col("doc_id") % 17 === 0),
         "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** X4 — the INGEST-TIME contamination gate
+    * (`streaming/StreamingContamination`): the same benchmark/corpus
+    * split as x4_contamination, but screened through the stateless
+    * row-local Bloom projection a streaming ingest runs. Bloom bitset
+    * sized (16 M bits) so a false positive is ~10⁻⁶-improbable across
+    * the whole 100× set: the oracle is the EXACT string-space SQL —
+    * hash equality proves the no-false-negative screen is exact at
+    * production sizing, not merely conservative. */
+  val x4_contam_gate: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val bloom = StreamingContamination.fit(
+      docs.filter(col("doc_id") % 17 === 0), "doc_id", "text", n = 3,
+      numBits = 1 << 24)
+    StreamingContamination.screen(
+        docs.filter(col("doc_id") % 17 =!= 0), bloom, "text", n = 3,
+        maxRatio = 0.3)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"), col("ratio"),
+        col("contaminated").cast("long").as("contaminated"))
       .orderBy(col("doc_id"))
   }
 
@@ -1313,6 +1335,7 @@ object ExtQueries {
     "x4_bm25" -> x4_bm25,
     "x7_stratified" -> x7_stratified,
     "x4_contamination" -> x4_contamination,
+    "x4_contam_gate" -> x4_contam_gate,
     "x8_stream_join" -> x8_stream_join,
     "x4_redact" -> x4_redact,
     "x4_pack" -> x4_pack,
@@ -1500,6 +1523,32 @@ object ExtQueries {
         |  ROUND(CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM bench))
         |      AS DOUBLE) / COUNT(*) + 1e-9, 4) AS ratio
         | FROM corp GROUP BY doc_id ORDER BY doc_id""",
+    // the exact string-space computation IS the oracle for the Bloom
+    // screen: no false negatives by contract, false positives sized away
+    // (16 M bits vs ~4 k benchmark grams) — hash equality proves it
+    "x4_contam_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+        |  FROM (SELECT doc_id, list_filter(
+        |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0) AS l
+        |    FROM documents)),
+        | tri AS (
+        |  SELECT doc_id,
+        |    tok || ' ' || LEAD(tok,1) OVER w || ' ' || LEAD(tok,2) OVER w AS g
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        | trid AS (SELECT DISTINCT doc_id, g FROM tri WHERE g IS NOT NULL),
+        | bench AS (SELECT DISTINCT g FROM trid WHERE doc_id % 17 = 0),
+        | corp AS (SELECT doc_id, g FROM trid WHERE doc_id % 17 <> 0),
+        | rep AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams,
+        |   COUNT(*) FILTER (WHERE g IN (SELECT g FROM bench)) AS n_hit,
+        |   ROUND(CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM bench))
+        |       AS DOUBLE) / COUNT(*) + 1e-9, 4) AS ratio
+        |  FROM corp GROUP BY doc_id)
+        | SELECT doc_id, n_grams, n_hit, ratio,
+        |   CAST(ratio > 0.3 AS BIGINT) AS contaminated
+        | FROM rep ORDER BY doc_id""",
     // DuckDB regexp_replace replaces the FIRST match unless the 'g'
     // flag is passed; patterns are the shared Java/RE2-portable subset.
     "x4_redact" ->
