@@ -167,6 +167,11 @@ object PlanCheck {
       !p.contains("Join") && !p.contains("Exchange hashpartitioning") &&
         !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
 
+    check("x62_neardup_join", "cross-corpus dedup is an inverted-index EQUI-join: no cartesian, no BNLJ")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("x4_contam_gate", "bloom gate screen is join-free at scan speed (the only join-shaped work was the driver-side fit)")(p =>
+      !p.contains("Join") && !p.contains("Exchange hashpartitioning"))
+
     // x34/x35 (optimizer-rule rewrites) assert the absence of the
     // nested-loop join INSIDE the query itself — the conf must be set at
     // plan time, which only the query closure controls.
