@@ -68,6 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("jaccard_sorted",
         "jaccard_sorted(a, b) - exact Jaccard of two SORTED array<bigint> hash sets"),
       (es: Seq[Expression]) => graft.functions.JaccardSorted(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      info("char_entropy",
+        "char_entropy(s) - Shannon entropy (nats) over the string's code points"),
+      (es: Seq[Expression]) => graft.functions.CharEntropy(es(0))))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.OverlapJoinRewrite)
   }

@@ -1285,6 +1285,16 @@ object ExtQueries {
       .orderBy(col("id_l"), col("id_r"))
   }
 
+  /** X63 — char-entropy quality signal (`functions/CharEntropy`): one
+    * native-kernel pass per row; the oracle recomputes every document's
+    * entropy from an independent char-histogram SQL (ln N − Σ c·ln c / N,
+    * different summation order — the q44 nudge covers the last ulps). */
+  val x63_entropy: Q = (s, d) =>
+    t(s, d, "documents").select(col("doc_id"),
+        round(graft.functions.EntropyFunctions.charEntropy(col("text"))
+          + lit(1e-9), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1371,7 +1381,8 @@ object ExtQueries {
     "x59_url_canon" -> x59_url_canon,
     "x60_weighted_sample" -> x60_weighted_sample,
     "x61_html_strip" -> x61_html_strip,
-    "x62_neardup_join" -> x62_neardup_join)
+    "x62_neardup_join" -> x62_neardup_join,
+    "x63_entropy" -> x63_entropy)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2037,6 +2048,18 @@ object ExtQueries {
         |      / n_chars, 9), doc_id) AS draw
         |  FROM documents WHERE n_chars > 0) r
         | WHERE draw <= 25 ORDER BY doc_id""",
+    // independent char-histogram entropy; split(text,'') = code points on
+    // this ASCII corpus, summation order differs -> the 1e-9 nudge
+    "x63_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(split(text, '')) AS ch FROM documents),
+        | cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars
+        |         GROUP BY doc_id, ch),
+        | tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id)
+        | SELECT cnt.doc_id, ROUND(ln(n) - SUM(c * ln(c)) / n + 1e-9, 4)
+        |   AS entropy
+        | FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id, n
+        | ORDER BY doc_id""",
     // exhaustive cross join over token-trigram sets — the recall-1 pin of
     // the inverted-index equi-join (same shingle construction as x2)
     "x62_neardup_join" ->
