@@ -1295,6 +1295,29 @@ object ExtQueries {
           + lit(1e-9), 4).as("entropy"))
       .orderBy(col("doc_id"))
 
+  /** X64 — incremental quantile maintenance
+    * (`etl/IncrementalQuantile`): the state is bootstrapped from ~70% of
+    * events and the rest folds in as a delta; the ORACLE samples ALL
+    * events in one pass with the same portable md5 draw — so the hash
+    * equality simultaneously proves (a) the bottom-k state is exactly
+    * mergeable (incremental ≡ full recompute, the q81 pattern) and
+    * (b) the percentile interpolation agrees cross-engine (q51's pin,
+    * here over the sample). */
+  val x64_inc_quantile: Q = (s, d) => {
+    val ev = t(s, d, "events").select(col("event_id").as("id"),
+      col("event_type").as("g"), col("value").as("v"))
+    val draw = Some(md5(concat(col("id").cast("string"), lit(":42"))))
+    val st = graft.etl.IncrementalQuantile.sample(
+      ev.filter(col("id") % 10 < 7), Seq("g"), "v", "id", k = 100,
+      draw = draw)
+    val folded = graft.etl.IncrementalQuantile.update(
+      st, ev.filter(col("id") % 10 >= 7), Seq("g"), "v", "id", k = 100,
+      draw = draw)
+    graft.etl.IncrementalQuantile
+      .estimate(folded, Seq("g"), "v", Seq(0.5, 0.95))
+      .orderBy(col("g"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1382,7 +1405,8 @@ object ExtQueries {
     "x60_weighted_sample" -> x60_weighted_sample,
     "x61_html_strip" -> x61_html_strip,
     "x62_neardup_join" -> x62_neardup_join,
-    "x63_entropy" -> x63_entropy)
+    "x63_entropy" -> x63_entropy,
+    "x64_inc_quantile" -> x64_inc_quantile)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2048,6 +2072,17 @@ object ExtQueries {
         |      / n_chars, 9), doc_id) AS draw
         |  FROM documents WHERE n_chars > 0) r
         | WHERE draw <= 25 ORDER BY doc_id""",
+    // one-pass bottom-k over ALL events with the identical md5 draw: hash
+    // equality = mergeability proof + percentile-interpolation parity
+    "x64_inc_quantile" ->
+      """WITH sampled AS (
+        |  SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY md5(CAST(id AS VARCHAR) || ':42'), id) AS rn
+        |  FROM (SELECT event_id AS id, event_type AS g, value AS v
+        |        FROM events))
+        | SELECT g, ROUND(quantile_cont(v, 0.5) + 1e-9, 4) AS p50,
+        |   ROUND(quantile_cont(v, 0.95) + 1e-9, 4) AS p95
+        | FROM sampled WHERE rn <= 100 GROUP BY g ORDER BY g""",
     // independent char-histogram entropy; split(text,'') = code points on
     // this ASCII corpus, summation order differs -> the 1e-9 nudge
     "x63_entropy" ->
