@@ -172,6 +172,13 @@ object PlanCheck {
     check("x4_contam_gate", "bloom gate screen is join-free at scan speed (the only join-shaped work was the driver-side fit)")(p =>
       !p.contains("Join") && !p.contains("Exchange hashpartitioning"))
 
+    check("x63_entropy", "entropy kernel is map-only: no join, no hash shuffle, single scan")(p =>
+      !p.contains("Join") && !p.contains("Exchange hashpartitioning") &&
+        "FileScan".r.findAllIn(p).size == 1)
+    check("x64_inc_quantile", "bottom-k fold is WindowGroupLimit-pushed (partial top-k before the shuffle); no join anywhere")(p =>
+      !p.contains("Join") && p.contains("WindowGroupLimit") &&
+        p.contains("Partial"))
+
     // x34/x35 (optimizer-rule rewrites) assert the absence of the
     // nested-loop join INSIDE the query itself — the conf must be set at
     // plan time, which only the query closure controls.

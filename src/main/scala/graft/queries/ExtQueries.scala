@@ -1318,6 +1318,29 @@ object ExtQueries {
       .orderBy(col("g"))
   }
 
+  /** X65 — time-decayed counters (`etl/DecayedCounter`): state
+    * bootstrapped from ~70% of events at Jan 20, folded to Feb 1 with
+    * the rest; the ORACLE computes the closed form over ALL events at
+    * the final reference in one pass — hash equality proves the
+    * re-referencing algebra (C·e^(−λΔ) + fresh terms ≡ single pass,
+    * the q81/x64 pattern) and pins the exp/sum arithmetic cross-engine
+    * (integer-µs timestamps both sides; rounded outputs absorb the
+    * e^(a+b) vs e^a·e^b ulps). */
+  val x65_decayed: Q = (s, d) => {
+    val ev = t(s, d, "events").select(col("event_id").as("id"),
+      col("event_type").as("g"), col("ts"), col("value").as("v"))
+    val hl = 7 * 24 * 3600.0
+    val boot = graft.etl.DecayedCounter.aggregate(
+      ev.filter(col("id") % 10 < 7), Seq("g"), "ts", "v",
+      "2024-01-20 00:00:00", hl)
+    graft.etl.DecayedCounter.update(
+        boot, ev.filter(col("id") % 10 >= 7), Seq("g"), "ts", "v",
+        "2024-02-01 00:00:00", hl)
+      .select(col("g"), round(col("dcount") + lit(1e-9), 4).as("dcount"),
+        round(col("dsum") + lit(1e-9), 4).as("dsum"))
+      .orderBy(col("g"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1406,7 +1429,8 @@ object ExtQueries {
     "x61_html_strip" -> x61_html_strip,
     "x62_neardup_join" -> x62_neardup_join,
     "x63_entropy" -> x63_entropy,
-    "x64_inc_quantile" -> x64_inc_quantile)
+    "x64_inc_quantile" -> x64_inc_quantile,
+    "x65_decayed" -> x65_decayed)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2072,6 +2096,18 @@ object ExtQueries {
         |      / n_chars, 9), doc_id) AS draw
         |  FROM documents WHERE n_chars > 0) r
         | WHERE draw <= 25 ORDER BY doc_id""",
+    // closed form over ALL events at the final reference (epoch_us keeps
+    // the exp argument an exact-integer-derived double on both engines);
+    // ln(2) is the same correctly-rounded double in both runtimes
+    "x65_decayed" ->
+      """SELECT event_type AS g,
+        |  ROUND(SUM(exp(-((ln(2) / 604800000000.0) *
+        |    (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts)))))
+        |    + 1e-9, 4) AS dcount,
+        |  ROUND(SUM(value * exp(-((ln(2) / 604800000000.0) *
+        |    (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts)))))
+        |    + 1e-9, 4) AS dsum
+        | FROM events GROUP BY event_type ORDER BY g""",
     // one-pass bottom-k over ALL events with the identical md5 draw: hash
     // equality = mergeability proof + percentile-interpolation parity
     "x64_inc_quantile" ->
