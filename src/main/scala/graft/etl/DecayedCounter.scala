@@ -35,9 +35,15 @@ object DecayedCounter {
   /** Bootstrap the state at `refTs`: (keys..., ref_us, dcount, dsum).
     * `valueCol` weights `dsum` (dcount always weights each event 1). */
   def aggregate(rows: DataFrame, keys: Seq[String], tsCol: String,
-      valueCol: String, refTs: String, halfLifeSec: Double): DataFrame = {
+      valueCol: String, refTs: String, halfLifeSec: Double): DataFrame =
+    aggregateAt(rows, keys, tsCol, valueCol,
+      unix_micros(lit(refTs).cast("timestamp")).cast("double"), halfLifeSec)
+
+  /** [[aggregate]] with the reference as a microseconds Column — the
+    * streaming face derives its reference from the batch itself. */
+  def aggregateAt(rows: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, refUs: Column, halfLifeSec: Double): DataFrame = {
     val lam = lambdaPerUs(halfLifeSec)
-    val refUs = unix_micros(lit(refTs).cast("timestamp")).cast("double")
     val w = decayAt(refUs, tsCol, lam)
     rows.groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(sum(w).as("dcount"),
@@ -51,17 +57,23 @@ object DecayedCounter {
     * fresh). */
   def update(state: DataFrame, delta: DataFrame, keys: Seq[String],
       tsCol: String, valueCol: String, newRefTs: String,
+      halfLifeSec: Double): DataFrame =
+    updateAt(state, delta, keys, tsCol, valueCol,
+      unix_micros(lit(newRefTs).cast("timestamp")).cast("double"), halfLifeSec)
+
+  /** [[update]] with the new reference as a microseconds Column. */
+  def updateAt(state: DataFrame, delta: DataFrame, keys: Seq[String],
+      tsCol: String, valueCol: String, newRefUs: Column,
       halfLifeSec: Double): DataFrame = {
     val lam = lambdaPerUs(halfLifeSec)
-    val newRefUs = unix_micros(lit(newRefTs).cast("timestamp")).cast("double")
     val carried = state.select(
       keys.map(c => col(s"`$c`"))
         :+ (col("dcount") * exp(-(lit(lam) * (newRefUs - col("ref_us")))))
           .as("dcount")
         :+ (col("dsum") * exp(-(lit(lam) * (newRefUs - col("ref_us")))))
           .as("dsum"): _*)
-    val fresh = aggregate(delta, keys, tsCol, valueCol, newRefTs, halfLifeSec)
-      .drop("ref_us")
+    val fresh = aggregateAt(delta, keys, tsCol, valueCol, newRefUs,
+      halfLifeSec).drop("ref_us")
     carried.unionByName(fresh)
       .groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(sum(col("dcount")).as("dcount"), sum(col("dsum")).as("dsum"))
