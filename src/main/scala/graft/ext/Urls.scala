@@ -45,7 +45,10 @@ object Urls {
     // userinfo ('user:pass@') dropped, rest lowercased
     lower(regexp_replace(part(url, "AUTHORITY"), "^[^@]*@", ""))
 
-  /** Host without port, lowercased, userinfo stripped. */
+  /** Host without port, lowercased, userinfo stripped.
+    * Caveat: bracketed IPv6 authorities (`[::1]:8080`) are not special-
+    * cased — the first ':' splits them. Registrable-domain work targets
+    * DNS hostnames; IP-literal URLs should be screened out upstream. */
   def host(url: Column): Column = substring_index(authority(url), ":", 1)
 
   /** Explicit port as a string, or NULL when absent. */
