@@ -1341,6 +1341,29 @@ object ExtQueries {
       .orderBy(col("g"))
   }
 
+  /** X66 — golden-record survivorship (`ext/Survivorship`): orders as a
+    * sparse per-customer update log (each field present on a different
+    * deterministic subset), collapsed to one latest-non-null record per
+    * customer. The order key shows the composite encoding the operator
+    * contract asks for when recency alone is not unique:
+    * days(o_orderdate) · 10¹⁰ + o_orderkey — unique because the key
+    * part stays below the multiplier at every SF. */
+  val x66_golden: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    val v = (datediff(col("o_orderdate").cast("date"),
+      lit("1990-01-01").cast("date")).cast("long") * 10000000000L
+      + col("o_orderkey")).as("v")
+    val updates = o.select(
+      col("o_custkey").as("k"), v,
+      when(col("o_orderkey") % 3 =!= 0, col("o_orderstatus")).as("status"),
+      when(col("o_orderkey") % 4 =!= 0, round(col("o_totalprice"), 2))
+        .as("price"),
+      when(col("o_orderkey") % 5 =!= 0, col("o_orderpriority")).as("prio"))
+    graft.ext.Survivorship
+      .goldenRecord(updates, Seq("k"), "v", Seq("status", "price", "prio"))
+      .orderBy(col("k"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1430,7 +1453,8 @@ object ExtQueries {
     "x62_neardup_join" -> x62_neardup_join,
     "x63_entropy" -> x63_entropy,
     "x64_inc_quantile" -> x64_inc_quantile,
-    "x65_decayed" -> x65_decayed)
+    "x65_decayed" -> x65_decayed,
+    "x66_golden" -> x66_golden)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2096,6 +2120,25 @@ object ExtQueries {
         |      / n_chars, 9), doc_id) AS draw
         |  FROM documents WHERE n_chars > 0) r
         | WHERE draw <= 25 ORDER BY doc_id""",
+    // arg_max over the null-screened scalar order key — DuckDB's arg_max
+    // skips rows whose order expression is NULL, which IS the
+    // latest-non-null rule
+    "x66_golden" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS k,
+        |    date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |      * 10000000000 + o_orderkey AS v,
+        |    CASE WHEN o_orderkey % 3 <> 0 THEN o_orderstatus END AS status,
+        |    CASE WHEN o_orderkey % 4 <> 0 THEN ROUND(o_totalprice, 2) END
+        |      AS price,
+        |    CASE WHEN o_orderkey % 5 <> 0 THEN o_orderpriority END AS prio
+        |  FROM orders)
+        | SELECT k,
+        |   arg_max(status, CASE WHEN status IS NOT NULL THEN v END) AS status,
+        |   arg_max(price, CASE WHEN price IS NOT NULL THEN v END) AS price,
+        |   arg_max(prio, CASE WHEN prio IS NOT NULL THEN v END) AS prio,
+        |   COUNT(*) AS n_versions, MAX(v) AS last_order
+        | FROM u GROUP BY k ORDER BY k""",
     // closed form over ALL events at the final reference (epoch_us keeps
     // the exp argument an exact-integer-derived double on both engines);
     // ln(2) is the same correctly-rounded double in both runtimes
