@@ -179,6 +179,11 @@ object PlanCheck {
       !p.contains("Join") && p.contains("WindowGroupLimit") &&
         p.contains("Partial"))
 
+    check("x65_decayed", "decayed fold: aggregations only — the state decays by a scalar, never re-joins history")(p =>
+      !p.contains("Join") && p.contains("partial_"))
+    check("x66_golden", "golden record is ONE partial-aggregated hash agg: no window, no join")(p =>
+      !p.contains("Join") && !p.contains("Window") && p.contains("partial_"))
+
     // x34/x35 (optimizer-rule rewrites) assert the absence of the
     // nested-loop join INSIDE the query itself — the conf must be set at
     // plan time, which only the query closure controls.

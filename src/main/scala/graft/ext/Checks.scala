@@ -45,6 +45,18 @@ object Checks {
     def name = s"${cols.mkString("_")}_ref"
   }
 
+  /** Functional dependency `determinant → dependent`: every determinant
+    * group must map to at most one distinct non-null dependent value
+    * (NULL dependents are "not provided" and never violate — the same
+    * null reading as [[Survivorship]]). `violations` counts the EXCESS
+    * distinct values (Σ max(0, distinct−1)): 0 iff the FD holds, and the
+    * magnitude says how broken it is. The schema-profiling face of the
+    * family — run over candidate column pairs to DISCOVER dependencies. */
+  final case class FunctionalDependency(determinant: Seq[String],
+      dependent: String) extends Check {
+    def name = s"${determinant.mkString("_")}_determines_$dependent"
+  }
+
   /** One report row per check: (check, violations), ordered by check
     * name for deterministic output. */
   def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
@@ -80,6 +92,12 @@ object Checks {
           case (r, p) => col(s"`$r`").as(p) }: _*).distinct()
         probe.join(refKeys, c.cols, "left_anti")
           .agg(count(lit(1)).as("violations"))
+          .select(lit(c.name).as("check"), col("violations"))
+      case c: FunctionalDependency =>
+        df.groupBy(c.determinant.map(k => col(s"`$k`")): _*)
+          .agg(countDistinct(col(s"`${c.dependent}`")).as("__d"))
+          .agg(coalesce(sum(greatest(col("__d") - 1L, lit(0L))), lit(0L))
+            .as("violations"))
           .select(lit(c.name).as("check"), col("violations"))
     }
     (rowReport.toSeq ++ others)

@@ -64,4 +64,24 @@ class ChecksSpec extends SparkSpec {
       .as[(String, Long)].collect().head
     assert(got === (("x_y_unique", 1L)))
   }
+
+  test("functional dependency: excess distinct values; nulls never violate") {
+    val d = Seq(
+      ("z1", "NY", Some("usa")), ("z1", "NY", Some("usa")), // consistent
+      ("z2", "LA", Some("usa")), ("z2", "SF", Some("usa")), // zip->city broken
+      ("z3", "CH", None), ("z3", "CH", Some("usa")))        // null dep ok
+      .toDF("zip", "city", "country")
+    val got = validate(d, Seq(
+        FunctionalDependency(Seq("zip"), "city"),
+        FunctionalDependency(Seq("zip"), "country"),
+        FunctionalDependency(Seq("zip", "city"), "country")))
+      .as[(String, Long)].collect().toMap
+    assert(got("zip_determines_city") === 1L)       // z2 has 2 cities
+    assert(got("zip_determines_country") === 0L)    // null ignored
+    assert(got("zip_city_determines_country") === 0L)
+    // discovery read: a held FD reports 0, magnitude says how broken
+    val worse = d.union(Seq(("z2", "SD", Some("usa"))).toDF("zip", "city", "country"))
+    assert(validate(worse, Seq(FunctionalDependency(Seq("zip"), "city")))
+      .as[(String, Long)].collect().head._2 === 2L)
+  }
 }
