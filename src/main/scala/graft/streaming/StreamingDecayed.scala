@@ -16,7 +16,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Reference time: each fold re-references the state to the BATCH's max
   * event time — deterministic in the batch contents (wall clocks never
   * enter the math, so replays are reproducible). An empty batch writes
-  * nothing (no state version, nothing to decay toward).
+  * nothing (no state version, nothing to decay toward). References need
+  * NOT be monotone: re-referencing is exact in either time direction
+  * (C(T′) = C(T)·e^(−λ(T′−T)) holds for T′ < T too, the factor just
+  * exceeds 1), so out-of-order micro-batches still converge to the same
+  * state a single pass would produce at the final reference — the spec
+  * pins this by racing part-files through the file source in
+  * uncontrolled order.
   *
   * Durability/replay contract: `foreachBatch` is AT-LEAST-ONCE. The
   * state is written as one immutable snapshot per batchId

@@ -56,16 +56,25 @@ class StreamingDecayedSpec extends SparkSpec {
 
   test("streaming query folds file micro-batches into the same state") {
     val root = Files.createTempDirectory("graft_decay_stream").toString
-    batch1.write.parquet(s"$root/src/b1")
+    // one part file per logical batch: the file source delivers part
+    // files as separate micro-batches in NONDETERMINISTIC order, so the
+    // expected value is computed at the final state's OWN reference —
+    // re-referencing is exact in either time direction, making the fold
+    // order-independent; this assertion pins exactly that
+    batch1.repartition(1).write.parquet(s"$root/src/b1")
+    batch2.repartition(1).write.parquet(s"$root/src/b2")
     val stream = spark.readStream.schema(batch1.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$root/src/*")
     val q = StreamingDecayed.start(stream, Seq("k"), "ts", "v", H,
       s"$root/state", s"$root/chk")
     q.processAllAvailable()
     q.stop()
+    val st = StreamingDecayed.readState(spark, s"$root/state").get
+    val refUs = st.select("ref_us").head().getDouble(0)
     val got = collectState(s"$root/state")
     val expect = graft.etl.DecayedCounter
-      .aggregate(batch1, Seq("k"), "ts", "v", "2024-01-01 10:30:00", H)
+      .aggregateAt(batch1.unionByName(batch2), Seq("k"), "ts", "v",
+        lit(refUs), H)
       .select(col("k"), round(col("dcount"), 10), round(col("dsum"), 10))
       .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
     assert(got === expect)
