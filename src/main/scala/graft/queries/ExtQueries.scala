@@ -8,7 +8,7 @@ import graft.core.Tables
 import graft.ext.{CrossDedup, Dedup, Multimodal, NgramJaccard, SemDedup, Similarity, SimHash, Skew, TextStats}
 import graft.streaming.StreamingContamination
 
-/** Extension-operator queries (SURVEY §2.8 X1–X5): the training-data-pipeline
+/** Extension-operator queries (SURVEY §2.8 X1–X66): the training-data-pipeline
   * surface. Oracle-checkable entries (portable SQL) are in [[oracleSql]];
   * the rest are Tier B (driver records rows-only; semantics verified by
   * ScalaTest/property specs).
