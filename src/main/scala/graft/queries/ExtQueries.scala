@@ -1364,6 +1364,23 @@ object ExtQueries {
       .orderBy(col("k"))
   }
 
+  /** X67 — publication manifest (`etl/Manifest`): per-(status, year)
+    * row counts + order-independent xor content fingerprints over the
+    * stable key columns; the portable md5 row hash lets DuckDB reproduce
+    * the manifest bit-for-bit (partition-layout independence is what the
+    * hash equality proves — the two engines aggregate in entirely
+    * different orders). */
+  val x67_manifest: Q = (s, d) => {
+    val o = t(s, d, "orders")
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+    val fp = expr(
+      "CAST(conv(substring(md5(concat_ws('|', CAST(o_orderkey AS STRING), " +
+        "CAST(o_custkey AS STRING))), 1, 13), 16, 10) AS BIGINT)")
+    graft.etl.Manifest.build(o, Seq("o_orderstatus", "yr"),
+        Seq("o_orderkey", "o_custkey"), rowFp = Some(fp))
+      .orderBy(col("o_orderstatus"), col("yr"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1454,7 +1471,8 @@ object ExtQueries {
     "x63_entropy" -> x63_entropy,
     "x64_inc_quantile" -> x64_inc_quantile,
     "x65_decayed" -> x65_decayed,
-    "x66_golden" -> x66_golden)
+    "x66_golden" -> x66_golden,
+    "x67_manifest" -> x67_manifest)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2120,6 +2138,15 @@ object ExtQueries {
         |      / n_chars, 9), doc_id) AS draw
         |  FROM documents WHERE n_chars > 0) r
         | WHERE draw <= 25 ORDER BY doc_id""",
+    // same portable md5-52bit row hash, xor-aggregated: commutative, so
+    // the two engines' different aggregation orders cannot matter
+    "x67_manifest" ->
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  COUNT(*) AS n_rows,
+        |  bit_xor(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+        |    CAST(o_custkey AS VARCHAR)), 1, 13))::UBIGINT::BIGINT)
+        |    AS content_fp
+        | FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     // arg_max over the null-screened scalar order key — DuckDB's arg_max
     // skips rows whose order expression is NULL, which IS the
     // latest-non-null rule
