@@ -1381,6 +1381,22 @@ object ExtQueries {
       .orderBy(col("o_orderstatus"), col("yr"))
   }
 
+  /** X68 — incremental top-k maintenance (`etl/IncrementalTopK`): the
+    * per-event-type value leaderboard bootstrapped from ~70% of events
+    * and folded with the rest; the ORACLE ranks ALL events in one pass —
+    * hash equality is the exact-mergeability proof (state ≡ full
+    * recompute, the q81/x64/x65 pattern). No arithmetic on the score, so
+    * no rounding is needed anywhere. */
+  val x68_topk_state: Q = (s, d) => {
+    val ev = t(s, d, "events").select(col("event_id").as("id"),
+      col("event_type").as("g"), col("value").as("score"))
+    val st = graft.etl.IncrementalTopK.build(
+      ev.filter(col("id") % 10 < 7), Seq("g"), "score", "id", k = 10)
+    graft.etl.IncrementalTopK.update(
+        st, ev.filter(col("id") % 10 >= 7), Seq("g"), "score", "id", k = 10)
+      .orderBy(col("g"), col("id"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1472,7 +1488,8 @@ object ExtQueries {
     "x64_inc_quantile" -> x64_inc_quantile,
     "x65_decayed" -> x65_decayed,
     "x66_golden" -> x66_golden,
-    "x67_manifest" -> x67_manifest)
+    "x67_manifest" -> x67_manifest,
+    "x68_topk_state" -> x68_topk_state)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2138,6 +2155,14 @@ object ExtQueries {
         |      / n_chars, 9), doc_id) AS draw
         |  FROM documents WHERE n_chars > 0) r
         | WHERE draw <= 25 ORDER BY doc_id""",
+    // one-pass leaderboard over ALL events: top-k mergeability pin
+    "x68_topk_state" ->
+      """SELECT id, g, score FROM (
+        |  SELECT event_id AS id, event_type AS g, value AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events) r
+        | WHERE rn <= 10 ORDER BY g, id""",
     // same portable md5-52bit row hash, xor-aggregated: commutative, so
     // the two engines' different aggregation orders cannot matter
     "x67_manifest" ->
