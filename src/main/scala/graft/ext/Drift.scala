@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X69 — distribution-drift monitoring: Population Stability Index
+  * between two snapshots of a value column — the statistic every
+  * production scoring/ingest pipeline watches (feature drift, corpus
+  * drift between crawls, upstream schema-silent unit changes). Rule of
+  * thumb: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken.
+  *
+  * PSI = Σ_bins (p_b − q_b) · ln(p_b / q_b) over a FIXED binning both
+  * snapshots share ([lo, hi] split into `bins` equal widths, plus an
+  * underflow and an overflow bin — fixed edges, because quantile-derived
+  * edges would move WITH the drift being measured). Empty bins are
+  * Laplace-smoothed (`epsilon` added to every bin count before
+  * normalizing) so the log stays finite; smoothing is part of the pinned
+  * contract, not a hidden fudge.
+  *
+  * Plan shape: one partial-aggregated histogram per side (bins×groups
+  * rows — tiny), a bin-keyed outer join of the two histograms, and the
+  * formula — driver-free, scan-bound, trivially 100 TB-safe. The same
+  * histograms serve any divergence; [[psi]] reports per-bin terms too
+  * (`psiDetail`) so the alert can say WHERE the mass moved.
+  */
+object Drift {
+
+  private def binOf(v: Column, bins: Int, lo: Double, hi: Double): Column =
+    // 0 = underflow, 1..bins = interior, bins+1 = overflow; nulls drop
+    // upstream (a null is absence, not a value)
+    when(v < lo, lit(0))
+      .when(v >= hi, lit(bins + 1))
+      .otherwise(floor((v - lo) / ((hi - lo) / bins)).cast("int") + 1)
+
+  private def histogram(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, bins: Int, lo: Double, hi: Double,
+      side: String): DataFrame =
+    df.filter(col(s"`$valueCol`").isNotNull)
+      .groupBy((groupCols.map(c => col(s"`$c`"))
+        :+ binOf(col(s"`$valueCol`"), bins, lo, hi).as("bin")): _*)
+      .agg(count(lit(1)).as(side))
+
+  /** Per-bin PSI terms: (groupCols..., bin, p, q, term). Sum of `term`
+    * over bins = the PSI. */
+  def psiDetail(before: DataFrame, after: DataFrame,
+      groupCols: Seq[String], valueCol: String, bins: Int = 10,
+      lo: Double = 0.0, hi: Double = 1.0,
+      epsilon: Double = 1e-6): DataFrame = {
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val hb = histogram(before, groupCols, valueCol, bins, lo, hi, "nb")
+    val ha = histogram(after, groupCols, valueCol, bins, lo, hi, "na")
+    val joined = hb.join(ha, groupCols :+ "bin", "full_outer")
+      .select((groupCols.map(c => col(s"`$c`")) :+ col("bin")
+        :+ coalesce(col("nb"), lit(0L)).as("nb")
+        :+ coalesce(col("na"), lit(0L)).as("na")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(c => col(s"`$c`")): _*)
+    val p = (col("nb") + epsilon) / sum(col("nb") + epsilon).over(w)
+    val q = (col("na") + epsilon) / sum(col("na") + epsilon).over(w)
+    joined
+      .withColumn("p", p).withColumn("q", q)
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+  }
+
+  /** One row per group: (groupCols..., psi). */
+  def psi(before: DataFrame, after: DataFrame, groupCols: Seq[String],
+      valueCol: String, bins: Int = 10, lo: Double = 0.0,
+      hi: Double = 1.0, epsilon: Double = 1e-6,
+      roundTo: Int = 4): DataFrame =
+    psiDetail(before, after, groupCols, valueCol, bins, lo, hi, epsilon)
+      .groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(round(sum(col("term")) + lit(1e-9), roundTo).as("psi"))
+}

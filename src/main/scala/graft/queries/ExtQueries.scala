@@ -1397,6 +1397,21 @@ object ExtQueries {
       .orderBy(col("g"), col("id"))
   }
 
+  /** X69 — PSI drift monitor (`ext/Drift`): the event-value distribution
+    * of the ~70% "reference window" vs the 30% "current window", per
+    * event type, over the fixed [0, 10]×10 binning (+under/overflow).
+    * The oracle reproduces binning, Laplace smoothing, per-group window
+    * normalization and the (p−q)·ln(p/q) sum — the whole statistic
+    * pinned cross-engine. */
+  val x69_psi: Q = (s, d) => {
+    val ev = t(s, d, "events").select(col("event_id").as("id"),
+      col("event_type").as("k"), col("value").as("v"))
+    graft.ext.Drift.psi(
+        ev.filter(col("id") % 10 < 7), ev.filter(col("id") % 10 >= 7),
+        Seq("k"), "v", bins = 10, lo = 0.0, hi = 10.0)
+      .orderBy(col("k"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1489,7 +1504,8 @@ object ExtQueries {
     "x65_decayed" -> x65_decayed,
     "x66_golden" -> x66_golden,
     "x67_manifest" -> x67_manifest,
-    "x68_topk_state" -> x68_topk_state)
+    "x68_topk_state" -> x68_topk_state,
+    "x69_psi" -> x69_psi)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2155,6 +2171,33 @@ object ExtQueries {
         |      / n_chars, 9), doc_id) AS draw
         |  FROM documents WHERE n_chars > 0) r
         | WHERE draw <= 25 ORDER BY doc_id""",
+    // identical binning/smoothing/normalization/sum; only bins present on
+    // either side exist (the full-outer join defines the support set on
+    // both engines identically)
+    "x69_psi" ->
+      """WITH bf AS (
+        |  SELECT event_type AS k,
+        |    CASE WHEN value < 0 THEN 0 WHEN value >= 10 THEN 11
+        |         ELSE CAST(FLOOR((value - 0) / 1.0) AS INT) + 1 END AS bin
+        |  FROM events WHERE event_id % 10 < 7 AND value IS NOT NULL),
+        | af AS (
+        |  SELECT event_type AS k,
+        |    CASE WHEN value < 0 THEN 0 WHEN value >= 10 THEN 11
+        |         ELSE CAST(FLOOR((value - 0) / 1.0) AS INT) + 1 END AS bin
+        |  FROM events WHERE event_id % 10 >= 7 AND value IS NOT NULL),
+        | hb AS (SELECT k, bin, COUNT(*) AS nb FROM bf GROUP BY 1, 2),
+        | ha AS (SELECT k, bin, COUNT(*) AS na FROM af GROUP BY 1, 2),
+        | j AS (
+        |  SELECT COALESCE(hb.k, ha.k) AS k, COALESCE(hb.bin, ha.bin) AS bin,
+        |    COALESCE(nb, 0) AS nb, COALESCE(na, 0) AS na
+        |  FROM hb FULL OUTER JOIN ha ON hb.k = ha.k AND hb.bin = ha.bin),
+        | n AS (
+        |  SELECT k, bin,
+        |    (nb + 1e-6) / SUM(nb + 1e-6) OVER (PARTITION BY k) AS p,
+        |    (na + 1e-6) / SUM(na + 1e-6) OVER (PARTITION BY k) AS q
+        |  FROM j)
+        | SELECT k, ROUND(SUM((p - q) * ln(p / q)) + 1e-9, 4) AS psi
+        | FROM n GROUP BY k ORDER BY k""",
     // one-pass leaderboard over ALL events: top-k mergeability pin
     "x68_topk_state" ->
       """SELECT id, g, score FROM (

@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Drift]] — PSI drift monitor. Cross-engine face is x69_psi. */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vals(xs: Seq[Double], g: String = "g"): DataFrame =
+    xs.map(v => (g, v)).toDF("k", "v")
+
+  private def psiOf(b: DataFrame, a: DataFrame): Double =
+    Drift.psi(b, a, Seq("k"), "v", bins = 4, lo = 0.0, hi = 4.0)
+      .select("psi").as[Double].head()
+
+  test("identical distributions score ~0; symmetric under swap") {
+    val d = vals(Seq(0.5, 1.5, 1.5, 2.5, 3.5))
+    assert(psiOf(d, d) === 0.0)
+    val e = vals(Seq(0.5, 0.5, 1.5, 2.5))
+    assert(math.abs(psiOf(d, e) - psiOf(e, d)) < 1e-9)
+  }
+
+  test("mass shift scores higher than mild reweighting; bins pinned by hand") {
+    val base = vals(Seq.fill(50)(0.5) ++ Seq.fill(50)(2.5))
+    val mild = vals(Seq.fill(45)(0.5) ++ Seq.fill(55)(2.5))
+    val wild = vals(Seq.fill(95)(3.5) ++ Seq.fill(5)(0.5))
+    assert(psiOf(base, mild) < 0.1)        // stable band
+    assert(psiOf(base, wild) > 0.25)       // broken band
+    assert(psiOf(base, mild) < psiOf(base, wild))
+  }
+
+  test("under/overflow bins catch out-of-range drift; groups isolated") {
+    val in = vals(Seq(1.0, 2.0, 3.0))
+    val out = vals(Seq(-5.0, 9.0, 7.0)) // all mass in bins 0 and overflow
+    assert(psiOf(in, out) > 0.25)
+    // a second untouched group keeps psi 0 while the first drifts
+    val b2 = in.unionByName(vals(Seq(1.0, 2.0), g = "h")
+      .select(lit("h").as("k"), col("v")))
+    val a2 = out.unionByName(vals(Seq(1.0, 2.0), g = "h")
+      .select(lit("h").as("k"), col("v")))
+    val per = Drift.psi(b2, a2, Seq("k"), "v", bins = 4, lo = 0.0, hi = 4.0)
+      .as[(String, Double)].collect().toMap
+    assert(per("h") === 0.0 && per("g") > 0.25)
+  }
+
+  test("psiDetail terms sum to psi and localize the moved mass") {
+    val b = vals(Seq.fill(80)(0.5) ++ Seq.fill(20)(2.5))
+    val a = vals(Seq.fill(20)(0.5) ++ Seq.fill(80)(2.5))
+    val det = Drift.psiDetail(b, a, Seq("k"), "v", bins = 4, lo = 0, hi = 4)
+    val total = det.agg(sum("term")).as[Double].head()
+    val reported = psiOf(b, a)
+    assert(math.abs(total + 1e-9 - reported) < 1e-4)
+    // the two bins that exchanged mass carry essentially all the score
+    val byBin = det.select("bin", "term").as[(Int, Double)].collect().toMap
+    assert(byBin(1) + byBin(3) > 0.9 * total)
+  }
+}
