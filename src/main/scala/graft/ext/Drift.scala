@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** X69 — distribution-drift monitoring: Population Stability Index
@@ -53,7 +54,7 @@ object Drift {
       .select((groupCols.map(c => col(s"`$c`")) :+ col("bin")
         :+ coalesce(col("nb"), lit(0L)).as("nb")
         :+ coalesce(col("na"), lit(0L)).as("na")): _*)
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(groupCols.map(c => col(s"`$c`")): _*)
     val p = (col("nb") + epsilon) / sum(col("nb") + epsilon).over(w)
     val q = (col("na") + epsilon) / sum(col("na") + epsilon).over(w)
@@ -70,4 +71,51 @@ object Drift {
     psiDetail(before, after, groupCols, valueCol, bins, lo, hi, epsilon)
       .groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(round(sum(col("term")) + lit(1e-9), roundTo).as("psi"))
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic per group:
+    * max |F_before(x) − F_after(x)| over the pooled sample — the
+    * binning-free complement to [[psi]] (PSI needs range knowledge and
+    * quantizes; KS sees any continuous shift but says less about WHERE).
+    *
+    * Computation: pool both sides, collapse to per-DISTINCT-value side
+    * counts first (so ties across sides are consumed together and the
+    * CDF is only ever read at whole-value boundaries — the textbook tie
+    * treatment), then one per-group window ordered by value accumulates
+    * n_a·CB(v) − n_b·CA(v): an exact INTEGER equal to
+    * (F_b − F_a)(v)·n_b·n_a — no float CDF accumulation anywhere; the
+    * max |·| / (n_b·n_a) is the statistic. Groups partition the sort, so
+    * parallelism is per-group; within a group this is the one genuinely
+    * order-requiring statistic in the family — there is no shuffle-free
+    * exact KS (the window input is one row per distinct value, already
+    * far smaller than the data). */
+  def ks(before: DataFrame, after: DataFrame, groupCols: Seq[String],
+      valueCol: String, roundTo: Int = 4): DataFrame = {
+    val gcols = groupCols.map(c => col(s"`$c`"))
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.filter(col(s"`$valueCol`").isNotNull)
+        .select(gcols :+ col(s"`$valueCol`").as("v") :+ lit(tag).as("side"): _*)
+    val pooled = side(before, 0).unionByName(side(after, 1))
+    // per distinct value: how many rows of each side sit exactly at v —
+    // ties collapse HERE, before any ordering exists, so the CDF is only
+    // ever read at whole-v boundaries (the textbook tie treatment)
+    val perV = pooled.groupBy(gcols :+ col("v"): _*)
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cb"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("ca"))
+    val wg = Window
+      .partitionBy(gcols: _*)
+    val ord = wg.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // running integer n_a·CB(v) − n_b·CA(v) = (F_b − F_a)(v) · n_b·n_a:
+    // exact arithmetic, no float CDF accumulation
+    val run = perV
+      .withColumn("nb", sum(col("cb")).over(wg))
+      .withColumn("na", sum(col("ca")).over(wg))
+      .withColumn("run",
+        sum(col("cb") * col("na") - col("ca") * col("nb")).over(ord))
+    run.groupBy(gcols: _*)
+      .agg(round(
+        max(abs(col("run"))).cast("double") /
+          (first(col("nb")) * first(col("na"))) + lit(1e-9), roundTo)
+        .as("ks"))
+  }
 }

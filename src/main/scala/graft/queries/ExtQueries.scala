@@ -1412,6 +1412,19 @@ object ExtQueries {
       .orderBy(col("k"))
   }
 
+  /** X69 — exact two-sample KS statistic (`ext/Drift.ks`), same windows
+    * as x69_psi: the integer-scaled CDF-difference recurrence reproduced
+    * in SQL — per-distinct-value side counts, group totals, one ordered
+    * window, max |run| / (n_b·n_a). */
+  val x69_ks: Q = (s, d) => {
+    val ev = t(s, d, "events").select(col("event_id").as("id"),
+      col("event_type").as("k"), col("value").as("v"))
+    graft.ext.Drift.ks(
+        ev.filter(col("id") % 10 < 7), ev.filter(col("id") % 10 >= 7),
+        Seq("k"), "v")
+      .orderBy(col("k"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1505,7 +1518,8 @@ object ExtQueries {
     "x66_golden" -> x66_golden,
     "x67_manifest" -> x67_manifest,
     "x68_topk_state" -> x68_topk_state,
-    "x69_psi" -> x69_psi)
+    "x69_psi" -> x69_psi,
+    "x69_ks" -> x69_ks)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2171,6 +2185,33 @@ object ExtQueries {
         |      / n_chars, 9), doc_id) AS draw
         |  FROM documents WHERE n_chars > 0) r
         | WHERE draw <= 25 ORDER BY doc_id""",
+    // integer-scaled CDF difference: per-distinct-v side counts, group
+    // totals, one ordered window — run is exact, division happens once
+    "x69_ks" ->
+      """WITH pooled AS (
+        |  SELECT event_type AS k, value AS v, 0 AS side FROM events
+        |  WHERE event_id % 10 < 7 AND value IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, value, 1 FROM events
+        |  WHERE event_id % 10 >= 7 AND value IS NOT NULL),
+        | perv AS (
+        |  SELECT k, v,
+        |    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cb,
+        |    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS ca
+        |  FROM pooled GROUP BY 1, 2),
+        | t1 AS (
+        |  SELECT k, v, cb, ca,
+        |    SUM(cb) OVER (PARTITION BY k) AS nb,
+        |    SUM(ca) OVER (PARTITION BY k) AS na
+        |  FROM perv),
+        | t2 AS (
+        |  SELECT k, nb, na,
+        |    SUM(cb * na - ca * nb) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM t1)
+        | SELECT k, ROUND(CAST(MAX(ABS(run)) AS DOUBLE) / (MAX(nb) * MAX(na))
+        |   + 1e-9, 4) AS ks
+        | FROM t2 GROUP BY k ORDER BY k""",
     // identical binning/smoothing/normalization/sum; only bins present on
     // either side exist (the full-outer join defines the support set on
     // both engines identically)

@@ -46,6 +46,17 @@ class DriftSpec extends SparkSpec {
     assert(per("h") === 0.0 && per("g") > 0.25)
   }
 
+  test("ks: hand values, full separation, identity, cross-side ties") {
+    def ksOf(b: Seq[Double], a: Seq[Double]): Double =
+      Drift.ks(vals(b), vals(a), Seq("k"), "v").select("ks").as[Double].head()
+    assert(ksOf(Seq(1, 2), Seq(3, 4)) === 1.0)       // disjoint supports
+    assert(ksOf(Seq(1, 2, 3), Seq(1, 2, 3)) === 0.0) // identical
+    // F_b - F_a peaks at v=2: 0.5 - 0 = 0.5
+    assert(ksOf(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)) === 0.5)
+    // ties across sides consumed together: D = 2/3 at v=2
+    assert(ksOf(Seq(1, 1, 2), Seq(1, 3, 3)) === 0.6667)
+  }
+
   test("psiDetail terms sum to psi and localize the moved mass") {
     val b = vals(Seq.fill(80)(0.5) ++ Seq.fill(20)(2.5))
     val a = vals(Seq.fill(20)(0.5) ++ Seq.fill(80)(2.5))
