@@ -72,6 +72,34 @@ object Drift {
       .groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(round(sum(col("term")) + lit(1e-9), roundTo).as("psi"))
 
+  /** Categorical PSI: the same (p−q)·ln(p/q) statistic with the
+    * CATEGORY as the bin — share drift of a discrete column (source,
+    * lang, country, event type) between snapshots. The support set is
+    * the categories present on either side (the full-outer join defines
+    * it identically on both engines); a category appearing or vanishing
+    * is exactly what the smoothing keeps finite and the score punishes.
+    * Same tiny-histogram plan shape as [[psi]]. */
+  def psiCategorical(before: DataFrame, after: DataFrame,
+      groupCols: Seq[String], catCol: String, epsilon: Double = 1e-6,
+      roundTo: Int = 4): DataFrame = {
+    def counts(df: DataFrame, side: String): DataFrame =
+      df.filter(col(s"`$catCol`").isNotNull)
+        .groupBy((groupCols.map(c => col(s"`$c`"))
+          :+ col(s"`$catCol`").as("cat")): _*)
+        .agg(count(lit(1)).as(side))
+    val joined = counts(before, "nb").join(counts(after, "na"),
+        groupCols :+ "cat", "full_outer")
+      .select((groupCols.map(c => col(s"`$c`")) :+ col("cat")
+        :+ coalesce(col("nb"), lit(0L)).as("nb")
+        :+ coalesce(col("na"), lit(0L)).as("na")): _*)
+    val w = Window.partitionBy(groupCols.map(c => col(s"`$c`")): _*)
+    val p = (col("nb") + epsilon) / sum(col("nb") + epsilon).over(w)
+    val q = (col("na") + epsilon) / sum(col("na") + epsilon).over(w)
+    joined.withColumn("term", (p - q) * log(p / q))
+      .groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(round(sum(col("term")) + lit(1e-9), roundTo).as("psi"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic per group:
     * max |F_before(x) − F_after(x)| over the pooled sample — the
     * binning-free complement to [[psi]] (PSI needs range knowledge and

@@ -1425,6 +1425,18 @@ object ExtQueries {
       .orderBy(col("k"))
   }
 
+  /** X69 — categorical drift (`ext/Drift.psiCategorical`): the SOURCE
+    * share distribution of even- vs odd-id documents, per lang — the
+    * category is the bin, support defined by the full-outer join. */
+  val x69_cat_drift: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    graft.ext.Drift.psiCategorical(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        Seq("lang"), "source")
+      .orderBy(col("lang"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1519,7 +1531,8 @@ object ExtQueries {
     "x67_manifest" -> x67_manifest,
     "x68_topk_state" -> x68_topk_state,
     "x69_psi" -> x69_psi,
-    "x69_ks" -> x69_ks)
+    "x69_ks" -> x69_ks,
+    "x69_cat_drift" -> x69_cat_drift)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2185,6 +2198,27 @@ object ExtQueries {
         |      / n_chars, 9), doc_id) AS draw
         |  FROM documents WHERE n_chars > 0) r
         | WHERE draw <= 25 ORDER BY doc_id""",
+    // category = bin, same smoothing/normalization/sum as x69_psi
+    "x69_cat_drift" ->
+      """WITH hb AS (
+        |  SELECT lang, source AS cat, COUNT(*) AS nb FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        | ha AS (
+        |  SELECT lang, source AS cat, COUNT(*) AS na FROM documents
+        |  WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        | j AS (
+        |  SELECT COALESCE(hb.lang, ha.lang) AS lang,
+        |    COALESCE(hb.cat, ha.cat) AS cat,
+        |    COALESCE(nb, 0) AS nb, COALESCE(na, 0) AS na
+        |  FROM hb FULL OUTER JOIN ha
+        |    ON hb.lang = ha.lang AND hb.cat = ha.cat),
+        | n AS (
+        |  SELECT lang,
+        |    (nb + 1e-6) / SUM(nb + 1e-6) OVER (PARTITION BY lang) AS p,
+        |    (na + 1e-6) / SUM(na + 1e-6) OVER (PARTITION BY lang) AS q
+        |  FROM j)
+        | SELECT lang, ROUND(SUM((p - q) * ln(p / q)) + 1e-9, 4) AS psi
+        | FROM n GROUP BY lang ORDER BY lang""",
     // integer-scaled CDF difference: per-distinct-v side counts, group
     // totals, one ordered window — run is exact, division happens once
     "x69_ks" ->

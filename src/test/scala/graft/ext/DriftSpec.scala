@@ -57,6 +57,18 @@ class DriftSpec extends SparkSpec {
     assert(ksOf(Seq(1, 1, 2), Seq(1, 3, 3)) === 0.6667)
   }
 
+  test("categorical psi: stable shares ~0, vanished/new categories punished") {
+    def cats(xs: Seq[String]): DataFrame = xs.map(("g", _)).toDF("k", "c")
+    def cp(b: Seq[String], a: Seq[String]): Double =
+      Drift.psiCategorical(cats(b), cats(a), Seq("k"), "c")
+        .select("psi").as[Double].head()
+    val base = Seq.fill(50)("x") ++ Seq.fill(50)("y")
+    assert(cp(base, base) === 0.0)
+    assert(cp(base, Seq.fill(48)("x") ++ Seq.fill(52)("y")) < 0.1)
+    // a category replaced wholesale: far into the broken band
+    assert(cp(base, Seq.fill(50)("x") ++ Seq.fill(50)("z")) > 0.25)
+  }
+
   test("psiDetail terms sum to psi and localize the moved mass") {
     val b = vals(Seq.fill(80)(0.5) ++ Seq.fill(20)(2.5))
     val a = vals(Seq.fill(20)(0.5) ++ Seq.fill(80)(2.5))
