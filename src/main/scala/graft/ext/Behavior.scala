@@ -61,4 +61,26 @@ object Behavior {
     }
     out
   }
+
+  /** X70 — event-type transition counts: (from_type, to_type, n) over
+    * consecutive events per user ordered by time — the first-order
+    * Markov/path-mining read (what do users do AFTER an error? which
+    * step precedes purchase?). One lag window per user (users partition
+    * the sort — parallelism grows with the user base, never a global
+    * order) and one partial-aggregated pair groupBy; a user's first
+    * event has no predecessor and contributes nothing. Tie order within
+    * one timestamp is pinned by `idCol` so reruns reproduce. */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$userCol`"))
+      .orderBy(col(s"`$tsCol`"), col(s"`$idCol`"))
+    events
+      .withColumn("__prev", lag(col(s"`$typeCol`"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"),
+        col(s"`$typeCol`").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -1437,6 +1437,14 @@ object ExtQueries {
       .orderBy(col("lang"))
   }
 
+  /** X70 — event-type transition counts (`ext/Behavior.transitions`):
+    * the first-order Markov read over the full event stream; oracle is
+    * the identical LAG construction in SQL (tie order pinned by
+    * event_id on both sides). */
+  val x70_transitions: Q = (s, d) =>
+    graft.ext.Behavior.transitions(t(s, d, "events"))
+      .orderBy(col("from_type"), col("to_type"))
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1532,7 +1540,8 @@ object ExtQueries {
     "x68_topk_state" -> x68_topk_state,
     "x69_psi" -> x69_psi,
     "x69_ks" -> x69_ks,
-    "x69_cat_drift" -> x69_cat_drift)
+    "x69_cat_drift" -> x69_cat_drift,
+    "x70_transitions" -> x70_transitions)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2198,6 +2207,15 @@ object ExtQueries {
         |      / n_chars, 9), doc_id) AS draw
         |  FROM documents WHERE n_chars > 0) r
         | WHERE draw <= 25 ORDER BY doc_id""",
+    // identical LAG construction; (ts, event_id) is a total order
+    "x70_transitions" ->
+      """SELECT from_type, to_type, COUNT(*) AS n FROM (
+        |  SELECT LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events) x
+        | WHERE from_type IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY 1, 2""",
     // category = bin, same smoothing/normalization/sum as x69_psi
     "x69_cat_drift" ->
       """WITH hb AS (

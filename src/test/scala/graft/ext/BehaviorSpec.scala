@@ -64,4 +64,24 @@ class BehaviorSpec extends SparkSpec {
       .as[(Int, Long)].collect().toMap
     assert(out === Map(1 -> 1L, 2 -> 0L))
   }
+
+  test("transitions: per-user consecutive pairs, first event contributes nothing") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(m: Int) = new java.sql.Timestamp(t0 + m * 60000L)
+    // user 1: view -> click -> view ; user 2: view (alone) — no pair
+    // crosses users, a lone event yields nothing
+    val events = Seq(
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(1), "click"),
+      (3L, 1L, ts(2), "view"), (4L, 2L, ts(0), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Behavior.transitions(events)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("view", "click", 1L), ("click", "view", 1L)))
+    // equal timestamps: order pinned by event_id
+    val tied = Seq(
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(0), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    assert(Behavior.transitions(tied)
+      .as[(String, String, Long)].collect().toSeq === Seq(("a", "b", 1L)))
+  }
 }
