@@ -110,6 +110,49 @@ object Curation {
       .filter(col("draw") <= k)
   }
 
+  /** X71 — temperature-mix MATERIALIZATION: [[mixtureWeights]] says how
+    * much of each source; this draws the actual corpus. `total` target
+    * documents are apportioned per source by LARGEST REMAINDER over the
+    * rounded weights (exact: quotas sum to `total`; floor everyone, then
+    * the sources with the largest fractional parts absorb the deficit,
+    * remainder ties broken by source name — fully deterministic and
+    * SQL-reproducible arithmetic), then each source contributes its
+    * quota by the X54 seeded-hash rank (reproducible, growth-stable
+    * draws). A source smaller than its quota contributes everything it
+    * has — the shortfall is NOT silently redistributed (that would
+    * distort the other shares); the emitted `quota` column lets the
+    * caller see and decide.
+    *
+    * Plan: the weight/quota relation is |sources| rows end to end
+    * (broadcast back for the draw); the draw is per-source rank windows.
+    * `rankHash` is the X54 portable-draw hook. */
+  def mixtureDraw(docs: DataFrame, total: Long, sourceCol: String = "source",
+      tokensCol: String = "n_tokens", alpha: Double = 0.3,
+      idCol: String = "doc_id", seed: Long = 42L,
+      rankHash: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(total >= 1, "target size must be positive")
+    val exact = col("weight") * total
+    val q0 = mixtureWeights(docs, sourceCol, tokensCol, alpha)
+      .select(col("source"), col("weight"))
+      .withColumn("base", floor(exact).cast("long"))
+      .withColumn("rem", exact - col("base"))
+    val byRem = Window.orderBy(col("rem").desc, col("source"))
+    val whole = Window.partitionBy()
+    // k-source relation: the global windows run over |sources| rows only
+    val quotas = q0
+      .withColumn("__rank", row_number().over(byRem))
+      .withColumn("__deficit", lit(total) - sum(col("base")).over(whole))
+      .withColumn("quota", col("base")
+        + when(col("__rank") <= col("__deficit"), 1L).otherwise(0L))
+      .select(col("source").as(sourceCol), col("quota"))
+    val h = rankHash.getOrElse(xxhash64(col(s"`$idCol`"), lit(seed)))
+    val dw = Window.partitionBy(col(s"`$sourceCol`"))
+      .orderBy(h, col(s"`$idCol`"))
+    docs.join(broadcast(quotas), Seq(sourceCol))
+      .withColumn("draw", row_number().over(dw))
+      .filter(col("draw") <= col("quota"))
+  }
+
   /** X60 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     * A-ES): each row draws key = −ln(u)/w from a seeded per-id uniform u
     * and the k smallest keys win — provably equivalent to sequential

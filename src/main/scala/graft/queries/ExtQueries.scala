@@ -1445,6 +1445,22 @@ object ExtQueries {
     graft.ext.Behavior.transitions(t(s, d, "events"))
       .orderBy(col("from_type"), col("to_type"))
 
+  /** X71 — temperature-mix materialization (`ext/Curation.mixtureDraw`):
+    * 300 docs drawn across sources at alpha = 0.5 — x47's weight
+    * arithmetic, largest-remainder apportionment (quotas sum exactly to
+    * the target; rounded 6-dp weights make every float step
+    * SQL-identical) and the X54 portable md5 rank draw, all reproduced
+    * in the oracle. */
+  val x71_mixture_draw: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+    graft.ext.Curation.mixtureDraw(docs, total = 300L, alpha = 0.5,
+        rankHash = Some(md5(concat(col("doc_id").cast("string"), lit(":42")))))
+      .select(col("doc_id"), col("source"),
+        col("draw").cast("long").as("draw"), col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1541,7 +1557,8 @@ object ExtQueries {
     "x69_psi" -> x69_psi,
     "x69_ks" -> x69_ks,
     "x69_cat_drift" -> x69_cat_drift,
-    "x70_transitions" -> x70_transitions)
+    "x70_transitions" -> x70_transitions,
+    "x71_mixture_draw" -> x71_mixture_draw)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2207,6 +2224,42 @@ object ExtQueries {
         |      / n_chars, 9), doc_id) AS draw
         |  FROM documents WHERE n_chars > 0) r
         | WHERE draw <= 25 ORDER BY doc_id""",
+    // x47's weight SQL at alpha 0.5 + largest-remainder apportionment +
+    // the x54 md5 rank draw; 6-dp-rounded weights keep every float step
+    // identical across engines
+    "x71_mixture_draw" ->
+      """WITH by_src AS (
+        |  SELECT source, SUM(len(regexp_split_to_array(trim(text), '\s+')))
+        |    AS n_tokens
+        |  FROM documents GROUP BY 1),
+        | shared AS (
+        |  SELECT source,
+        |    pow(n_tokens / (SELECT SUM(n_tokens) FROM by_src), 0.5) AS p
+        |  FROM by_src),
+        | wts AS (
+        |  SELECT source, ROUND(p / (SELECT SUM(p) FROM shared), 6) AS weight
+        |  FROM shared),
+        | q0 AS (
+        |  SELECT source, weight * 300 AS exact,
+        |    CAST(FLOOR(weight * 300) AS BIGINT) AS base
+        |  FROM wts),
+        | q1 AS (
+        |  SELECT source, base, exact - base AS rem,
+        |    ROW_NUMBER() OVER (ORDER BY exact - base DESC, source) AS rk,
+        |    (SELECT 300 - SUM(base) FROM q0) AS deficit
+        |  FROM q0),
+        | quotas AS (
+        |  SELECT source,
+        |    base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS quota
+        |  FROM q1),
+        | ranked AS (
+        |  SELECT d.doc_id, d.source, q.quota,
+        |    ROW_NUMBER() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS draw
+        |  FROM documents d JOIN quotas q USING (source))
+        | SELECT doc_id, source, CAST(draw AS BIGINT) AS draw,
+        |   CAST(quota AS BIGINT) AS quota
+        | FROM ranked WHERE draw <= quota ORDER BY doc_id""",
     // identical LAG construction; (ts, event_id) is a total order
     "x70_transitions" ->
       """SELECT from_type, to_type, COUNT(*) AS n FROM (

@@ -117,6 +117,43 @@ class CurationSpec extends SparkSpec {
     assert(g === one && g.size === 15)
   }
 
+  test("mixtureDraw: quotas sum to total, apportionment tracks weights, deterministic") {
+    // three sources with 100/60/40 docs and token mass ∝ doc count
+    val docs = ((1 to 100).map(i => (i.toLong, "a", 10L))
+      ++ (101 to 160).map(i => (i.toLong, "b", 10L))
+      ++ (161 to 200).map(i => (i.toLong, "c", 10L)))
+      .toDF("doc_id", "src", "n_tokens")
+    val drawn = Curation.mixtureDraw(docs, total = 50L, sourceCol = "src",
+      alpha = 1.0)
+    assert(drawn.count() === 50L)
+    val bySrc = drawn.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    // alpha=1 = natural mix: 25/15/10
+    assert(bySrc === Map("a" -> 25L, "b" -> 15L, "c" -> 10L))
+    // deterministic rerun
+    val again = Curation.mixtureDraw(docs, total = 50L, sourceCol = "src",
+      alpha = 1.0).select("doc_id").as[Long].collect().toSet
+    assert(again === drawn.select("doc_id").as[Long].collect().toSet)
+    // alpha -> 0 flattens toward equal shares
+    val flat = Curation.mixtureDraw(docs, total = 51L, sourceCol = "src",
+      alpha = 0.001).groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(flat === Map("a" -> 17L, "b" -> 17L, "c" -> 17L))
+  }
+
+  test("mixtureDraw: a source smaller than its quota yields all it has, no silent redistribution") {
+    val docs = ((1 to 5).map(i => (i.toLong, "tiny", 1000L))
+      ++ (6 to 105).map(i => (i.toLong, "big", 10L)))
+      .toDF("doc_id", "src", "n_tokens")
+    // tiny has 5 docs but ~83% of the token mass at alpha=1
+    val drawn = Curation.mixtureDraw(docs, total = 60L, sourceCol = "src",
+      alpha = 1.0)
+    val bySrc = drawn.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(bySrc("tiny") === 5L)            // capped at availability
+    assert(drawn.count() < 60L)             // shortfall visible, not hidden
+  }
+
   test("tokenBudget: constant rank column degenerates to one bucket safely") {
     val docs = Seq((1L, 5L, 7), (2L, 5L, 7), (3L, 5L, 7))
       .toDF("doc_id", "n_tokens", "n_chars")
