@@ -43,6 +43,25 @@ object Dedup {
     df.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** X72 — dedup savings report: the numbers every dedup run publishes —
+    * per duplicate-cluster SIZE, how many clusters exist, how many rows
+    * the pass removes (size − 1 per cluster) and how many bytes those
+    * removals free. Shuffles (xxhash64, length) per row — the X1 wire
+    * discipline: text never leaves the scan — then aggregates the
+    * cluster relation (one row per distinct text) into the ≤ max-size
+    * report. A `n_copies = 1` row reports the untouched singletons, so
+    * the report also totals the corpus. */
+  def savingsReport(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(xxhash64(col(textCol)).as("__h"),
+        length(col(textCol)).cast("long").as("__len"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("n_copies"), max(col("__len")).as("__len"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("__len")).as("__lenSum"))
+      .withColumn("rows_removed", col("n_clusters") * (col("n_copies") - 1))
+      .withColumn("bytes_saved", col("__lenSum") * (col("n_copies") - 1))
+      .drop("__lenSum")
+
   // ------------------------------------------------------------- MinHash
 
   /** @param numPerm     signature length (hash permutations)

@@ -1461,6 +1461,16 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** X72 — dedup savings report (`ext/Dedup.savingsReport`) over the
+    * planted-dup corpus: by construction the report must show the 2- and
+    * 3-copy clusters the planting created; the oracle groups by TEXT
+    * where the engine groups by xxhash64 — equality also re-pins the X1
+    * hash-grouping fidelity at report granularity. */
+  val x72_dedup_report: Q = (s, d) =>
+    Dedup.savingsReport(withPlantedDups(t(s, d, "documents")),
+        "text", "doc_id")
+      .orderBy(col("n_copies"))
+
   /** X51 — per-domain contribution cap (`ext/Curation.domainCap`):
     * ≤ 30 docs per source by (n_chars DESC, doc_id). */
   val x51_domain_cap: Q = (s, d) =>
@@ -1558,7 +1568,8 @@ object ExtQueries {
     "x69_ks" -> x69_ks,
     "x69_cat_drift" -> x69_cat_drift,
     "x70_transitions" -> x70_transitions,
-    "x71_mixture_draw" -> x71_mixture_draw)
+    "x71_mixture_draw" -> x71_mixture_draw,
+    "x72_dedup_report" -> x72_dedup_report)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2224,6 +2235,22 @@ object ExtQueries {
         |      / n_chars, 9), doc_id) AS draw
         |  FROM documents WHERE n_chars > 0) r
         | WHERE draw <= 25 ORDER BY doc_id""",
+    // oracle groups by TEXT where the engine groups by hash — the
+    // equality re-pins hash-grouping fidelity at report granularity
+    "x72_dedup_report" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' appended'
+        |    FROM documents WHERE doc_id < 25
+        |  UNION ALL SELECT doc_id + 2000000, text
+        |    FROM documents WHERE doc_id < 10),
+        | clusters AS (
+        |  SELECT text, COUNT(*) AS n_copies, MAX(length(text)) AS len
+        |  FROM corpus GROUP BY text)
+        | SELECT n_copies, COUNT(*) AS n_clusters,
+        |   COUNT(*) * (n_copies - 1) AS rows_removed,
+        |   CAST(SUM(len) * (n_copies - 1) AS BIGINT) AS bytes_saved
+        | FROM clusters GROUP BY n_copies ORDER BY n_copies""",
     // x47's weight SQL at alpha 0.5 + largest-remainder apportionment +
     // the x54 md5 rank draw; 6-dp-rounded weights keep every float step
     // identical across engines

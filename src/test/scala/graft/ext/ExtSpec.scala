@@ -83,6 +83,16 @@ class DedupSpec extends SparkSpec {
     assert(g.length === 4)
   }
 
+  test("savingsReport: cluster-size histogram with exact rows/bytes saved") {
+    val got = Dedup.savingsReport(docs, "text", "doc_id")
+      .orderBy("n_copies")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // 3 singletons (no savings) and one 2-copy cluster saving 1 row of
+    // the 46-char text
+    val textLen = "alpha beta gamma delta epsilon zeta eta theta".length
+    assert(got === Seq((1L, 3L, 0L, 0L), (2L, 1L, 1L, textLen.toLong)))
+  }
+
   test("minhash near-dup finds the near pair, not unrelated docs") {
     val p = Dedup.MinHashParams(numPerm = 64, bands = 32, shingleSize = 2, threshold = 0.5)
     val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", p)
