@@ -47,8 +47,12 @@ object PlanCheck {
       p.contains("HashAggregate") && p.contains("partial_"))
     check("q08_anti_join", "anti join strategy")(p =>
       p.contains("LeftAnti"))
-    check("q09_semi_join", "semi join strategy")(p =>
-      p.contains("LeftSemi"))
+    // (a function-less distinct prints as two keyed HashAggregates, not
+    // "partial_" — match the map-side aggregate by its key instead)
+    check("q09_semi_join", "semi join = broadcast of pre-aggregated distinct keys (part never shuffles)")(p =>
+      p.contains("BroadcastHashJoin") && p.contains("LeftSemi") &&
+        p.contains("HashAggregate(keys=[l_partkey") &&
+        !p.contains("SortMergeJoin"))
     check("q02_hourly_agg", "single shuffle for group-by")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size <= 1)
     check("x3_ann_bruteforce", "broadcast nested loop for query side")(p =>

@@ -115,7 +115,14 @@ object Drift {
     * parallelism is per-group; within a group this is the one genuinely
     * order-requiring statistic in the family — there is no shuffle-free
     * exact KS (the window input is one row per distinct value, already
-    * far smaller than the data). */
+    * far smaller than the data).
+    *
+    * Contract for one-sided groups: a group present in only one of the
+    * two samples has no two-sample statistic (the CDF of the empty side
+    * is undefined, and n_b·n_a = 0 would divide by zero) — such groups
+    * emit NO row, mirroring [[psi]]'s defined-support contract. Callers
+    * who need to surface them should anti-join the output against the
+    * group universe. */
   def ks(before: DataFrame, after: DataFrame, groupCols: Seq[String],
       valueCol: String, roundTo: Int = 4): DataFrame = {
     val gcols = groupCols.map(c => col(s"`$c`"))
@@ -144,6 +151,11 @@ object Drift {
       .agg(round(
         max(abs(col("run"))).cast("double") /
           (first(col("nb")) * first(col("na"))) + lit(1e-9), roundTo)
-        .as("ks"))
+        .as("ks"),
+        first(col("nb")).as("__nb"), first(col("na")).as("__na"))
+      // one-sided groups (nb or na = 0) have no two-sample statistic:
+      // drop them rather than emit NULL/Inf (contract in the scaladoc)
+      .filter(col("__nb") > 0 && col("__na") > 0)
+      .drop("__nb", "__na")
   }
 }

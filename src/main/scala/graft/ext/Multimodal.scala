@@ -16,11 +16,12 @@ import org.apache.spark.sql.types._
   * partition task; plans that only touch metadata prune it at the parquet
   * reader.
   *
-  * Codec bindings: PNG/BMP/GIF decode (and PNG encode / thumbnail resize)
-  * are REAL, via the JRE's `javax.imageio`, and WAV audio decode (and
-  * encode / PCM RMS features) is REAL via `javax.sound.sampled` — bytes
-  * are sniffed by magic number and routed to the right codec, so parquet
-  * columns of actual PNG/WAV files round-trip with true geometry,
+  * Codec bindings: PNG/JPEG/BMP/GIF decode (and PNG/JPEG encode /
+  * thumbnail resize) are REAL, via the JRE's `javax.imageio`, and WAV
+  * audio decode (and encode / PCM RMS features) is REAL via
+  * `javax.sound.sampled` — bytes are sniffed by magic number (JPEG =
+  * FF D8 FF, covering JFIF and EXIF) and routed to the right codec, so
+  * parquet columns of actual PNG/JPEG/WAV files round-trip with true geometry,
   * pixel/PCM checksums, and RMS features. Formats the JRE cannot decode
   * (JPEG-XL, video codecs) fall back to the deterministic synthetic-header
   * codec ([[SyntheticMedia]]) so the pipeline shape stays exercisable
@@ -78,6 +79,11 @@ object Multimodal {
       d.length >= 2 && d(0) == 'B' && d(1) == 'M'
     private def isGif(d: Array[Byte]): Boolean =
       d.length >= 4 && d(0) == 'G' && d(1) == 'I' && d(2) == 'F' && d(3) == '8'
+    // JPEG/JFIF/EXIF all start FF D8 FF; the JRE ships a native decoder —
+    // the first real-world format a web-crawl image corpus hits
+    private def isJpeg(d: Array[Byte]): Boolean =
+      d.length >= 3 && d(0) == 0xFF.toByte && d(1) == 0xD8.toByte &&
+        d(2) == 0xFF.toByte
     private def isWav(d: Array[Byte]): Boolean =
       d.length >= 12 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' && d(3) == 'F' &&
         d(8) == 'W' && d(9) == 'A' && d(10) == 'V' && d(11) == 'E'
@@ -174,6 +180,31 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Deterministic JPEG encode (same LCG gray pixels as [[encodePng]])
+      * via the JRE's native JPEG writer — real lossy-compressed bytes for
+      * the round-trip spec. Geometry survives exactly; pixels only
+      * approximately (JPEG is lossy), which is why [[decode]] reports
+      * geometry + checksum rather than asserting byte identity. */
+    def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var s = seed
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          val g = (s >>> 56).toInt & 0xff
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+
     /** Real resize: decode → scale to fit `maxDim` (aspect preserved) →
       * re-encode PNG. None for undecodable bytes. */
     def thumbnailPng(data: Array[Byte], maxDim: Int): Option[Array[Byte]] =
@@ -201,7 +232,7 @@ object Multimodal {
       * every modality; [[audioFeatures]] is the properly-named face. */
     def decode(data: Array[Byte]): Option[(Int, Int, Int, Long)] = {
       if (data == null || data.length < 16) return None
-      if (isPng(data) || isBmp(data) || isGif(data))
+      if (isPng(data) || isBmp(data) || isGif(data) || isJpeg(data))
         return decodeImage(data).map(img =>
           (img.getWidth, img.getHeight, 1, pixelChecksum(img)))
       if (isWav(data))

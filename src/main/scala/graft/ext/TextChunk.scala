@@ -44,18 +44,27 @@ object TextChunk {
   * mix, and per-source lineage is preserved in `mix_source`. */
 object Mixing {
 
-  /** @param sources (name → (df, keepFraction in [0,1])); all DataFrames
-    *                must share the schema of the first
-    * @param keyCol  column hashed for the sampling decision (stable id) */
+  /** @param sources  (name → (df, keepFraction in [0,1])); all DataFrames
+    *                 must share the schema of the first
+    * @param keyCol   column hashed for the sampling decision (stable id)
+    * @param drawHash optional per-source draw in [0, 10000): given the
+    *                 source name, return the hash column to threshold.
+    *                 Default is the engine-native xxhash64 draw; the
+    *                 x7_weighted_mix oracle face passes the portable
+    *                 md5-52-bit draw so DuckDB reproduces the identical
+    *                 mix (the x54/x60 pattern). */
   def weightedUnion(sources: Seq[(String, (DataFrame, Double))],
-      keyCol: String): DataFrame = {
+      keyCol: String,
+      drawHash: Option[String => org.apache.spark.sql.Column] = None): DataFrame = {
     require(sources.nonEmpty)
     sources.map { case (name, (df, frac)) =>
       require(frac >= 0 && frac <= 1, s"fraction for $name out of range: $frac")
       // round, don't truncate: 0.29 * 10000 is 2899.999… in binary — toLong
       // would keep 28.99% instead of the requested 29%
       val threshold = math.round(frac * 10000)
-      df.filter(pmod(xxhash64(col(s"`$keyCol`"), lit(name)), lit(10000L)) < threshold)
+      val draw = drawHash.map(f => f(name))
+        .getOrElse(pmod(xxhash64(col(s"`$keyCol`"), lit(name)), lit(10000L)))
+      df.filter(draw < threshold)
         .withColumn("mix_source", lit(name))
     }.reduce(_ unionByName _)
   }

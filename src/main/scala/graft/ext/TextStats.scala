@@ -141,21 +141,33 @@ object TextStats {
     round(lenScore * 0.3 + punctScore * 0.2 + shapeScore * 0.3 + stopScore * 0.2, 4)
   }
 
+  /** The portable 52-bit string hash shared with the x54/x60/x67 oracle
+    * faces: first 13 hex digits of md5, as a positive long. Slower than
+    * xxhash64 but reproducible bit-for-bit by any engine with md5 —
+    * pass it as the `hasher` of [[fingerprint64]]/[[rollingMinHash]]
+    * when a cross-engine-stable fingerprint matters more than speed. */
+  val portableHash52: Column => Column =
+    c => conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
   /** 64-bit document fingerprint: xxhash64 over whitespace-normalized,
     * lower-cased text (F3 analog — a stable content hash; formatting-
-    * insensitive where exact hashing would not be). */
-  def fingerprint64(text: Column): Column =
-    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+    * insensitive where exact hashing would not be).
+    * @param hasher string→int64 kernel; default engine-native xxhash64,
+    *   [[portableHash52]] for the cross-engine face. */
+  def fingerprint64(text: Column,
+      hasher: Column => Column = xxhash64(_)): Column =
+    hasher(lower(regexp_replace(trim(text), "\\s+", " ")))
 
   /** Rolling-hash fingerprint: min of hashes over word n-gram windows —
     * stable under appends/truncations that leave some window intact.
     * letCol-bound: tokenize once, not once per window. */
-  def rollingMinHash(text: Column, n: Int = 5): Column = {
+  def rollingMinHash(text: Column, n: Int = 5,
+      hasher: Column => Column = xxhash64(_)): Column = {
     import graft.functions.ColumnOps.letCol
     letCol(tokens(text)) { toks =>
       coalesce(array_min(transform(
         sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))), lit(0L))
+        i => hasher(concat_ws(" ", slice(toks, i + 1, lit(n)))))), lit(0L))
     }
   }
 

@@ -9,9 +9,11 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** X63 — character-entropy quality signal as a native expression: the
   * standard screen for binary junk, base64 blobs, minified code and
-  * key-mash in a crawl (natural language sits near ~4.1 nats of raw
-  * char entropy for English; base64 ≈ ln 64 ≈ 4.16 with a FLAT histogram
-  * and no whitespace structure; repeated boilerplate collapses toward 0).
+  * key-mash in a crawl. Calibration IN NATS (this kernel's unit):
+  * English prose sits near ~2.8–3.0 nats of raw char entropy (≈ 4.1
+  * bits); base64 approaches ln 64 ≈ 4.16 nats with a FLAT histogram and
+  * no whitespace structure — a ≳1-nat gap the spec's discrimination test
+  * exercises; repeated boilerplate collapses toward 0.
   * Complements the X4 family's token-level signals with a sub-token one.
   *
   * Why a native expression (§2.8 preference (b)): the exact computation

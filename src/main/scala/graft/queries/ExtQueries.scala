@@ -58,7 +58,10 @@ object ExtQueries {
 
   // ------------------------------------------------ Tier B (rows-only)
 
-  /** X1 — full exact-dedup operator output (content-hash shuffle path). */
+  /** X1 — full exact-dedup operator output (content-hash shuffle path).
+    * Oracle-checked (the x72 pattern): the oracle keeps min-doc_id per
+    * TEXT where the engine partitions by (xxhash64, length) — equality
+    * re-pins the hash-grouping fidelity at surviving-row granularity. */
   val x1_dedup_exact_rows: Q = (s, d) =>
     Dedup.exactByContent(withPlantedDups(t(s, d, "documents")), "text", "doc_id")
       .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -147,12 +150,20 @@ object ExtQueries {
       .agg(count(lit(1)).as("docs"), round(avg(col("quality")), 4).as("avg_quality"))
       .orderBy(col("lang_id"))
 
-  /** X4 — fingerprints: stable content hashes + rolling min-hash. */
+  /** X4 — fingerprints: stable content hash + rolling min-hash over word
+    * 5-gram windows. The face runs both kernels over the portable
+    * md5-52-bit hash so DuckDB replays the identical normalization,
+    * windowing and min — pinning the fingerprint ALGORITHM (trim →
+    * whitespace-collapse → lower for fp64; token windows → min for the
+    * rolling hash), not just row counts. Engine-native xxhash64
+    * fingerprints (the production/streaming-dedup path) are spec-covered. */
   val x4_fingerprint: Q = (s, d) =>
     t(s, d, "documents").select(
         col("doc_id"),
-        TextStats.fingerprint64(col("text")).as("fp64"),
-        TextStats.rollingMinHash(col("text")).as("rolling_fp"))
+        TextStats.fingerprint64(col("text"),
+          TextStats.portableHash52).as("fp64"),
+        TextStats.rollingMinHash(col("text"),
+          hasher = TextStats.portableHash52).as("rolling_fp"))
       .orderBy(col("doc_id"))
 
   /** X5 — multimodal stub pipeline: synthesize → batched decode →
@@ -221,10 +232,14 @@ object ExtQueries {
 
   /** X7 — deterministic hash-sampling: stable ~10% subset selection by
     * content-hash threshold (how a 100 TB corpus gets a reproducible
-    * training subsample without a full sort or RNG state). */
+    * training subsample without a full sort or RNG state). The face
+    * draws with the portable md5-52-bit hash so DuckDB reproduces the
+    * identical subset (the x54/x60 pattern); the engine-native
+    * xxhash64 threshold draw is spec-covered. */
   val x7_hash_sample: Q = (s, d) =>
     t(s, d, "documents")
-      .filter(pmod(xxhash64(col("text")), lit(10)) === 0)
+      .filter(pmod(graft.ext.TextStats.portableHash52(col("text")),
+        lit(10L)) === 0L)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
@@ -236,13 +251,18 @@ object ExtQueries {
       .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
-  /** X7 — deterministic weighted source mixing (training-mix op). */
+  /** X7 — deterministic weighted source mixing (training-mix op). The
+    * face passes the portable md5-52-bit draw so DuckDB reproduces the
+    * exact same per-source subsets (the x54/x60 pattern); the
+    * engine-native xxhash64 draw is spec-covered. */
   val x7_weighted_mix: Q = (s, d) => {
     val docs = t(s, d, "documents")
     graft.ext.Mixing.weightedUnion(Seq(
         "en_heavy" -> (docs.filter(col("lang") === "en"), 0.9),
         "rest_light" -> (docs.filter(col("lang") =!= "en"), 0.3)),
-        keyCol = "doc_id")
+        keyCol = "doc_id",
+        drawHash = Some(name => pmod(graft.ext.TextStats.portableHash52(
+          concat(col("doc_id").cast("string"), lit(":" + name))), lit(10000L))))
       .groupBy(col("mix_source"))
       .agg(count(lit(1)).as("docs"))
       .orderBy(col("mix_source"))
@@ -494,14 +514,22 @@ object ExtQueries {
     * sized (16 M bits) so a false positive is ~10⁻⁶-improbable across
     * the whole 100× set: the oracle is the EXACT string-space SQL —
     * hash equality proves the no-false-negative screen is exact at
-    * production sizing, not merely conservative. */
+    * production sizing, not merely conservative. Five too-short docs
+    * (< n tokens) are PLANTED into the corpus on both engines so the
+    * gate's gram-less contract — keep the row, ratio 0, never flagged,
+    * unlike the batch report which drops it — is pinned by the hash
+    * rather than holding coincidentally on an all-long-docs corpus. */
   val x4_contam_gate: Q = (s, d) => {
     val docs = t(s, d, "documents")
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          lit("tiny doc").as("text")))
     val bloom = StreamingContamination.fit(
       docs.filter(col("doc_id") % 17 === 0), "doc_id", "text", n = 3,
       numBits = 1 << 24)
-    StreamingContamination.screen(
-        docs.filter(col("doc_id") % 17 =!= 0), bloom, "text", n = 3,
+    StreamingContamination.screen(corpus, bloom, "text", n = 3,
         maxRatio = 0.3)
       .select(col("doc_id"), col("n_grams"), col("n_hit"), col("ratio"),
         col("contaminated").cast("long").as("contaminated"))
@@ -1725,27 +1753,39 @@ object ExtQueries {
     // screen: no false negatives by contract, false positives sized away
     // (16 M bits vs ~4 k benchmark grams) — hash equality proves it
     "x4_contam_gate" ->
-      """WITH toks AS (
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, 'tiny doc' FROM documents WHERE doc_id < 5),
+        | toks AS (
         |  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
         |  FROM (SELECT doc_id, list_filter(
         |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
         |      x -> len(x) > 0) AS l
-        |    FROM documents)),
+        |    FROM (SELECT doc_id, text FROM documents
+        |          UNION ALL SELECT doc_id, text FROM corpus
+        |            WHERE doc_id >= 3000000))),
         | tri AS (
         |  SELECT doc_id,
         |    tok || ' ' || LEAD(tok,1) OVER w || ' ' || LEAD(tok,2) OVER w AS g
         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
         | trid AS (SELECT DISTINCT doc_id, g FROM tri WHERE g IS NOT NULL),
-        | bench AS (SELECT DISTINCT g FROM trid WHERE doc_id % 17 = 0),
-        | corp AS (SELECT doc_id, g FROM trid WHERE doc_id % 17 <> 0),
+        | bench AS (SELECT DISTINCT g FROM trid
+        |           WHERE doc_id % 17 = 0 AND doc_id < 3000000),
+        | corp AS (SELECT doc_id, g FROM trid
+        |          WHERE doc_id % 17 <> 0 OR doc_id >= 3000000),
         | rep AS (
-        |  SELECT doc_id, COUNT(*) AS n_grams,
-        |   COUNT(*) FILTER (WHERE g IN (SELECT g FROM bench)) AS n_hit,
-        |   ROUND(CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM bench))
-        |       AS DOUBLE) / COUNT(*) + 1e-9, 4) AS ratio
-        |  FROM corp GROUP BY doc_id)
-        | SELECT doc_id, n_grams, n_hit, ratio,
-        |   CAST(ratio > 0.3 AS BIGINT) AS contaminated
+        |  SELECT a.doc_id, COUNT(c.g) AS n_grams,
+        |   COUNT(c.g) FILTER (WHERE c.g IN (SELECT g FROM bench)) AS n_hit
+        |  FROM corpus a LEFT JOIN corp c ON a.doc_id = c.doc_id
+        |  GROUP BY a.doc_id)
+        | SELECT doc_id, n_grams, n_hit,
+        |   CASE WHEN n_grams > 0
+        |     THEN ROUND(CAST(n_hit AS DOUBLE) / n_grams + 1e-9, 4)
+        |     ELSE 0.0 END AS ratio,
+        |   CAST(n_grams > 0 AND
+        |     ROUND(CAST(n_hit AS DOUBLE) / n_grams + 1e-9, 4) > 0.3
+        |     AS BIGINT) AS contaminated
         | FROM rep ORDER BY doc_id""",
     // DuckDB regexp_replace replaces the FIRST match unless the 'g'
     // flag is passed; patterns are the shared Java/RE2-portable subset.
@@ -1843,6 +1883,59 @@ object ExtQueries {
         |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         | FROM documents ORDER BY doc_id""",
+    // same md5-52bit content hash as the engine face: identical ~10% draw
+    "x7_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        | WHERE ('0x' || substr(md5(text), 1, 13))::UBIGINT % 10 = 0
+        | ORDER BY doc_id""",
+    // per-source portable draw: md5(doc_id ':' source)-52bit mod 10000
+    // thresholded at round(frac*10000) — the exact weightedUnion rule
+    "x7_weighted_mix" ->
+      """WITH m AS (
+        |  SELECT 'en_heavy' AS mix_source FROM documents
+        |   WHERE lang = 'en'
+        |     AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':en_heavy'),
+        |          1, 13))::UBIGINT % 10000 < 9000
+        |  UNION ALL
+        |  SELECT 'rest_light' FROM documents
+        |   WHERE lang <> 'en'
+        |     AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':rest_light'),
+        |          1, 13))::UBIGINT % 10000 < 3000)
+        | SELECT mix_source, COUNT(*) AS docs FROM m
+        | GROUP BY mix_source ORDER BY mix_source""",
+    // oracle keeps min-doc_id per TEXT where the engine partitions by
+    // (xxhash64, length) — equality re-pins hash-grouping fidelity at
+    // surviving-row granularity (the x72 pattern, planted corpus)
+    "x1_dedup_exact_rows" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' appended', lang, n_chars
+        |    FROM documents WHERE doc_id < 25
+        |  UNION ALL SELECT doc_id + 2000000, text, lang, n_chars
+        |    FROM documents WHERE doc_id < 10)
+        | SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM corpus) r
+        | WHERE rn = 1 ORDER BY doc_id""",
+    // identical md5-52bit hash, normalization and 5-token windowing as
+    // the engine face: trim -> collapse \s+ -> lower for fp64; word
+    // windows i in 0..max(n_toks-5, 0) (short docs hash their full token
+    // string once), list_min over the window hashes for the rolling fp
+    "x4_fingerprint" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(lower(regexp_replace(trim(text), '\s+', ' ',
+        |      'g'))), 1, 13))::UBIGINT::BIGINT AS fp64,
+        |  COALESCE(list_min(list_transform(
+        |    range(0, greatest(len(toks) - 5, 0) + 1),
+        |    i -> ('0x' || substr(md5(array_to_string(
+        |        list_slice(toks, i + 1, i + 5), ' ')), 1, 13))
+        |      ::UBIGINT::BIGINT)), 0) AS rolling_fp
+        | FROM (SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN []
+        |         ELSE str_split_regex(trim(text), '\s+') END AS toks
+        |   FROM documents)
+        | ORDER BY doc_id""",
     "x34_range_rule" ->
       """SELECT n_nationkey AS band, count(*) AS n,
         |  sum(o_totalprice) AS price_sum

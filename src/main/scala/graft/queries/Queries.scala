@@ -131,11 +131,22 @@ object Queries {
       .orderBy(col("p_partkey"))
   }
 
-  /** Q09 — semi-join (EXISTS). */
+  /** Q09 — semi-join (EXISTS). A plain `left_semi` against the filtered
+    * fact shuffles every surviving lineitem row by `l_partkey` just to
+    * test membership; the probe side only needs the DISTINCT key set.
+    * Pre-aggregating collapses the shuffle to ~|distinct keys| (map-side
+    * partial distinct does most of the work before any wire traffic) and
+    * the resulting key relation is small enough to broadcast, so `part`
+    * never shuffles at all. At sf10 this took the query from 3.97 s
+    * (7.4× DuckDB) to a broadcast probe. Semantics are identical:
+    * semi-join(x, y) ≡ semi-join(x, DISTINCT π_key(y)). */
   val q09_semi_join: Q = (s, d) => {
     val p = t(s, d, "part")
-    val l = t(s, d, "lineitem").filter(col("l_quantity") > 49)
-    p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+    val keys = t(s, d, "lineitem")
+      .filter(col("l_quantity") > 49)
+      .select(col("l_partkey"))
+      .distinct()
+    p.join(broadcast(keys), p("p_partkey") === keys("l_partkey"), "left_semi")
       .select(col("p_partkey"))
       .orderBy(col("p_partkey"))
   }

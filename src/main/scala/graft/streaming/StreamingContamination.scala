@@ -29,8 +29,13 @@ import graft.functions.ColumnOps.letCol
   * decontamination gate (size the bitset for the benchmark's gram count
   * to keep the inflation negligible; the spec pins exact agreement with
   * the batch screen at the default sizing). Documents shorter than n
-  * tokens have no grams: ratio 0, never flagged — same contract as the
-  * batch screen, which emits no row for them.
+  * tokens have no grams: the gate KEEPS their row with ratio 0, never
+  * flagged — a gate must emit a verdict for every arriving document.
+  * This deliberately DIFFERS from the batch
+  * [[graft.ext.Contamination.report]], which (like a SQL GROUP BY over
+  * an empty gram set) emits no row for them; the x4_contam_gate oracle
+  * left-joins the full doc set so the ratio-0 contract is pinned
+  * cross-engine rather than coincidental.
   */
 object StreamingContamination {
 

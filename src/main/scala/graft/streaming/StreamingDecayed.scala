@@ -70,12 +70,17 @@ object StreamingDecayed {
   def readState(spark: SparkSession, stateDir: String): Option[DataFrame] =
     stateVersionBefore(spark, stateDir, Long.MaxValue)
 
+  /** Newest COMMITTED snapshot below `beforeId`. A crash mid-write leaves
+    * a partial `v=N` directory; only directories carrying the committer's
+    * `_SUCCESS` marker count as committed, so a replay after such a crash
+    * falls back to the predecessor instead of reading partial state. */
   private def stateVersionBefore(spark: SparkSession, stateDir: String,
       beforeId: Long): Option[DataFrame] =
     Option(new File(stateDir).list()).toSeq.flatten
       .filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toLong)
-      .filter(_ < beforeId)
+      .filter(v => v < beforeId &&
+        new File(stateDir, s"v=$v/_SUCCESS").exists())
       .sorted.lastOption
       .map(v => spark.read.parquet(s"$stateDir/v=$v"))
 }

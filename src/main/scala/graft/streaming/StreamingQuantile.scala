@@ -54,12 +54,17 @@ object StreamingQuantile {
   def readState(spark: SparkSession, stateDir: String): Option[DataFrame] =
     stateVersionBefore(spark, stateDir, Long.MaxValue)
 
+  /** Newest COMMITTED snapshot below `beforeId`: only `v=N` directories
+    * carrying the committer's `_SUCCESS` marker count, so a crash that
+    * left a partial snapshot never gets served (see [[StreamingDecayed]]
+    * — same versioned-snapshot discipline). */
   private def stateVersionBefore(spark: SparkSession, stateDir: String,
       beforeId: Long): Option[DataFrame] =
     Option(new File(stateDir).list()).toSeq.flatten
       .filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toLong)
-      .filter(_ < beforeId)
+      .filter(v => v < beforeId &&
+        new File(stateDir, s"v=$v/_SUCCESS").exists())
       .sorted.lastOption
       .map(v => spark.read.parquet(s"$stateDir/v=$v"))
 }

@@ -419,6 +419,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.decode(png.take(20)) === None)
   }
 
+  test("real JPEG bytes round-trip through the ImageIO codec arm") {
+    // JPEG is the first format a real web-crawl image corpus hits; the
+    // JRE decodes it natively — magic FF D8 FF must route to ImageIO,
+    // not fall through to the synthetic-header stub
+    val jpg = Multimodal.MediaCodec.encodeJpeg(13, 9, seed = 7L)
+    assert(jpg.take(3).map(_ & 0xff) === Array(0xff, 0xd8, 0xff))
+    val Some((w, h, f, sum)) = Multimodal.MediaCodec.decode(jpg)
+    assert(w === 13 && h === 9 && f === 1)
+    // decode is deterministic: same bytes → same pixel checksum (JPEG is
+    // lossy, so unlike PNG we pin decode(bytes), not encode(pixels))
+    assert(Multimodal.MediaCodec.decode(jpg).get._4 === sum)
+    // a JPEG survives the thumbnail arm too (ImageIO sniffing, no magic
+    // dispatch needed there) — geometry scales, aspect preserved
+    val thumb = Multimodal.MediaCodec.thumbnailPng(jpg, maxDim = 4).get
+    val img = Multimodal.MediaCodec.decodeImage(thumb).get
+    assert(img.getWidth === 4 && img.getHeight === 3)
+    // truncated JPEG = corrupt, not a crash
+    assert(Multimodal.MediaCodec.decode(jpg.take(20)) === None)
+  }
+
   test("thumbnails resize real images and null out non-images") {
     import spark.implicits._
     val media = Multimodal.synthesize(spark, 30)

@@ -49,6 +49,72 @@ class UrlsSpec extends SparkSpec {
       "shop.com.au", "localhost", "site.org"))
   }
 
+  // -------------------------------------------------------------- full PSL
+
+  private val pslLines = Seq(
+    "// a subset of publicsuffix.org exercising every rule kind",
+    "",
+    "com",
+    "co.uk  // trailing comment text dropped",
+    "co.jp",
+    "uk",
+    "jp",
+    "ck",
+    "*.ck",
+    "!www.ck")
+
+  test("parsePsl: comments/blanks skipped, wildcard and exception flagged") {
+    val rules = Urls.parsePsl(pslLines)
+    assert(rules.map(_.suffix).toSet ===
+      Set("com", "co.uk", "co.jp", "uk", "jp", "ck", "www.ck"))
+    assert(rules.filter(_.wildcard).map(_.suffix) === Seq("ck"))
+    assert(rules.filter(_.exception).map(_.suffix) === Seq("www.ck"))
+    assert(rules.find(_.suffix == "co.uk").get.labels === 2)
+  }
+
+  test("registeredDomainPsl: plain, second-level, wildcard, exception rules") {
+    val rules = Urls.parsePsl(pslLines)
+    val hosts = Seq(
+      "www.example.com",     // plain TLD rule
+      "a.b.example.co.uk",   // second-level suffix: registrable is 3rd label
+      "shop.co.jp",          // host exactly suffix+1: registrable unchanged
+      "sub.bar.ck",          // wildcard *.ck: bar.ck is the public suffix,
+                             // so the registrable name is sub.bar.ck
+      "bar.ck",              // IS a public suffix under *.ck -> NULL
+      "www.ck",              // exception !www.ck re-opens it: registrable
+      "a.www.ck",            // under the exception, apex is www.ck
+      "example.nosuchtld",   // no rule: implicit * default (last label)
+      "nosuchtld",           // single-label unknown host -> NULL
+      "MiXeD.ExAmPlE.CoM")   // case-folded before matching
+      .toDF("h")
+    val got = Urls.registeredDomainPsl(hosts, "h", rules, "rd")
+      .select("h", "rd").as[(String, String)].collect().toMap
+    assert(got("www.example.com") === "example.com")
+    assert(got("a.b.example.co.uk") === "example.co.uk")
+    assert(got("shop.co.jp") === "shop.co.jp")
+    assert(got("sub.bar.ck") === "sub.bar.ck")
+    assert(got("bar.ck") === null)
+    assert(got("www.ck") === "www.ck")
+    assert(got("a.www.ck") === "www.ck")
+    assert(got("example.nosuchtld") === "example.nosuchtld")
+    assert(got("nosuchtld") === null)
+    assert(got("MiXeD.ExAmPlE.CoM") === "example.com")
+  }
+
+  test("registeredDomainPsl agrees with the built-in subset on its own turf") {
+    // feed the pragmatic SecondLevelSuffixes as a PSL (plus plain TLDs):
+    // where both faces are defined they must agree
+    val rules = Urls.parsePsl(
+      Urls.SecondLevelSuffixes ++ Seq("com", "io", "org", "uk", "au"))
+    val hosts = Seq("www.example.com", "a.b.site.io", "www.bbc.co.uk",
+      "deep.sub.shop.com.au", "site.org").toDF("h")
+    val psl = Urls.registeredDomainPsl(hosts, "h", rules, "rd")
+      .select("h", "rd").as[(String, String)].collect().toMap
+    val simple = hosts.select(col("h"), Urls.registeredDomain(col("h")).as("rd"))
+      .as[(String, String)].collect().toMap
+    for ((h, rd) <- simple) assert(psl(h) === rd, s"host $h")
+  }
+
   test("malformed URLs canonicalize to NULL, never a thrown task (ANSI-safe)") {
     val got = Seq("http://exa mple.com/a", "not a url at all",
       "https://ok.com/x").toDF("u")
