@@ -55,6 +55,10 @@ object PlanCheck {
         !p.contains("SortMergeJoin"))
     check("q02_hourly_agg", "single shuffle for group-by")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size <= 1)
+    check("q04_group_distinct", "distinct-first fact, then SHUFFLED hash join (no driver-side dim broadcast build, no SMJ)")(p =>
+      p.contains("ShuffledHashJoin") &&
+        p.contains("HashAggregate(keys=[o_custkey") &&
+        !p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
     check("x3_ann_bruteforce", "broadcast nested loop for query side")(p =>
       p.contains("BroadcastNestedLoopJoin") && p.contains("WindowGroupLimit"))
     check("q21_etl_hourly_by_user", "partial agg + one shuffle")(p =>
@@ -70,8 +74,12 @@ object PlanCheck {
       p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject"))
     check("q40_correlated_scalar", "decorrelated to window: one shuffle, no per-row subquery join")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size <= 1 && p.contains("Window"))
-    check("q14_theta_join", "orders dim side broadcast (explicit hint), no SMJ")(p =>
-      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    // size-gated: broadcast below the gate (sf<=1-ish), SHUFFLE_HASH on
+    // the unskewed PK side above it — either way NEVER sort-merge (SMJ
+    // sorted 60M+15M rows by orderkey only to re-sort the output)
+    check("q14_theta_join", "orders side hash join (broadcast or shuffled per size gate), no SMJ")(p =>
+      (p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")) &&
+        !p.contains("SortMergeJoin"))
     // q39: a lineitem scan under a BroadcastExchange means the planner is
     // hashing a filtered FACT table from a bytes-guess — walk the actual
     // tree (pre-AQE sparkPlan) instead of string-matching subtrees

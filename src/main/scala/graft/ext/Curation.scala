@@ -153,6 +153,84 @@ object Curation {
       .filter(col("draw") <= col("quota"))
   }
 
+  /** X75 — distribution-matching resampler: draw the LARGEST subsample
+    * whose bucket shares match a target distribution exactly — the
+    * reshape pass behind "make the training mix 40% en / 30% fr /
+    * 30% de" or "match this length histogram" when the raw corpus has
+    * different proportions (the rejection-sampling recipe of
+    * quality-pyramid / DoReMi-style pipelines, solved exactly instead of
+    * probabilistically).
+    *
+    * Arithmetic (all SQL-reproducible, |buckets|-row relations):
+    * normalize the target shares q_b; the scale ceiling is
+    * T = floor(min_b n_b/q_b) — the largest total for which every bucket
+    * can supply its share (the scarcest bucket binds; everyone else
+    * downsamples to keep the ratio). T apportions to per-bucket quotas
+    * by largest remainder (the [[mixtureDraw]] rule: floor everyone, the
+    * largest fractional parts absorb the deficit, ties by bucket name),
+    * each quota capped at n_b — a remainder bonus can exceed a binding
+    * bucket's supply by 1; the ≤|buckets| shortfall is NOT silently
+    * redistributed (the honesty contract of [[mixtureDraw]]: emitted
+    * `quota` and `bucket_n` columns let the caller see and decide).
+    * Rows then draw by the X54 seeded-hash rank within their bucket.
+    *
+    * Buckets OUTSIDE the target distribution are dropped (share 0); a
+    * target bucket absent from the corpus forces T = 0 — an impossible
+    * match is an empty result, not a silently skewed one. Screen targets
+    * to observed buckets first if best-effort is wanted.
+    *
+    * Plan: one partial-agged count to |buckets| rows, window arithmetic
+    * over that tiny relation, broadcast back, per-bucket rank windows —
+    * no global sort, no driver loop. `rankHash` is the X54 portable-draw
+    * hook (the x75 oracle face). */
+  def matchDistribution(docs: DataFrame, targets: Seq[(String, Double)],
+      bucketCol: String = "bucket", idCol: String = "doc_id",
+      seed: Long = 42L,
+      rankHash: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(targets.nonEmpty, "empty target distribution")
+    require(targets.forall(_._2 > 0), "target shares must be positive")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate bucket in target distribution")
+    val z = targets.map(_._2).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = targets.map { case (b, w) => (b, w / z) }.toDF("__b", "__q")
+    val counts = docs.groupBy(col(s"`$bucketCol`").cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    // right join keeps target buckets missing from the corpus: their
+    // n_b = 0 row drives T to 0 (the impossible-match contract above)
+    val caps = counts.join(q, Seq("__b"), "right")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+      .withColumn("__cap", col("__n").cast("double") / col("__q"))
+    val whole = Window.partitionBy()
+    val byRem = Window.orderBy(col("__rem").desc, col("__b"))
+    // |buckets|-row relation end to end: the global windows are cheap.
+    // floor(x + 1e-9) is the q44 boundary rule — n/q and q*T can land ON
+    // an integer, where engine-order float rounding would pick the digit
+    val quotas = caps
+      .withColumn("__T",
+        floor(min(col("__cap")).over(whole) + lit(1e-9)).cast("long"))
+      .withColumn("__base",
+        floor(col("__q") * col("__T") + lit(1e-9)).cast("long"))
+      .withColumn("__rem",
+        round(col("__q") * col("__T") - col("__base"), 9))
+      .withColumn("__rank", row_number().over(byRem))
+      .withColumn("__deficit", col("__T") - sum(col("__base")).over(whole))
+      .withColumn("quota", least(
+        col("__base")
+          + when(col("__rank") <= col("__deficit"), 1L).otherwise(0L),
+        col("__n")))
+      .select(col("__b"), col("quota"), col("__n").as("bucket_n"))
+    val h = rankHash.getOrElse(xxhash64(col(s"`$idCol`"), lit(seed)))
+    val dw = Window.partitionBy(col(s"`$bucketCol`"))
+      .orderBy(h, col(s"`$idCol`"))
+    docs.join(broadcast(quotas),
+        col(s"`$bucketCol`").cast("string") === col("__b"))
+      .drop("__b")
+      .withColumn("draw", row_number().over(dw))
+      .filter(col("draw") <= col("quota"))
+  }
+
   /** X60 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     * A-ES): each row draws key = −ln(u)/w from a seeded per-id uniform u
     * and the k smallest keys win — provably equivalent to sequential

@@ -90,47 +90,59 @@ object SemDedup {
   /** Within-cluster near-dup edges: (id_a, id_b, cosine) with
     * id_a < id_b and exact cosine >= threshold.
     *
-    * Skew guard (enforced, not advisory): a cluster larger than
-    * `maxClusterSize` never enters the exact Σ|cluster|² self-join — a
-    * near-constant-embedding corpus would otherwise put most of N in one
-    * cluster and the "blocked" join degenerates to all-pairs. Oversized
-    * clusters route through a two-step bounded path instead:
+    * Stage 0 — identity collapse, CORPUS-WIDE (round 8; previously only
+    * the mega-cluster branch paid it): byte-identical vectors
+    * (`xxhash64` over the raw array) collapse to their min-id member
+    * BEFORE any quadratic stage. Exact duplicates are the single most
+    * common duplicate class in a real corpus (re-crawls, mirrors,
+    * replicated shards), and without the collapse an m-copy identity
+    * group costs m²/2 pairs in the exact join AND m²/2 edges into
+    * connected components — measured on the 100×-replicated bench set
+    * (every vector × 100 copies): 529 s → the collapse turns that into
+    * m−1 star edges and ONE representative in the quadratic stage.
+    * Mechanics, pinned by the guard specs:
+    *  - the star is TWO-LEVEL and salted (members → salted sub-rep →
+    *    global min-id rep, `saltBuckets`-way parallel) so a single
+    *    billion-row identity group never becomes one shuffle key;
+    *  - star edges are verified by EXACT VECTOR EQUALITY against the
+    *    representative's actual vector (carried by the same ordered
+    *    window that picks the representative), so an xxhash64 collision
+    *    can never merge unrelated vectors — a collided row forms no
+    *    false edge and simply stays put (~2⁻⁶⁴-per-pair recall loss,
+    *    the documented cost of collision safety);
+    *  - identity is strictly stronger than any cosine threshold ≤ 1, so
+    *    identical vectors — INCLUDING all-zero embeddings, whose cosine
+    *    is undefined (NaN) and which the cosine filter would silently
+    *    drop — always form an edge, with `cosine` emitted as 1.0 by
+    *    definition. (Pinned contract: byte-identical ⇒ duplicate,
+    *    regardless of whether the cosine is numerically defined.)
     *
-    *  1. byte-identical vectors collapse first (`xxhash64` over the raw
-    *     array — the degenerate corpora that CAUSE mega-clusters are
-    *     dominated by literal repeats): each identity group emits
-    *     |group|−1 star edges to its min-id member, never |group|²/2
-    *     pairs, and only the min-id representative goes on. Star edges
-    *     are verified by EXACT VECTOR EQUALITY against the
-    *     representative's actual vector (carried by the same ordered
-    *     window that picks the representative), so an xxhash64 collision
-    *     inside a cluster can never merge unrelated vectors. Identity is
-    *     strictly stronger than any cosine threshold ≤ 1, so identical
-    *     vectors — INCLUDING all-zero embeddings, whose cosine is
-    *     undefined (NaN) and which the cosine filter would silently
-    *     drop — always form an edge; their `cosine` is emitted as 1.0 by
-    *     definition. (Pinned contract: byte-identical ⇒ duplicate,
-    *     regardless of whether the cosine is numerically defined.) A
-    *     collided row (same hash, different bytes) forms no false edge
-    *     and simply stays put — the ~2⁻⁶⁴-per-pair recall loss is the
-    *     documented cost of collision safety;
-    *  2. the representatives pair up through multi-table sign-hash LSH
-    *     buckets *within* the cluster ([[Similarity.lshTableBuckets]] —
-    *     same kernel as the corpus-wide X2/X3 paths), with per-bucket
-    *     occupancy capped at `bucketCap` (row_number by id inside each
-    *     (cluster, bucket)): candidate volume is bounded by
-    *     Σ min(occupancy, bucketCap)² even when a mega-cluster of
-    *     near-identical-but-not-byte-identical vectors lands every
-    *     representative in the SAME bucket of every table. LSH-path
-    *     candidates are verified by the same exact cosine >= threshold
-    *     filter as the small-cluster path.
+    * Skew guard (enforced, not advisory): a cluster whose REPRESENTATIVE
+    * count exceeds `maxClusterSize` never enters the exact Σ|cluster|²
+    * self-join — a near-constant-embedding corpus would otherwise put
+    * most of N in one cluster and the "blocked" join degenerates to
+    * all-pairs. Oversized clusters route their representatives through
+    * multi-table sign-hash LSH buckets *within* the cluster
+    * ([[Similarity.lshTableBuckets]] — same kernel as the corpus-wide
+    * X2/X3 paths), with per-bucket occupancy capped at `bucketCap`
+    * (row_number by id inside each (cluster, bucket)): candidate volume
+    * is bounded by Σ min(occupancy, bucketCap)² even when a mega-cluster
+    * of near-identical-but-not-byte-identical vectors lands every
+    * representative in the SAME bucket of every table. LSH-path
+    * candidates are verified by the same exact cosine >= threshold
+    * filter as the small-cluster path.
     *
     * What the guard trades away, precisely: recall on non-identical pairs
     * whose vectors share no common bucket, and on pairs beyond the
     * occupancy cap — the standard LSH approximation, confined to clusters
     * that exceed the cap. Clusters at or under `maxClusterSize` keep the
-    * exact SemDeDup contract bit-for-bit (the oracle face never crosses
-    * the cap).
+    * exact SemDeDup contract on identity REPRESENTATIVES: every distinct
+    * vector pair is compared by exact cosine; identical copies reach the
+    * same component through their star edges (identical vectors have
+    * identical cosines to every third vector, so collapsing them loses
+    * no connectivity). Survivor sets are therefore unchanged from the
+    * full clique formulation; only the EDGE LIST shape differs (star +
+    * rep-clique instead of full clique).
     *
     * @param assign optional production assignment hook (corpus ⇒ corpus
     *   plus `cluster` column, e.g. [[assignIvf]]); None = [[assignExact]]
@@ -145,38 +157,26 @@ object SemDedup {
     val assigned = assign.map(_(corpus))
       .getOrElse(assignExact(corpus, centroids, idCol, vecCol, cidCol))
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cluster"))
-      // one assignment scan total: feeds the size tag + both branches
+      // one assignment scan total: feeds the collapse windows once
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // cluster-size tag: one row per centroid (k rows — always broadcastable)
-    val sizes = assigned.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("__csize"))
-    val tagged = assigned.join(broadcast(sizes), Seq("cluster"))
 
     def verified(cand: DataFrame): DataFrame = cand
       .select(col("id_a"), col("id_b"),
         cosineSim(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
 
-    // exact path: clusters within the cap
-    val small = tagged.filter(col("__csize") <= maxClusterSize).drop("__csize")
-    val sa = small.as("a")
-    val sb = small.as("b")
-    val exactEdges = verified(
-      sa.join(sb, col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.vec").as("va"), col("b.vec").as("vb")))
-
-    // guarded path: oversized clusters. The identity collapse itself must
-    // not recreate single-key skew (one identity group = one shuffle key),
-    // so the star is TWO-LEVEL: members link to a salted sub-representative
-    // (64-way parallel even for a single billion-row identity group), and
-    // the ≤64 sub-reps per group link to the global min. Connected
-    // components only need connectivity — star shape is irrelevant.
-    // Each level's ordered running window carries BOTH the representative
-    // id and its actual vector, so the identity check below compares the
-    // member to the real representative (never to itself).
+    // ---- stage 0: corpus-wide identity collapse (doc above). The
+    // collapse itself must not recreate single-key skew (one identity
+    // group = one shuffle key), so the star is TWO-LEVEL: members link
+    // to a salted sub-representative (saltBuckets-way parallel even for
+    // a single billion-row identity group), and the ≤saltBuckets
+    // sub-reps per group link to the global min. Connected components
+    // only need connectivity — star shape is irrelevant. Each level's
+    // ordered running window carries BOTH the representative id and its
+    // actual vector, so the identity check compares the member to the
+    // real representative (never to itself).
     val saltBuckets = 64
-    val big = tagged.filter(col("__csize") > maxClusterSize).drop("__csize")
+    val hashed = assigned
       .withColumn("__vh", xxhash64(col("vec")))
       .withColumn("__salt", pmod(xxhash64(col("id")), lit(saltBuckets)))
     // star edges exist iff identical vectors are duplicates under the
@@ -191,7 +191,7 @@ object SemDedup {
     val wSub = Window.partitionBy(col("cluster"), col("__vh"), col("__salt"))
       .orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val subGrouped = big
+    val subGrouped = hashed
       .withColumn("__srep", first(col("id")).over(wSub))
       .withColumn("__srepVec", first(col("vec")).over(wSub))
     val subStarEdges = starEdges(subGrouped, "__srep", "__srepVec")
@@ -205,11 +205,33 @@ object SemDedup {
       .withColumn("__repVec", first(col("vec")).over(wIdent))
     val topStarEdges = starEdges(grouped, "__rep", "__repVec")
     val allStarEdges = subStarEdges.unionByName(topStarEdges)
+    // representatives are what every quadratic stage below sees; persist —
+    // they feed the size tag, both sides of the exact join, and the LSH
+    // branch (recomputing the two collapse windows 5× would dominate)
     val reps = grouped.filter(col("id") === col("__rep"))
       .select(col("cluster"), col("id"), col("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // cluster-size tag over REPRESENTATIVES: one row per centroid
+    // (k rows — always broadcastable)
+    val sizes = reps.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__csize"))
+    val tagged = reps.join(broadcast(sizes), Seq("cluster"))
+
+    // exact path: clusters whose representative count is within the cap
+    val small = tagged.filter(col("__csize") <= maxClusterSize).drop("__csize")
+    val sa = small.as("a")
+    val sb = small.as("b")
+    val exactEdges = verified(
+      sa.join(sb, col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.vec").as("va"), col("b.vec").as("vb")))
+
+    // guarded path: oversized rep-clusters through capped LSH buckets
+    val big = tagged.filter(col("__csize") > maxClusterSize).drop("__csize")
     val wBucket = Window.partitionBy(col("cluster"), col("bucket"))
       .orderBy(col("id"))
-    val bucketed = reps.select(col("cluster"), col("id"), col("vec"),
+    val bucketed = big.select(col("cluster"), col("id"), col("vec"),
       explode(Similarity.lshTableBuckets(
         col("vec"), lshDim, lshBits, lshTables, lshSeed)).as("bucket"))
       .withColumn("__occ", row_number().over(wBucket))

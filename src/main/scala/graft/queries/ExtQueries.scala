@@ -795,7 +795,13 @@ object ExtQueries {
     val (model, _) = graft.ext.Pca.fit(emb, k = 8)
     val reduced = graft.ext.Pca.project(emb, model)
       .select(col("vec_id"), col("pca").cast("array<float>").as("embedding"))
-    val ivf = graft.ext.Ivf.train(reduced, k = 8, iters = 2)
+    // the SemDeDup recipe sizes k WITH the corpus (target ~512 vectors
+    // per cluster): the within-cluster exact stage is Σ|cluster|² — a
+    // fixed k turns the 100× set into ~25k-wide clusters and a 5 B-pair
+    // self-join (measured: minutes), while k ≈ N/512 keeps it ~N·512/2
+    // pairs at any scale. Train cost is k·N·iters row-local cosines.
+    val k = math.max(8, math.min(4096, (emb.count() / 512).toInt))
+    val ivf = graft.ext.Ivf.train(reduced, k = k, iters = 2)
     graft.ext.SemDedup.dedup(
         reduced, reduced.limit(0), threshold = 0.9,
         assign = Some(graft.ext.SemDedup.assignIvf(ivf)))
@@ -1507,6 +1513,88 @@ object ExtQueries {
         col("rank_in_domain").cast("long").as("rank_in_domain"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------ round 8: X73–X77
+
+  /** X73 — containment (asymmetric near-dup) pairs (`ext/Containment`):
+    * 40 planted prefix-documents (first 12 tokens of an original) are
+    * each FULLY contained in their source — the subsumption shape
+    * Jaccard misses entirely (the prefix is a sliver of the original's
+    * shingle set, so the union swamps the intersection). Oracle =
+    * exhaustive O(n²) exact trigram-set arithmetic; the engine's
+    * frequency-capped inverted index has FULL recall here (a pair with
+    * containment > 0 shares ≥ 1 shingle, and no shingle's document
+    * frequency reaches the cap at this corpus size), so the outputs
+    * must agree exactly. */
+  val x73_containment: Q = (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ")
+          .as("text"))
+    graft.ext.Containment.pairs(docs.unionByName(planted),
+        "doc_id", "text", n = 3, minContainment = 0.8)
+      .select(col("id_a"), col("id_b"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        col("inter"), col("containment_a"), col("containment_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** X74 — C4-style phrase-blocklist screen (`ext/Blocklist`): distinct
+    * blocklist phrases present per document, matched on TOKEN BOUNDARIES
+    * (never substrings). The list exercises normalization (mixed case,
+    * punctuation → token join), multi-length phrases (1/2/3 tokens) and
+    * a never-matching entry; the oracle rebuilds the same n-gram
+    * matching in string space. */
+  val x74_blocklist: Q = (s, d) =>
+    graft.ext.Blocklist.screen(t(s, d, "documents"), "text",
+        Seq("Spark", "fast table", "table table key", "nosuch",
+          "Data-Column"))
+      .select(col("doc_id"), col("n_blocked"),
+        col("blocked").cast("long").as("blocked"))
+      .orderBy(col("doc_id"))
+
+  /** X75 — distribution-matching resampler (`ext/Curation
+    * .matchDistribution`): largest exact subsample with lang shares
+    * 50/25/25 (en/fr/de); buckets outside the target drop. The face uses
+    * the portable md5 rank draw (the x54 pattern); exact-binary shares
+    * (0.5/0.25) plus the q44 floor guards make the quota arithmetic
+    * bit-stable cross-engine. */
+  val x75_match_dist: Q = (s, d) =>
+    graft.ext.Curation.matchDistribution(t(s, d, "documents"),
+        targets = Seq("en" -> 0.5, "fr" -> 0.25, "de" -> 0.25),
+        bucketCol = "lang", idCol = "doc_id",
+        rankHash = Some(md5(concat(col("doc_id").cast("string"), lit(":42")))))
+      .select(col("doc_id"), col("lang"), col("draw").cast("long").as("draw"),
+        col("quota"), col("bucket_n"))
+      .orderBy(col("doc_id"))
+
+  /** X76 — vocabulary coverage / OOV report (`ext/Vocab`): top-10
+    * corpus vocabulary (count desc, token asc — deterministic), then
+    * per-(lang, source) token-occurrence OOV rates against it. */
+  val x76_oov: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val vocab = graft.ext.Vocab.build(docs, "text", k = 10)
+    graft.ext.Vocab.oovReport(docs, "text", vocab, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("n_tokens"), col("n_oov"),
+        col("oov_rate"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** X77 — mutual k-NN graph (`ext/KnnGraph`) over exact top-5 cosine
+    * neighbors (X3's single-pass aggregate): per-vector MUTUAL degree —
+    * reciprocated-edge count, the hub-immune local-density signal.
+    * Self hits occupy a rank slot (k=5 ⇒ ≤4 non-self neighbors) and are
+    * then dropped, mirrored exactly in the oracle's window. */
+  val x77_mutual_knn: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val nbrs = graft.ext.Similarity.bruteForceTopKAgg(emb, emb, k = 5,
+      idCol = "vec_id", qidCol = "vec_id")
+    graft.ext.KnnGraph.degrees(emb, graft.ext.KnnGraph.mutualEdges(nbrs),
+        "vec_id")
+      .select(col("vec_id"), col("mutual_degree"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -1597,7 +1685,12 @@ object ExtQueries {
     "x69_cat_drift" -> x69_cat_drift,
     "x70_transitions" -> x70_transitions,
     "x71_mixture_draw" -> x71_mixture_draw,
-    "x72_dedup_report" -> x72_dedup_report)
+    "x72_dedup_report" -> x72_dedup_report,
+    "x73_containment" -> x73_containment,
+    "x74_blocklist" -> x74_blocklist,
+    "x75_match_dist" -> x75_match_dist,
+    "x76_oov" -> x76_oov,
+    "x77_mutual_knn" -> x77_mutual_knn)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2344,6 +2437,132 @@ object ExtQueries {
         |   COUNT(*) * (n_copies - 1) AS rows_removed,
         |   CAST(SUM(len) * (n_copies - 1) AS BIGINT) AS bytes_saved
         | FROM clusters GROUP BY n_copies ORDER BY n_copies""",
+    // exhaustive exact trigram-set arithmetic over the planted-prefix
+    // corpus; same distinct-shingle construction (whitespace tokens,
+    // space-joined windows) and the same +1e-9 round boundary guard
+    "x73_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 4000000,
+        |    array_to_string(list_slice(
+        |      str_split_regex(trim(text), '\s+'), 1, 12), ' ')
+        |  FROM documents WHERE doc_id < 40),
+        | sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |     range(1, greatest(len(toks) - 1, 1)),
+        |     i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+        |  FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+        |    FROM corpus)),
+        | pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(a.g) AS na, len(b.g) AS nb,
+        |    len(list_intersect(a.g, b.g)) AS inter
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | SELECT id_a, id_b, CAST(na AS BIGINT) AS na,
+        |   CAST(nb AS BIGINT) AS nb, CAST(inter AS BIGINT) AS inter,
+        |   ROUND(CAST(inter AS DOUBLE) / na + 1e-9, 4) AS containment_a,
+        |   ROUND(CAST(inter AS DOUBLE) / nb + 1e-9, 4) AS containment_b
+        | FROM pr
+        | WHERE greatest(ROUND(CAST(inter AS DOUBLE) / na + 1e-9, 4),
+        |                ROUND(CAST(inter AS DOUBLE) / nb + 1e-9, 4)) >= 0.8
+        | ORDER BY id_a, id_b""",
+    // token-boundary n-gram matching per phrase length (1/2/3 tokens),
+    // distinct phrases counted — the same normalization ('Spark' ->
+    // 'spark', 'Data-Column' -> 'data column') applied to the list
+    "x74_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(
+        |    len(list_intersect(list_distinct(toks), ['spark', 'nosuch']))
+        |  + len(list_intersect(list_distinct(list_transform(
+        |      range(1, greatest(len(toks), 1)),
+        |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))),
+        |      ['fast table', 'data column']))
+        |  + len(list_intersect(list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 1, 1)),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))),
+        |      ['table table key'])) AS BIGINT) AS n_blocked,
+        |  CAST((
+        |    len(list_intersect(list_distinct(toks), ['spark', 'nosuch']))
+        |  + len(list_intersect(list_distinct(list_transform(
+        |      range(1, greatest(len(toks), 1)),
+        |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))),
+        |      ['fast table', 'data column']))
+        |  + len(list_intersect(list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 1, 1)),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))),
+        |      ['table table key']))) > 0 AS BIGINT) AS blocked
+        | FROM (SELECT doc_id, list_filter(
+        |     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |     x -> len(x) > 0) AS toks FROM documents)
+        | ORDER BY doc_id""",
+    // the same T = floor(min n/q) ceiling, largest-remainder quotas
+    // (capped at supply) and md5 rank draw; exact-binary shares keep
+    // every float step identical
+    "x75_match_dist" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+        |   WHERE lang IN ('en', 'fr', 'de') GROUP BY lang),
+        | q AS (SELECT * FROM (VALUES ('en', 0.5), ('fr', 0.25),
+        |   ('de', 0.25)) AS t(lang, share)),
+        | j AS (SELECT q.lang, share, COALESCE(n, 0) AS n
+        |   FROM q LEFT JOIN c USING (lang)),
+        | t1 AS (SELECT *, FLOOR(MIN(n / share) OVER () + 1e-9) AS T FROM j),
+        | t2 AS (SELECT *,
+        |   CAST(FLOOR(share * T + 1e-9) AS BIGINT) AS base,
+        |   ROUND(share * T - FLOOR(share * T + 1e-9), 9) AS rem FROM t1),
+        | t3 AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+        |   CAST(T AS BIGINT) - SUM(base) OVER () AS deficit FROM t2),
+        | quotas AS (SELECT lang,
+        |   LEAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END, n)
+        |     AS quota, n AS bucket_n FROM t3)
+        | SELECT doc_id, lang, CAST(draw AS BIGINT) AS draw, quota, bucket_n
+        | FROM (
+        |  SELECT d.doc_id, d.lang, quota, bucket_n,
+        |    ROW_NUMBER() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':42'), d.doc_id)
+        |      AS draw
+        |  FROM documents d JOIN quotas USING (lang)) r
+        | WHERE draw <= quota ORDER BY doc_id""",
+    // same top-10 vocabulary (count desc, token asc) and occurrence
+    // counting; NOT IN against the 10-row vocab
+    "x76_oov" ->
+      """WITH toks AS (
+        |  SELECT lang, source, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0)) AS token
+        |  FROM documents),
+        | vocab AS (
+        |  SELECT token FROM (SELECT token, COUNT(*) AS c FROM toks
+        |    GROUP BY token ORDER BY c DESC, token LIMIT 10)),
+        | rep AS (
+        |  SELECT lang, source, COUNT(*) AS n_tokens,
+        |    COUNT(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
+        |      AS n_oov
+        |  FROM toks GROUP BY lang, source)
+        | SELECT lang, source, n_tokens, n_oov,
+        |   ROUND(CAST(n_oov AS DOUBLE) / n_tokens + 1e-9, 4) AS oov_rate
+        | FROM rep ORDER BY lang, source""",
+    // exhaustive top-5 both directions (self occupies a rank slot, then
+    // drops — mirroring the engine), mutual join, degree with 0 fill
+    "x77_mutual_knn" ->
+      """WITH ranked AS (
+        |  SELECT q.vec_id AS src, e.vec_id AS dst,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |  FROM embeddings e, embeddings q),
+        | top AS (SELECT src, dst FROM ranked
+        |   WHERE rank <= 5 AND src <> dst),
+        | mutual AS (
+        |  SELECT f.src AS id_a, f.dst AS id_b FROM top f JOIN top r
+        |    ON f.src = r.dst AND f.dst = r.src
+        |  WHERE f.src < f.dst)
+        | SELECT v.vec_id, COALESCE(cnt, 0) AS mutual_degree
+        | FROM embeddings v LEFT JOIN (
+        |   SELECT id, COUNT(*) AS cnt FROM (
+        |     SELECT id_a AS id FROM mutual
+        |     UNION ALL SELECT id_b FROM mutual) GROUP BY id) m
+        |  ON v.vec_id = m.id
+        | ORDER BY v.vec_id""",
     // x47's weight SQL at alpha 0.5 + largest-remainder apportionment +
     // the x54 md5 rank draw; 6-dp-rounded weights keep every float step
     // identical across engines
