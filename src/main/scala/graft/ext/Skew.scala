@@ -67,4 +67,54 @@ object Skew {
           saltedLeft("__salt") === saltedRight("__salt"))
       .drop("__salt")
   }
+
+  /** X78 — salted join for skewed FACT–FACT equi-joins (neither side
+    * broadcast-small, a few keys dominating): the pattern AQE's skew
+    * handling cannot reach — AQE splits oversized SMJ partitions after
+    * the shuffle files exist; when one KEY is the whole partition and
+    * the join is hash-based (or the skew sits under an aggregation), the
+    * hot key still funnels through one task. The manual remedy, as an
+    * operator:
+    *
+    *  1. heavy keys are found EXACTLY (one partial-agged count over the
+    *     left, thresholded — the heavy relation is tiny by definition of
+    *     "heavy": at most |left|/threshold rows, and it broadcasts);
+    *  2. light keys take the plain equi-join, untouched;
+    *  3. heavy LEFT rows scatter across `saltFactor` sub-keys (salt =
+    *     hash of a caller-named high-cardinality column — deterministic,
+    *     no RNG state), heavy RIGHT rows replicate once per salt, and
+    *     the join key becomes (key, salt): the hot key's work spreads
+    *     over `saltFactor` tasks at the cost of replicating ONLY the
+    *     heavy slice of the right side;
+    *  4. union. Result ≡ the plain inner join, row for row — pinned by
+    *     the x78 oracle, which IS the plain join in SQL.
+    *
+    * Pick the smaller/less-skewed side as `right`: its heavy slice is
+    * what replicates. `saltFactor` ≈ the per-task row budget you want
+    * for the hottest key. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      distributeCol: String, saltFactor: Int = 16,
+      heavyThreshold: Long = 4000000): DataFrame = {
+    require(saltFactor >= 2, "saltFactor must be >= 2")
+    require(heavyThreshold >= 1, "heavyThreshold must be >= 1")
+    def qc(c: String) = col(s"`$c`")
+    val keyCols = keys.map(qc)
+    val heavy = left.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > heavyThreshold)
+      .select(keyCols: _*)
+      .withColumn("__hv", lit(true))
+    val lt = left.join(broadcast(heavy), keys, "left")
+    val rt = right.join(broadcast(heavy), keys, "left")
+    val lightJoin = lt.filter(col("__hv").isNull).drop("__hv")
+      .join(rt.filter(col("__hv").isNull).drop("__hv"), keys)
+    val lHeavy = lt.filter(col("__hv") === true).drop("__hv")
+      .withColumn("__salt",
+        pmod(xxhash64(qc(distributeCol)), lit(saltFactor.toLong)))
+    val rHeavy = rt.filter(col("__hv") === true).drop("__hv")
+      .withColumn("__salt", explode(
+        sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    val heavyJoin = lHeavy.join(rHeavy, keys :+ "__salt").drop("__salt")
+    lightJoin.unionByName(heavyJoin)
+  }
 }

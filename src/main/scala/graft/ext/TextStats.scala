@@ -138,7 +138,11 @@ object TextStats {
     val mtl = meanTokenLength(text)
     val shapeScore = when(mtl.between(2.0, 12.0), 1.0).otherwise(0.3)
     val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
-    round(lenScore * 0.3 + punctScore * 0.2 + shapeScore * 0.3 + stopScore * 0.2, 4)
+    // + 1e-9 — the q44 boundary rule: the components are exact rationals
+    // (len/400, hits/tokens) whose weighted sum can land ON a .xxxx5
+    // rounding boundary, where engines' decimal conversions disagree
+    round(lenScore * 0.3 + punctScore * 0.2 + shapeScore * 0.3
+      + stopScore * 0.2 + lit(1e-9), 4)
   }
 
   /** The portable 52-bit string hash shared with the x54/x60/x67 oracle

@@ -144,10 +144,18 @@ object ExtQueries {
   }
 
   /** X4 — language-ID histogram over the enriched documents table. */
+  /** X4 — language-ID histogram + quality means, oracle-checked (round
+    * 8 promotion): BOTH heuristics — the stopword-profile argmax
+    * language-ID and the 4-component qualityScore — are reproduced
+    * component-for-component in DuckDB SQL (same regexes from the
+    * RE2/Java-portable subset, same arithmetic order, the q44 +1e-9
+    * round guards), so the kernels are pinned cross-engine, not just
+    * spec-asserted. */
   val x4_langid: Q = (s, d) =>
     TextStats.enrich(t(s, d, "documents"))
       .groupBy(col("lang_id"))
-      .agg(count(lit(1)).as("docs"), round(avg(col("quality")), 4).as("avg_quality"))
+      .agg(count(lit(1)).as("docs"),
+        round(avg(col("quality")) + lit(1e-9), 4).as("avg_quality"))
       .orderBy(col("lang_id"))
 
   /** X4 — fingerprints: stable content hash + rolling min-hash over word
@@ -1595,6 +1603,37 @@ object ExtQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** X78 — salted fact–fact skew join (`ext/Skew.saltedJoin`): lineitem
+    * ⋈ orders by orderkey with the heavy threshold forced low (25) so a
+    * real slice of keys routes through the salted path at test scale;
+    * result must equal the plain inner join — the oracle IS that plain
+    * join, aggregated per returnflag to keep the compare small while
+    * still counting every joined row and summing a both-sides product. */
+  val x78_salted_join: Q = (s, d) => {
+    val l = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_quantity"),
+        col("l_linenumber"), col("l_returnflag"))
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_totalprice"))
+    graft.ext.Skew.saltedJoin(l, o, keys = Seq("okey"),
+        distributeCol = "l_linenumber", saltFactor = 4, heavyThreshold = 25)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity") * col("o_totalprice")) + lit(1e-9), 2)
+          .as("qp_sum"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** X79 — leakage-safe group split (`ext/Splits.byGroup`): every row of
+    * a source lands in the SAME split because only the group key is
+    * hashed. 50/25/25 weights give exact-binary hash-space thresholds
+    * (0x7fff…f / 0xbfff…f) the oracle hard-codes. */
+  val x79_group_split: Q = (s, d) =>
+    graft.ext.Splits.byGroup(t(s, d, "documents"), "source",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -1690,7 +1729,9 @@ object ExtQueries {
     "x74_blocklist" -> x74_blocklist,
     "x75_match_dist" -> x75_match_dist,
     "x76_oov" -> x76_oov,
-    "x77_mutual_knn" -> x77_mutual_knn)
+    "x77_mutual_knn" -> x77_mutual_knn,
+    "x78_salted_join" -> x78_salted_join,
+    "x79_group_split" -> x79_group_split)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2437,6 +2478,70 @@ object ExtQueries {
         |   COUNT(*) * (n_copies - 1) AS rows_removed,
         |   CAST(SUM(len) * (n_copies - 1) AS BIGINT) AS bytes_saved
         | FROM clusters GROUP BY n_copies ORDER BY n_copies""",
+    // the language-ID argmax (first-max in de,en,es,fr order, 'und' on
+    // zero hits, CJK density override) and the 4-component qualityScore
+    // reproduced with the same RE2/Java-portable regexes and arithmetic
+    // order; [!-/:-@\[-`{-~] IS Java's \p{Punct} written as ranges
+    "x4_langid" ->
+      """WITH f AS (
+        |  SELECT
+        |    CAST(length(text) AS DOUBLE) AS lc,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(str_split_regex(trim(text), '\s+')) END AS n,
+        |    len(regexp_extract_all(text, '\p{Han}')) AS cjk,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(der|die|das|und|ist|nicht|ein|mit|zu|auf)\b')) AS hde,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(the|and|of|to|a|in|is|that|it|for)\b')) AS hen,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(el|la|los|las|es|y|en|que|un|por)\b')) AS hes,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(le|la|les|et|est|un|une|dans|que|pour)\b')) AS hfr,
+        |    len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS np,
+        |    len(regexp_replace(trim(text), '\s+', '', 'g')) AS nws
+        |  FROM documents),
+        | scored AS (
+        |  SELECT
+        |    CASE WHEN lc > 0 AND cjk / lc > 0.1 THEN 'zh'
+        |         WHEN greatest(hde, hen, hes, hfr) <= 0 THEN 'und'
+        |         WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
+        |         WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
+        |         WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
+        |         ELSE 'fr' END AS lang_id,
+        |    ROUND(
+        |      least(lc / 400.0, 1.0) * 0.3
+        |      + greatest(0.0, 1.0 -
+        |          (CASE WHEN lc = 0 THEN 0.0 ELSE np / lc END) * 5.0) * 0.2
+        |      + (CASE WHEN (CASE WHEN n = 0 THEN 0.0
+        |                    ELSE CAST(nws AS DOUBLE) / n END)
+        |              BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+        |      + least((CASE WHEN n = 0 THEN 0.0
+        |               ELSE CAST(hen AS DOUBLE) / n END) * 4.0, 1.0) * 0.2
+        |      + 1e-9, 4) AS quality
+        |  FROM f)
+        | SELECT lang_id, COUNT(*) AS docs,
+        |   ROUND(AVG(quality) + 1e-9, 4) AS avg_quality
+        | FROM scored GROUP BY lang_id ORDER BY lang_id""",
+    // per-column null accounting over the declared documents schema;
+    // the type strings are part of the pinned profile contract
+    "x8_profile" ->
+      """WITH s AS (SELECT COUNT(*) AS n,
+        |  COUNT(*) - COUNT(doc_id) AS z_doc_id,
+        |  COUNT(*) - COUNT(text) AS z_text,
+        |  COUNT(*) - COUNT(lang) AS z_lang,
+        |  COUNT(*) - COUNT(source) AS z_source,
+        |  COUNT(*) - COUNT(n_chars) AS z_n_chars
+        | FROM documents)
+        | SELECT "column", type, n AS rows, nulls,
+        |   ROUND(CAST(nulls AS DOUBLE) / n, 4) AS null_frac
+        | FROM (
+        |  SELECT 'doc_id' AS "column", 'bigint' AS type, n,
+        |    z_doc_id AS nulls FROM s
+        |  UNION ALL SELECT 'lang', 'string', n, z_lang FROM s
+        |  UNION ALL SELECT 'n_chars', 'bigint', n, z_n_chars FROM s
+        |  UNION ALL SELECT 'source', 'string', n, z_source FROM s
+        |  UNION ALL SELECT 'text', 'string', n, z_text FROM s)
+        | ORDER BY "column"""",
     // exhaustive exact trigram-set arithmetic over the planted-prefix
     // corpus; same distinct-shingle construction (whitespace tokens,
     // space-joined windows) and the same +1e-9 round boundary guard
@@ -2541,6 +2646,24 @@ object ExtQueries {
         | SELECT lang, source, n_tokens, n_oov,
         |   ROUND(CAST(n_oov AS DOUBLE) / n_tokens + 1e-9, 4) AS oov_rate
         | FROM rep ORDER BY lang, source""",
+    // the salted join's contract IS plain-join equality: the oracle is
+    // the unsalted inner join, aggregated identically
+    "x78_salted_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity * o_totalprice) + 1e-9, 2) AS qp_sum
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // same md5(group) against the exact-binary hash-space thresholds
+    // (0.5 -> 0x7fff...f, 0.75 -> 0xbfff...f); strict <, fixed-width
+    // lowercase hex compares lexicographically = numerically
+    "x79_group_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN md5(source) < '7fffffffffffffffffffffffffffffff'
+        |         THEN 'train'
+        |       WHEN md5(source) < 'bfffffffffffffffffffffffffffffff'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents ORDER BY doc_id""",
     // exhaustive top-5 both directions (self occupies a rank slot, then
     // drops — mirroring the engine), mutual join, degree with 0 fill
     "x77_mutual_knn" ->
