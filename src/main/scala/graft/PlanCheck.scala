@@ -104,8 +104,9 @@ object PlanCheck {
       !p.toLowerCase.contains("percentile") && p.contains("double_sort_bits"))
     check("x9_bloom_semi", "bloom probe filters the fact scan below the residual semi join")(p =>
       p.contains("bloom_might_contain") && p.contains("LeftSemi"))
-    check("q83_pit_lookup", "PIT lookup: broadcast interval dim, no cartesian")(p =>
-      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    check("q83_pit_lookup", "PIT lookup: hash join on the equi key (interval as residual), no cartesian")(p =>
+      (p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")) &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q70_interpolate", "segment gap-fill: ONE scan, no self-join, explode row-local")(p =>
       "FileScan".r.findAllIn(p).size == 1 && !p.contains("Join") &&
         p.contains("Generate explode"))

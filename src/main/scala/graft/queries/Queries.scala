@@ -1312,7 +1312,14 @@ object Queries {
         cut.as("vfrom"), lit(null).cast("timestamp").as("vto"),
         round(col("c_acctbal") + 1000, 2).as("bal")))
     val o = t(s, d, "orders")
-    o.join(broadcast(hist),
+    // SHUFFLE_HASH, not broadcast (the q04 lesson): the versioned dim is
+    // 2·|customer| rows — collecting it to the driver for a broadcast
+    // build costs more than co-partitioning both sides by the equi key
+    // (measured sf10, isolated: 1.87 s broadcast → 1.49 s SHJ), and a
+    // real PIT history table outgrows any broadcast threshold anyway. The
+    // validity-interval predicate stays a cheap residual on the hash
+    // match — never a cartesian.
+    o.join(hist.hint("shuffle_hash"),
         o("o_custkey") === hist("k") && o("o_orderdate") >= hist("vfrom") &&
           (hist("vto").isNull || o("o_orderdate") < hist("vto")))
       .groupBy(year(col("o_orderdate")).cast("long").as("y"))
