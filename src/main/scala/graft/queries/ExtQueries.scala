@@ -692,11 +692,14 @@ object ExtQueries {
 
   /** X0 — the WHOLE training-corpus pipeline as one composed plan, every
     * stage an engine operator: planted-dup corpus → exact dedup (X1) →
-    * MinHash near-dup removal (X2) → quality + repetition screens (X4/X27)
-    * → deterministic split assignment (X7) → per-split token accounting
-    * (X4), LM-perplexity tail drop (X43 via X29 tiling), linear
-    * quality-model cut (X49), per-domain caps (X51). This is the
-    * "switch your pipeline to this library" face: the
+    * MinHash near-dup removal (X2) → line/span boilerplate excision
+    * (X36/X37) → quality + repetition screens (X4/X27) → phrase-
+    * blocklist policy gate (X74, round 8) → LM-perplexity tail drop
+    * (X43 via X29 tiling) → linear quality-model cut (X49) → per-domain
+    * caps (X51) → LEAKAGE-SAFE source-level split (X79, round 8 —
+    * replacing the row-level md5 split, so correlated survivors of one
+    * domain can never straddle train/test) → per-split token accounting
+    * (X4). This is the "switch your pipeline to this library" face: the
     * composition itself is the feature — one lazy plan end to end, no
     * materialization between stages except the near-dup sketch's own
     * checkpoint. Tier B (rows-only): the stages are individually
@@ -713,16 +716,21 @@ object ExtQueries {
       .withColumn("quality", TextStats.qualityScore(col("text")))
       .withColumn("rep2", TextStats.dupNgramFraction(col("text"), 2))
       .filter(col("quality") >= 0.3 && col("rep2") <= 0.2)
+    // round 8: the policy gate joins the flagship — C4-style phrase
+    // blocklist (X74) on token boundaries, scan-cost, before any
+    // model-based stage spends compute on removable docs
+    val policed = graft.ext.Blocklist.filterBlocked(screened, "text",
+      Seq("forbidden content", "do not train", "opt out"))
     // round 7: the model-based curation stages join the flagship —
     // bigram-LM tail drop (worst-perplexity decile out, X43+X29),
     // linear quality-model cut (X49), per-domain contribution cap (X51)
     // the cleaning passes narrow to (doc_id, text, …): re-derive chars
     // from the CLEANED text (the honest post-cleaning length) and join
     // the domain back from the corpus
-    val lmScored = screened
+    val lmScored = policed
       .withColumn("n_chars", length(col("text")).cast("long"))
       .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .join(graft.ext.NgramLm.selfScore(screened)
+      .join(graft.ext.NgramLm.selfScore(policed)
         .select(col("doc_id"), col("nll")), Seq("doc_id"))
     val lmKept = graft.ext.Tiling
       .ntileByValue(lmScored, 10, "nll", "doc_id", "ppl_tile")
@@ -730,11 +738,12 @@ object ExtQueries {
     val modelKept = graft.ext.QualityModel.scoreDocs(lmKept)
       .filter(col("keep") === 1)
     val capped = graft.ext.Curation.domainCap(modelKept, n = 200)
-    capped
-      .withColumn("split",
-        when(md5(col("doc_id").cast("string")) < "cccccccc", "train")
-          .when(md5(col("doc_id").cast("string")) < "e6666666", "val")
-          .otherwise("test"))
+    // round 8: the split turned LEAKAGE-SAFE (X79) — assignment hashes
+    // the SOURCE, not the row, so near-dup survivors from one domain
+    // can never straddle train/test (the row-level md5 split they
+    // replace is exactly the x7 face this guards against)
+    graft.ext.Splits.byGroup(capped, "source",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(TextStats.tokenCount(col("text")).cast("long")).as("n_tokens"))
@@ -1634,6 +1643,19 @@ object ExtQueries {
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** X80 — join-explosion guard (`ext/JoinGuard.fanoutReport`): per-key
+    * amplification of a prospective lineitem self-join by part key,
+    * screened to fan-out ≥ 40 — the report a pipeline checks BEFORE
+    * running a join that might go quadratic on a surprise hot key. */
+  val x80_join_guard: Q = (s, d) => {
+    val l = t(s, d, "lineitem")
+    graft.ext.JoinGuard.fanoutReport(
+        l.select(col("l_partkey")),
+        l.filter(col("l_quantity") > 45).select(col("l_partkey")),
+        Seq("l_partkey"), minFanout = 40)
+      .orderBy(col("l_partkey"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -1731,7 +1753,8 @@ object ExtQueries {
     "x76_oov" -> x76_oov,
     "x77_mutual_knn" -> x77_mutual_knn,
     "x78_salted_join" -> x78_salted_join,
-    "x79_group_split" -> x79_group_split)
+    "x79_group_split" -> x79_group_split,
+    "x80_join_guard" -> x80_join_guard)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2646,6 +2669,17 @@ object ExtQueries {
         | SELECT lang, source, n_tokens, n_oov,
         |   ROUND(CAST(n_oov AS DOUBLE) / n_tokens + 1e-9, 4) AS oov_rate
         | FROM rep ORDER BY lang, source""",
+    // two per-key counts joined, product thresholded — the same tiny
+    // count-relation arithmetic in SQL
+    "x80_join_guard" ->
+      """SELECT l_partkey, n_left, n_right, n_left * n_right AS fanout
+        | FROM (SELECT l_partkey, COUNT(*) AS n_left FROM lineitem
+        |        GROUP BY l_partkey) nl
+        | JOIN (SELECT l_partkey, COUNT(*) AS n_right FROM lineitem
+        |        WHERE l_quantity > 45 GROUP BY l_partkey) nr
+        | USING (l_partkey)
+        | WHERE n_left * n_right >= 40
+        | ORDER BY l_partkey""",
     // the salted join's contract IS plain-join equality: the oracle is
     // the unsalted inner join, aggregated identically
     "x78_salted_join" ->

@@ -50,4 +50,23 @@ class BlocklistSpec extends SparkSpec {
       Blocklist.screen(docs, "text", Seq("!!!", "--"))
     }
   }
+
+  test("streaming face emits exactly the batch screen (stateless gate at the door)") {
+    // like StreamingContamination: a pure row-local projection runs
+    // identically on every micro-batch — the blocklist gates at ingest
+    val root = java.nio.file.Files.createTempDirectory("graft_blk").toString
+    docs.repartition(2).write.parquet(s"$root/src")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+    val q = Blocklist.screen(stream, "text", list)
+      .writeStream.format("memory").queryName("blk_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("blk_out")
+      .select("doc_id", "n_blocked", "blocked").orderBy("doc_id").collect().toSeq
+    val batch = Blocklist.screen(docs, "text", list)
+      .select("doc_id", "n_blocked", "blocked").orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+  }
 }
