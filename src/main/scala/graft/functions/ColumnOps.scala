@@ -48,4 +48,9 @@ object ColumnOps {
   def stripAccents(c: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       StripAccents(org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** [[FixMojibake]] as a Column: scan-speed double-encoding repair. */
+  def fixMojibake(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      FixMojibake(org.apache.spark.sql.GraftBridge.expression(c)))
 }

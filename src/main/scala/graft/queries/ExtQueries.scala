@@ -1656,6 +1656,23 @@ object ExtQueries {
       .orderBy(col("l_partkey"))
   }
 
+  /** X81 — mojibake repair (`functions/FixMojibake`), oracle-checked
+    * by GROUND TRUTH rather than by a second repairer: the engine
+    * repairs a per-doc corrupted suffix — the cp1252 mis-decode of
+    * " \u00e9lan \u2019s Gr\u00fc\u00dfe" (so '\u20ac'/'\u2122'/'\u0178'
+    * exercise the cp1252 inversion arm and the '\u00c3' leads the
+    * low-byte arm) — while the oracle simply EMITS the correct answer
+    * the repair must reconstruct. Hash equality pins the kernel's
+    * output byte-for-byte; the latin1/C1-control arm is spec-covered
+    * (MojibakeSpec — control chars don't belong in SQL literals). */
+  val x81_fix_mojibake: Q = (s, d) =>
+    t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.ColumnOps.fixMojibake(concat(col("text"),
+          lit(" \u00c3\u00a9lan \u00e2\u20ac\u2122s Gr\u00c3\u00bc\u00c3\u0178e")))
+          .as("fixed"))
+      .orderBy(col("doc_id"))
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -1754,7 +1771,8 @@ object ExtQueries {
     "x77_mutual_knn" -> x77_mutual_knn,
     "x78_salted_join" -> x78_salted_join,
     "x79_group_split" -> x79_group_split,
-    "x80_join_guard" -> x80_join_guard)
+    "x80_join_guard" -> x80_join_guard,
+    "x81_fix_mojibake" -> x81_fix_mojibake)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2669,6 +2687,12 @@ object ExtQueries {
         | SELECT lang, source, n_tokens, n_oov,
         |   ROUND(CAST(n_oov AS DOUBLE) / n_tokens + 1e-9, 4) AS oov_rate
         | FROM rep ORDER BY lang, source""",
+    // the oracle emits the GROUND-TRUTH repaired string the kernel
+    // must reconstruct (no SQL engine can repair; it can state the answer)
+    "x81_fix_mojibake" ->
+      ("""SELECT doc_id, text || ' """ +
+        "\u00e9lan \u2019s Gr\u00fc\u00dfe" +
+        """' AS fixed FROM documents ORDER BY doc_id"""),
     // two per-key counts joined, product thresholded — the same tiny
     // count-relation arithmetic in SQL
     "x80_join_guard" ->
