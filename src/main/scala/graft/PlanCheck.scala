@@ -197,6 +197,23 @@ object PlanCheck {
     check("x66_golden", "golden record is ONE partial-aggregated hash agg: no window, no join")(p =>
       !p.contains("Join") && !p.contains("Window") && p.contains("partial_"))
 
+    // round 8: the new operators' plan disciplines
+    check("x74_blocklist", "blocklist screen is map-only at scan speed: no join, no hash shuffle (output sort only)")(p =>
+      !p.contains("Join") && !p.contains("Exchange hashpartitioning") &&
+        "FileScan".r.findAllIn(p).size == 1)
+    check("x79_group_split", "group split is map-only: hashing the group key needs no shuffle, no group materialization")(p =>
+      !p.contains("Join") && !p.contains("Exchange hashpartitioning") &&
+        "FileScan".r.findAllIn(p).size == 1)
+    check("x81_fix_mojibake", "mojibake repair is map-only codegen: no join, no hash shuffle, no UDF")(p =>
+      !p.contains("Join") && !p.contains("Exchange hashpartitioning") &&
+        !p.contains("BatchEvalPython"))
+    check("x78_salted_join", "salted join: equi-joins only (plain + (key,salt) arms), no cartesian, no BNLJ")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("x80_join_guard", "fan-out report: two partial-agged count relations, payload never scanned twice")(p =>
+      p.contains("partial_") && !p.contains("CartesianProduct"))
+    check("x73_containment", "containment pairs: inverted-index equi-joins only, no cartesian")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+
     // x34/x35 (optimizer-rule rewrites) assert the absence of the
     // nested-loop join INSIDE the query itself — the conf must be set at
     // plan time, which only the query closure controls.

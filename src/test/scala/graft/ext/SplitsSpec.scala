@@ -52,6 +52,32 @@ class SplitsSpec extends SparkSpec {
     assert(clean.count() === 0L)
   }
 
+  test("composed with near-dup components: duplicate pairs never straddle a split") {
+    // THE reason group splits exist for LLM corpora: split by the dedup
+    // CLUSTER label, so a near-dup pair (one doc slightly edited) can
+    // never land one side in train and one in test
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // ~1
+      (3L, "pack my box with five dozen liquor jugs"),
+      (4L, "pack my box with five dozen liquor jugs now"),       // ~3
+      (5L, "completely unrelated text about something else"))
+      .toDF("doc_id", "text")
+    val edges = Dedup.nearDupPairs(texts, "doc_id", "text")
+    val labels = Dedup.connectedComponents(edges)
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("cluster", "grp")
+    val labeled = texts.join(labels, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("grp"), col("doc_id")))
+    val split = Splits.byGroup(labeled, "grp")
+    assert(Splits.leakageAudit(split, "grp").count() === 0L)
+    // the near-dup pairs share their split by construction
+    val byId = split.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(byId(1L) === byId(2L))
+    assert(byId(3L) === byId(4L))
+  }
+
   test("degenerate weights are rejected") {
     intercept[IllegalArgumentException] {
       Splits.byGroup(docs, "author", Seq("only" -> 1.0))
