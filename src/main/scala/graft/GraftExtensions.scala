@@ -73,6 +73,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("char_entropy",
         "char_entropy(s) - Shannon entropy (nats) over the string's code points"),
       (es: Seq[Expression]) => graft.functions.CharEntropy(es(0))))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonicalization"),
+      (es: Seq[Expression]) => graft.functions.NfcNormalize(es(0))))
+    e.injectFunction((
+      FunctionIdentifier("strip_accents"),
+      info("strip_accents",
+        "strip_accents(s) - remove combining-mark diacritics (NFD, drop Mn)"),
+      (es: Seq[Expression]) => graft.functions.StripAccents(es(0))))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler_sim"),
+      info("jaro_winkler_sim",
+        "jaro_winkler_sim(a, b) - Jaro-Winkler similarity of two strings"),
+      (es: Seq[Expression]) => graft.functions.JaroWinklerSim(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("fix_mojibake"),
+      info("fix_mojibake",
+        "fix_mojibake(s) - repair latin1/cp1252 double-encoded UTF-8 text"),
+      (es: Seq[Expression]) => graft.functions.FixMojibake(es(0))))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.OverlapJoinRewrite)
   }

@@ -73,6 +73,18 @@ class MojibakeSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: fix_mojibake and the unicode functions resolve by name") {
+    Seq(latin1Mojibake("café")).toDF("t").createOrReplaceTempView("mj_t")
+    assert(spark.sql("SELECT fix_mojibake(t) FROM mj_t")
+      .as[String].head() === "café")
+    assert(spark.sql("SELECT nfc_normalize('é')")
+      .as[String].head() === "é")
+    assert(spark.sql("SELECT strip_accents('crème brûlée')")
+      .as[String].head() === "creme brulee")
+    assert(spark.sql("SELECT jaro_winkler_sim('martha', 'martha')")
+      .as[Double].head() === 1.0)
+  }
+
   test("codegen path: the expression repairs a corrupted column at scan") {
     val df = originals.map(o => (o, latin1Mojibake(o)))
       .toDF("original", "corrupted")
