@@ -752,14 +752,17 @@ object ExtQueries {
 
   /** X0 — the WEB-corpus flagship composition (round 7): the crawl-side
     * front end the text flagship assumes has already run. Synthesized
-    * pages (markup + dirty URLs, the x59/x61 construction) flow through
-    * HTML text extraction (X61) → URL canonicalization + registered
-    * domain (X59) → canonical-URL exact dedup (X1 on the URL key — the
-    * crawl dedup) → visible-ratio and quality screens (X61+X4) →
-    * per-registered-domain contribution cap (X51) → per-domain corpus
-    * accounting. Every stage map-only or hash-agg; no joins until the
-    * final cap window. Tier B (rows-only): each constituent is
-    * independently oracle-checked (x59, x61, x1, x51). */
+    * pages (markup + dirty URLs, the x59/x61 construction; every third
+    * page carries planted cp1252 crawl mojibake) flow through HTML text
+    * extraction (X61) → mojibake repair (X81, round 8 — the corruption
+    * that would otherwise break the URL/content dedup downstream) → URL
+    * canonicalization + registered domain (X59) → canonical-URL exact
+    * dedup (X1 on the URL key — the crawl dedup) → visible-ratio and
+    * quality screens (X61+X4) → per-registered-domain contribution cap
+    * (X51) → per-domain corpus accounting. Every stage map-only or
+    * hash-agg; no joins until the final cap window. Tier B (rows-only):
+    * each constituent is independently oracle-checked (x59, x61, x1,
+    * x51) or ground-truth-checked (x81). */
   val x0_web_pipeline: Q = (s, d) => {
     val id = col("doc_id")
     val pages = t(s, d, "documents").select(
@@ -767,7 +770,13 @@ object ExtQueries {
       concat(
         lit("<html><head><title>Doc "), id.cast("string"),
         lit("</title><style>p{}</style><script>if(1<2){}</script></head><body><p>"),
-        col("text"), lit("</p></body></html>")).as("html"),
+        col("text"),
+        // every third page carries crawl mojibake (the cp1252 mis-decode
+        // of " \u2019brand\u2019 caf\u00e9") the X81 stage must repair
+        when(id % 3 === 0,
+          lit(" \u00e2\u20ac\u2122brand\u00e2\u20ac\u2122 caf\u00c3\u00a9"))
+          .otherwise(""),
+        lit("</p></body></html>")).as("html"),
       concat(
         when(id % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
         when(id % 3 === 0, "www.").otherwise(""), col("source"),
@@ -780,7 +789,8 @@ object ExtQueries {
       graft.ext.Urls.canonicalize(col("url")).as("canon"),
       graft.ext.Urls.registeredDomain(graft.ext.Urls.host(col("url")))
         .as("rdom"),
-      graft.ext.Html.stripTags(col("html")).as("text"),
+      graft.functions.ColumnOps.fixMojibake(
+        graft.ext.Html.stripTags(col("html"))).as("text"),
       graft.ext.Html.visibleRatio(col("html")).as("vr"))
     // crawl dedup: one survivor per canonical URL (min doc_id)
     val urlDeduped = Dedup.exactByContent(extracted, "canon", "doc_id")
