@@ -1683,6 +1683,27 @@ object ExtQueries {
           .as("fixed"))
       .orderBy(col("doc_id"))
 
+  /** X82 — decayed trending leaderboard (composed X65 + rank window):
+    * the "trending now" read — exponentially time-decayed engagement
+    * folded per (event_type, user), top-5 users per type by decayed
+    * sum. Rank compares the 4-dp-ROUNDED score with a user-id tiebreak
+    * (the x60 boundary rule) so the k-edge is bit-stable cross-engine;
+    * the oracle computes the identical closed form + ROW_NUMBER. */
+  val x82_trending: Q = (s, d) => {
+    val ev = t(s, d, "events").select(col("event_type").as("g"),
+      col("user_id").as("u"), col("ts"), col("value").as("v"))
+    val dec = graft.etl.DecayedCounter.aggregate(ev, Seq("g", "u"), "ts",
+        "v", "2024-02-01 00:00:00", halfLifeSec = 7 * 24 * 3600.0)
+      .withColumn("score", round(col("dsum") + lit(1e-9), 4))
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("u"))
+    dec.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("g"), col("u"), col("score"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("g"), col("rank"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -1782,7 +1803,8 @@ object ExtQueries {
     "x78_salted_join" -> x78_salted_join,
     "x79_group_split" -> x79_group_split,
     "x80_join_guard" -> x80_join_guard,
-    "x81_fix_mojibake" -> x81_fix_mojibake)
+    "x81_fix_mojibake" -> x81_fix_mojibake,
+    "x82_trending" -> x82_trending)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2703,6 +2725,19 @@ object ExtQueries {
       ("""SELECT doc_id, text || ' """ +
         "\u00e9lan \u2019s Gr\u00fc\u00dfe" +
         """' AS fixed FROM documents ORDER BY doc_id"""),
+    // the x65 closed form per (type, user) + ROW_NUMBER over the rounded
+    // score (the x60 k-boundary rule)
+    "x82_trending" ->
+      """WITH dec AS (
+        |  SELECT event_type AS g, user_id AS u,
+        |    ROUND(SUM(value * exp(-((ln(2) / 604800000000.0) *
+        |      (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts)))))
+        |      + 1e-9, 4) AS score
+        |  FROM events GROUP BY event_type, user_id)
+        | SELECT g, u, score, rank FROM (
+        |  SELECT g, u, score, ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY score DESC, u) AS rank FROM dec) r
+        | WHERE rank <= 5 ORDER BY g, rank""",
     // two per-key counts joined, product thresholded — the same tiny
     // count-relation arithmetic in SQL
     "x80_join_guard" ->
