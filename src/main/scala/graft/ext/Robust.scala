@@ -190,4 +190,30 @@ object Robust {
         when(abs(col(s"`$valueCol`") - col("med")) > lit(k) * col("mad"), lit(1))
           .otherwise(lit(0)))
   }
+
+  /** X83 — robust per-group z-normalization (feature scaling that
+    * survives outliers): z = (x − median) / (1.4826·MAD), the
+    * median/MAD analog of standardization — the mean/stddev version
+    * shifts with the very outliers X30 screens for, which is why
+    * robust-z is the featurization default for telemetry and reward
+    * signals. 1.4826 is the Gaussian consistency constant (makes the
+    * denominator estimate σ under normality, so thresholds transfer).
+    * A zero-MAD group (constant values) has no defined scale: its rows
+    * emit NULL rather than ±∞ — callers impute or drop explicitly.
+    *
+    * Plan: [[madStats]]'s one/two-pass exact medians (|groups| rows,
+    * broadcast back), then a row-local projection — the scan stays the
+    * only row-sized stage. Rounded to `roundTo` with the q44 +1e-9
+    * guard so the x83 oracle face compares bit-stably. */
+  def normalize(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      outCol: String = "robust_z", roundTo: Int = 4,
+      approxMedians: Boolean = false): DataFrame = {
+    val stats = madStats(df, keyCols, valueCol, approxMedians)
+    df.join(broadcast(stats), keyCols)
+      .withColumn(outCol,
+        when(col("mad") > 0,
+          round((col(s"`$valueCol`") - col("med"))
+            / (lit(1.4826) * col("mad")) + lit(1e-9), roundTo)))
+      .drop("med", "mad")
+  }
 }

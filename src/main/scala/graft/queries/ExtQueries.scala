@@ -1704,6 +1704,19 @@ object ExtQueries {
       .orderBy(col("g"), col("rank"))
   }
 
+  /** X83 — robust per-group z-normalization (`ext/Robust.normalize`):
+    * every event value scaled by its type's median/MAD — the
+    * outlier-proof standardization features actually use. The oracle
+    * runs DuckDB's native median()/mad() through the identical
+    * (x − med)/(1.4826·mad) arithmetic; NULL for zero-MAD groups. */
+  val x83_robust_norm: Q = (s, d) =>
+    graft.ext.Robust.normalize(
+        t(s, d, "events").select(col("event_id").as("id"),
+          col("event_type").as("g"), col("value").as("v")),
+        Seq("g"), "v")
+      .select(col("id"), col("g"), col("robust_z"))
+      .orderBy(col("id"))
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -1804,7 +1817,8 @@ object ExtQueries {
     "x79_group_split" -> x79_group_split,
     "x80_join_guard" -> x80_join_guard,
     "x81_fix_mojibake" -> x81_fix_mojibake,
-    "x82_trending" -> x82_trending)
+    "x82_trending" -> x82_trending,
+    "x83_robust_norm" -> x83_robust_norm)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2725,6 +2739,18 @@ object ExtQueries {
       ("""SELECT doc_id, text || ' """ +
         "\u00e9lan \u2019s Gr\u00fc\u00dfe" +
         """' AS fixed FROM documents ORDER BY doc_id"""),
+    // DuckDB-native median()/mad() through the identical robust-z
+    // arithmetic (the q77 median/MAD parity, now at row granularity)
+    "x83_robust_norm" ->
+      """WITH stats AS (
+        |  SELECT event_type AS g, median(value) AS med, mad(value) AS madv
+        |  FROM events GROUP BY event_type)
+        | SELECT event_id AS id, e.event_type AS g,
+        |   CASE WHEN madv > 0 THEN
+        |     ROUND((value - med) / (1.4826 * madv) + 1e-9, 4) END
+        |     AS robust_z
+        | FROM events e JOIN stats s ON e.event_type = s.g
+        | ORDER BY id""",
     // the x65 closed form per (type, user) + ROW_NUMBER over the rounded
     // score (the x60 k-boundary rule)
     "x82_trending" ->

@@ -93,6 +93,26 @@ class RobustSpec extends SparkSpec {
     assert(summary === viaRows)
   }
 
+  test("normalize: exact robust-z, zero-MAD group yields NULL not infinity") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 10.0), ("b", 10.0), ("b", 10.0))
+      .toDF("g", "x")
+    val got = Robust.normalize(df, Seq("g"), "x")
+      .select("g", "x", "robust_z")
+      .as[(String, Double, Option[Double])].collect()
+    // a: med 3, MAD 1 → z(1) = (1-3)/1.4826 = -1.349 (round guard +1e-9)
+    val za = got.filter(r => r._1 == "a" && r._2 == 1.0).head._3.get
+    assert(math.abs(za - math.floor(((1.0 - 3.0) / 1.4826 + 1e-9) * 1e4 + 0.5) / 1e4) < 1e-9)
+    // the spike normalizes but stays extreme
+    assert(got.filter(r => r._1 == "a" && r._2 == 100.0).head._3.get > 50)
+    // b is constant: undefined scale → NULL for every row
+    assert(got.filter(_._1 == "b").forall(_._3.isEmpty))
+    // stats columns do not leak into the output
+    val cols = Robust.normalize(df, Seq("g"), "x").columns.toSeq
+    assert(cols === Seq("g", "x", "robust_z"))
+  }
+
   test("madStats routes low-cardinality big inputs through the histogram") {
     // force the size gate with a skewed estimate: can't fake optimizer
     // stats cheaply here, so call the histogram path directly on a
