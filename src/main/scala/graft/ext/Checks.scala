@@ -104,4 +104,24 @@ object Checks {
       .reduce(_ unionByName _)
       .orderBy(col("check"))
   }
+
+  /** k-anonymity screen (round 8) — the data-RELEASE guard the row
+    * checks above don't cover: a published dataset is k-anonymous over
+    * a quasi-identifier set when every combination of those attributes
+    * matches at least k rows; a group below k singles people out by
+    * attribute intersection even with direct identifiers scrubbed
+    * (X19's PII redaction removes the email; zip+age+lang can still
+    * re-identify). Returns the VIOLATING groups (quasiCols..., n_rows),
+    * n_rows < k — empty means the release passes at level k. One
+    * partial-agged groupBy; the quasi-set relation is far smaller than
+    * the data. NULL attribute values group together (SQL GROUP BY
+    * semantics) — treat NULL as its own publishable value, which is the
+    * conservative reading. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, "k-anonymity below 2 is vacuous")
+    df.groupBy(quasiCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") < k)
+  }
 }

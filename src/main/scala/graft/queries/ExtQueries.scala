@@ -1717,6 +1717,15 @@ object ExtQueries {
       .select(col("id"), col("g"), col("robust_z"))
       .orderBy(col("id"))
 
+  /** X23 extension (round 8) — k-anonymity release guard
+    * (`ext/Checks.kAnonymity`): (lang, source) combinations matching
+    * fewer than 30 documents — the attribute intersections that would
+    * single contributors out in a published corpus. */
+  val x23_k_anonymity: Q = (s, d) =>
+    graft.ext.Checks.kAnonymity(t(s, d, "documents"),
+        Seq("lang", "source"), k = 30)
+      .orderBy(col("lang"), col("source"))
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -1818,7 +1827,8 @@ object ExtQueries {
     "x80_join_guard" -> x80_join_guard,
     "x81_fix_mojibake" -> x81_fix_mojibake,
     "x82_trending" -> x82_trending,
-    "x83_robust_norm" -> x83_robust_norm)
+    "x83_robust_norm" -> x83_robust_norm,
+    "x23_k_anonymity" -> x23_k_anonymity)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
@@ -2739,6 +2749,11 @@ object ExtQueries {
       ("""SELECT doc_id, text || ' """ +
         "\u00e9lan \u2019s Gr\u00fc\u00dfe" +
         """' AS fixed FROM documents ORDER BY doc_id"""),
+    // groups below the anonymity threshold, plain GROUP BY + HAVING
+    "x23_k_anonymity" ->
+      """SELECT lang, source, COUNT(*) AS n_rows FROM documents
+        | GROUP BY lang, source HAVING COUNT(*) < 30
+        | ORDER BY lang, source""",
     // DuckDB-native median()/mad() through the identical robust-z
     // arithmetic (the q77 median/MAD parity, now at row granularity)
     "x83_robust_norm" ->

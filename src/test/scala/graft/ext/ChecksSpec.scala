@@ -65,6 +65,24 @@ class ChecksSpec extends SparkSpec {
     assert(got === (("x_y_unique", 1L)))
   }
 
+  test("kAnonymity: sub-k quasi-identifier groups surface; NULL is a value") {
+    val d = Seq(
+      ("en", Some("s1")), ("en", Some("s1")), ("en", Some("s1")), // k=3 ok
+      ("fr", Some("s1")), ("fr", Some("s1")),                    // 2 < 3
+      ("de", None), ("de", None), ("de", None),                  // NULL group ok
+      ("es", Some("s2")))                                        // singleton
+      .toDF("lang", "source")
+    val got = Checks.kAnonymity(d, Seq("lang", "source"), k = 3)
+      .as[(String, Option[String], Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(("fr", Some("s1")) -> 2L, ("es", Some("s2")) -> 1L))
+    // a clean release at k=2: only the singleton remains
+    assert(Checks.kAnonymity(d, Seq("lang", "source"), 2).count() === 1L)
+    intercept[IllegalArgumentException] {
+      Checks.kAnonymity(d, Seq("lang"), k = 1)
+    }
+  }
+
   test("functional dependency: excess distinct values; nulls never violate") {
     val d = Seq(
       ("z1", "NY", Some("usa")), ("z1", "NY", Some("usa")), // consistent
