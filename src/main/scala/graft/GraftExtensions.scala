@@ -94,5 +94,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.FixMojibake(es(0))))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.OverlapJoinRewrite)
+    e.injectOptimizerRule(_ => graft.plans.PreAggExpandRewrite)
   }
 }

@@ -70,6 +70,14 @@ object PlanCheck {
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q29_pivot", "pivot = single-pass agg, no extra value-discovery scan")(p =>
       "FileScan".r.findAllIn(p).size <= 1)
+    // PreAggExpandRewrite: grouping-sets families must collapse to one row
+    // per full key BEFORE Expand replicates per grouping set — in the
+    // top-down plan text, an aggregate below Expand prints AFTER it
+    Seq("q17_rollup", "q22_cube", "q32_grouping_sets").foreach { n =>
+      check(n, "partial aggregate BELOW Expand (row multiplication collapsed)")(p =>
+        p.contains("Expand") &&
+          p.substring(p.indexOf("Expand")).contains("HashAggregate"))
+    }
     check("q39_revenue_topk", "dim filter broadcast + top-k, no global sort")(p =>
       p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject"))
     check("q40_correlated_scalar", "decorrelated to window: one shuffle, no per-row subquery join")(p =>
