@@ -999,20 +999,29 @@ object Queries {
   val q68_snapshot_diff: Q = (s, d) => {
     val o = t(s, d, "orders").select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
-    val updates = o.filter(col("o_orderkey") % 10 === 3)
-      .withColumn("o_orderstatus", lit("U"))
-      .withColumn("o_totalprice", col("o_totalprice") * 2)
-    val inserts = o.filter(col("o_orderkey") % 100 === 7)
-      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
-      .withColumn("o_orderstatus", lit("N"))
-    // delta keys are ~11% of base — the documented caller-knows case for
-    // the broadcast hint: the anti join then keeps the wide base
-    // UNSHUFFLED, so the only wide exchanges left are the diff's own two
-    // (the full-outer minimum)
-    val after = graft.etl.Upsert.upsert(
-      o, updates.unionByName(inserts), Seq("o_orderkey"),
-      broadcastKeys = Some(true))
-    graft.etl.SnapshotDiff.diff(o, after, Seq("o_orderkey"), exact = true)
+    // the update and insert slices are disjoint (k%100=7 ⇒ k%10=7≠3), so
+    // the delta builds in ONE scan with CASE projections instead of a
+    // two-scan union
+    val isUpd = col("o_orderkey") % 10 === 3
+    val delta = o.filter(isUpd || col("o_orderkey") % 100 === 7)
+      .select(
+        when(isUpd, col("o_orderkey")).otherwise(col("o_orderkey") + 100000000L)
+          .as("o_orderkey"),
+        col("o_custkey"),
+        when(isUpd, lit("U")).otherwise(lit("N")).as("o_orderstatus"),
+        when(isUpd, col("o_totalprice") * 2).otherwise(col("o_totalprice"))
+          .as("o_totalprice"))
+      // in production the applied delta is a MATERIALIZED input; the
+      // checkpoint stands in for that so the audit's two uses of it
+      // (key broadcast + content compare) don't re-derive the subtree
+      .localCheckpoint(true)
+    // the delta is IN HAND here (the run built it), so the audit is
+    // delta-sized: auditDelta ≡ diff(o, upsert(o, delta)) — the after
+    // image is never derived, the wide base never shuffles (broadcast
+    // key semi-join), and the exact struct compare touches only the
+    // ~11% touched slice. AuditDeltaSpec pins the equivalence; the
+    // oracle below still computes the full diff-of-upsert.
+    graft.etl.SnapshotDiff.auditDelta(o, delta, Seq("o_orderkey"))
       .orderBy(col("o_orderkey"))
   }
 
