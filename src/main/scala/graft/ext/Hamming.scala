@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pigeonhole Hamming-distance pairing over ANY 64-bit fingerprint column
+  * — the shared candidate-generation kernel behind SimHash text near-dup
+  * ([[SimHash]]) and perceptual image near-dup ([[ImageDedup]]).
+  *
+  * Split the 64-bit fingerprint into `maxHamming + 1` chunks: two
+  * fingerprints within `maxHamming` bit flips MUST agree exactly on at
+  * least one chunk (pigeonhole), so a per-chunk equi-join finds every
+  * qualifying pair with no crossJoin — the shape that survives 100 TB.
+  * The verify step (`bit_count(xor)`) runs on the candidate set only, so
+  * the output is EXACT: recall 1 by the pigeonhole argument, precision 1
+  * by the verify filter. Entirely builtin codegen'd expressions.
+  *
+  * Chunk-key skew (a near-constant fingerprint region across the corpus —
+  * e.g. letterboxed images sharing black borders) is the one scale hazard:
+  * `maxChunkFreq` drops chunk buckets holding more than F fingerprints
+  * before the self-join, bounding candidate volume at F per bucket like
+  * [[NgramJaccard]]'s `maxShingleFreq`. A dropped bucket can only lose
+  * pairs whose EVERY agreeing chunk is boilerplate — log the cap when
+  * tuning recall; `None` (default) keeps exactness.
+  */
+object Hamming {
+
+  /** All pairs (id_a < id_b) with Hamming(hash_a, hash_b) <= maxHamming.
+    *
+    * @param df one row per item; `idCol` orderable, `hashCol` LONG.
+    *   NULL fingerprints (undecodable items) are skipped.
+    * @return (id_a, id_b, hamming) — exact when maxChunkFreq is None. */
+  def pairs64(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxChunkFreq: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63, "maxHamming in [0, 63]")
+    val chunks = maxHamming + 1
+    val bitsPerChunk = 64 / chunks
+    val fp = df.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .filter(col("h").isNotNull)
+    val banded = fp.select(col("id"), col("h"),
+      posexplode(transform(
+        sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftrightunsigned", col("h"), (c * bitsPerChunk).cast("int"))
+          .bitwiseAND(if (bitsPerChunk >= 64) lit(-1L)
+            else shiftleft(lit(1L), bitsPerChunk) - 1L)))
+        .as(Seq("chunk", "key")))
+    val capped = maxChunkFreq match {
+      case Some(f) => banded.join(
+        banded.groupBy(col("chunk"), col("key"))
+          .agg(count(lit(1)).as("__cf")).filter(col("__cf") <= f)
+          .select(col("chunk"), col("key")),
+        Seq("chunk", "key"))
+      case None => banded
+    }
+    val a = capped.as("a")
+    val b = capped.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -29,29 +29,12 @@ object SimHash {
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), simhash64(TextStats.tokens(col(textCol))).as("simhash"))
 
-  /** All pairs (id_a < id_b) with Hamming(simhash_a, simhash_b) <= maxHamming. */
+  /** All pairs (id_a < id_b) with Hamming(simhash_a, simhash_b) <= maxHamming.
+    * Candidate generation + verify via the shared pigeonhole kernel
+    * [[Hamming.pairs64]]. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val chunks = maxHamming + 1
-    val bitsPerChunk = 64 / chunks
-    val fp = fingerprints(df, idCol, textCol)
-    val banded = fp.select(col("id"), col("simhash"),
-      posexplode(transform(
-        sequence(lit(0), lit(chunks - 1)),
-        c => call_function("shiftrightunsigned", col("simhash"), (c * bitsPerChunk).cast("int"))
-          .bitwiseAND(shiftleft(lit(1L), bitsPerChunk) - 1L)))
-        .as(Seq("chunk", "key")))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key")
-        && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-  }
+      maxHamming: Int = 3): DataFrame =
+    Hamming.pairs64(fingerprints(df, idCol, textCol), "id", "simhash", maxHamming)
 }
 
 /** X2 — exact n-gram Jaccard similarity via inverted-index join (the

@@ -1726,6 +1726,47 @@ object ExtQueries {
         Seq("lang", "source"), k = 30)
       .orderBy(col("lang"), col("source"))
 
+  /** X84 (round 9) — perceptual image dedup, oracle face: 120 documents
+    * rendered as REAL PNG bytes whose content derives from `doc_id % 30`,
+    * so byte-identical duplicate groups are planted by construction; the
+    * engine finds them PERCEPTUALLY (decode → dHash → Hamming-0 banding →
+    * pixel-checksum verify — recall 1 by construction, see
+    * [[graft.ext.ImageDedup.exactDupPairs]]) and DuckDB reproduces the
+    * ground truth as a modular self-join over the same doc_ids. */
+  val x84_image_dedup: Q = (s, d) => {
+    import s.implicits._
+    val media = t(s, d, "documents")
+      .filter(col("doc_id") < 120).select(col("doc_id")).as[Long]
+      .map(i => Multimodal.MediaRow(i, s"synthetic://img/$i", "image/png",
+        graft.ext.ImageDedup.encodeSmoothPng(32, 24, seed = i % 30)))
+    graft.ext.ImageDedup.exactDupPairs(graft.ext.ImageDedup.fingerprints(media))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** X84 — perceptual image NEAR-dup face (Tier B rows-only: the JRE's
+    * bilinear resample and JPEG quantization have no SQL oracle): 40
+    * originals plus a real resized copy and a real JPEG-recompressed copy
+    * of each, plus planted corrupt bytes; dHash Hamming banding at radius
+    * 10 recalls every variant pair (spec-pinned margins: variants ≤ 8
+    * bits away, distinct seeds ≥ 19). */
+  val x84_image_neardup: Q = (s, _) => {
+    import s.implicits._
+    val media = s.range(40).as[Long].flatMap { i =>
+      val orig = graft.ext.ImageDedup.encodeSmoothPng(64, 48, seed = i)
+      Seq(
+        Multimodal.MediaRow(i, s"orig/$i", "image/png", orig),
+        Multimodal.MediaRow(1000 + i, s"thumb/$i", "image/png",
+          Multimodal.MediaCodec.thumbnailPng(orig, maxDim = 24).get),
+        Multimodal.MediaRow(2000 + i, s"jpeg/$i", "image/jpeg",
+          graft.ext.ImageDedup.encodeSmoothJpeg(64, 48, seed = i))) ++
+        (if (i == 0) Seq(Multimodal.MediaRow(
+          9999, "corrupt", "image/png", Array[Byte](1, 2, 3))) else Nil)
+    }
+    graft.ext.ImageDedup.nearDupPairs(
+        graft.ext.ImageDedup.fingerprints(media), maxHamming = 10)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -1828,11 +1869,19 @@ object ExtQueries {
     "x81_fix_mojibake" -> x81_fix_mojibake,
     "x82_trending" -> x82_trending,
     "x83_robust_norm" -> x83_robust_norm,
-    "x23_k_anonymity" -> x23_k_anonymity)
+    "x23_k_anonymity" -> x23_k_anonymity,
+    "x84_image_dedup" -> x84_image_dedup,
+    "x84_image_neardup" -> x84_image_neardup)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
   val oracleSql: Map[String, String] = Map(
+    "x84_image_dedup" ->
+      """SELECT a.doc_id AS media_a, b.doc_id AS media_b
+        | FROM documents a JOIN documents b
+        |   ON a.doc_id % 30 = b.doc_id % 30 AND a.doc_id < b.doc_id
+        | WHERE a.doc_id < 120 AND b.doc_id < 120
+        | ORDER BY media_a, media_b""",
     "x1_dedup_exact" ->
       """WITH planted AS (
         |  SELECT doc_id, text FROM documents
