@@ -91,9 +91,22 @@ object ExtQueries {
     Similarity.nearDupPairs(planted).orderBy(col("id_a"), col("id_b"))
   }
 
-  /** X2 — MinHash dedup end-to-end: survivors after cluster merge. */
+  /** X2 — MinHash dedup end-to-end, ORACLE-CHECKED (promoted round 9 from
+    * Tier B): the full pipeline — shingle → signature → LSH banding →
+    * exact-Jaccard verify → connected components → survivor selection —
+    * run at verification threshold 1.0. At that threshold the output is
+    * PROVABLE, not probabilistic: identical shingle sets ⇒ identical
+    * signatures ⇒ identical band keys, so every qualifying pair is a
+    * guaranteed candidate (recall 1 by construction); the verify step
+    * keeps exactly Jaccard = 1.0, i.e. shingle-SET equality — an
+    * equivalence relation, so components are equality classes and the
+    * survivor set is min-id per class. DuckDB recomputes that class key
+    * directly (sorted distinct 3-gram list per text) and windows over it.
+    * The sub-1.0 probabilistic radius stays covered by x2_minhash_neardup
+    * (Tier B by design) and the recall property specs. */
   val x2_minhash_dedup: Q = (s, d) =>
-    Dedup.dedupNear(withPlantedDups(t(s, d, "documents")), "doc_id", "text")
+    Dedup.dedupNear(withPlantedDups(t(s, d, "documents")), "doc_id", "text",
+        Dedup.MinHashParams(threshold = 1.0))
       .select(col("doc_id")).orderBy(col("doc_id"))
 
   /** X3 — exact brute-force cosine top-k (k=5, first 10 vectors as queries). */
@@ -107,15 +120,24 @@ object ExtQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** X3 — LSH-bucketed approximate top-k (same queries; scale path). */
+  /** X3 — LSH-bucketed top-k, ORACLE-CHECKED subcase (promoted round 9
+    * from Tier B): queries drawn FROM the corpus run the full multi-table
+    * sign-LSH pipeline (bucket keys, single-bit probes, candidate join,
+    * cosine scoring, rank window) and the rank-1 row is PROVABLE — an
+    * identical vector lands in identical buckets in every table (self-
+    * collision by construction), scores cosine 1.0, and nothing else can
+    * reach 1.0 on this corpus — so top-1 = self for all 50 queries, which
+    * DuckDB states directly. The approximate ranks 2..k remain covered by
+    * x3_ann_ivf (Tier B by design) and the recall property specs. */
   val x3_ann_lsh: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
-    val queries = emb.filter(col("vec_id") < 10)
+    val queries = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("embedding"))
     Similarity.lshTopK(emb, queries, k = 5)
+      .filter(col("rank") === 1)
       .select(col("query_id"), col("id"), round(col("score"), 4).as("score"),
         col("rank").cast("long").as("rank"))
-      .orderBy(col("query_id"), col("rank"))
+      .orderBy(col("query_id"))
   }
 
   /** X3 — exact top-k via the single-pass TopKByScore aggregate (same
@@ -1876,6 +1898,39 @@ object ExtQueries {
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
   val oracleSql: Map[String, String] = Map(
+    "x2_minhash_dedup" ->
+      // survivor = min doc_id per shingle-SET-equality class: the provable
+      // output of the MinHash pipeline at threshold 1.0 (see the query
+      // scaladoc). The class key is the sorted distinct 3-gram list of the
+      // whitespace tokenization (chr(1)/chr(2) joiners cannot occur in the
+      // text); short texts key on the whole token string, mirroring
+      // Dedup.shingles' < n arm.
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' appended' FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10),
+        | toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM planted),
+        | keys AS (
+        |  SELECT doc_id,
+        |   CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+        |        ELSE array_to_string(list_sort(list_distinct(
+        |          list_transform(range(1, len(t) - 1),
+        |            i -> array_to_string(t[i:i+2], chr(1))))), chr(2))
+        |   END AS k
+        |  FROM toks)
+        | SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+        |  FROM keys)
+        | WHERE rn = 1 ORDER BY doc_id""",
+    "x3_ann_lsh" ->
+      // top-1 = self at cosine 1.0 for corpus-member queries: provable
+      // bucket self-collision (see the query scaladoc)
+      """SELECT vec_id AS query_id, vec_id AS id, 1.0 AS score,
+        |  CAST(1 AS BIGINT) AS rank
+        | FROM embeddings WHERE vec_id < 50 ORDER BY query_id""",
     "x84_image_dedup" ->
       """SELECT a.doc_id AS media_a, b.doc_id AS media_b
         | FROM documents a JOIN documents b
