@@ -34,6 +34,32 @@ object Ivf {
     def lit: Column = typedlit(centroids)
   }
 
+  /** Persist the trained coarse quantizer: one parquet row per centroid,
+    * `(centroid_id, centroid)`. The model a Monday training run writes and
+    * every later scoring run [[load]]s — k×dim floats, so the file is
+    * KB-sized and the load is a driver-side collect, exactly matching how
+    * the model ships into plans (a literal, never a join side). Parquet
+    * round-trips float arrays exactly ⇒ loaded scores ≡ in-memory scores
+    * (ModelStoreSpec pins both). */
+  def save(model: Model, path: String)
+      (implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("centroid_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def load(path: String)
+      (implicit spark: org.apache.spark.sql.SparkSession): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("centroid_id").cast("int"), col("centroid"))
+      .as[(Int, Seq[Float])].collect()
+    require(rows.nonEmpty, s"no centroids at $path")
+    Model(rows.sortBy(_._1).map(_._2.toIndexedSeq).toIndexedSeq)
+  }
+
   /** Nearest-centroid list id of a vector under `model`. */
   def listId(vec: Column, model: Model): Column =
     element_at(topCentroids(vec, model.lit, org.apache.spark.sql.functions.lit(1)), 1)

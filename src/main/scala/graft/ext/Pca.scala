@@ -51,6 +51,58 @@ object Pca {
       if (totalVariance <= 0) 0.0 else eigenvalues.sum / totalVariance
   }
 
+  /** Persist a fitted model: one parquet row per component,
+    * `(component_id, component, eigenvalue)`, plus a `component_id = -1`
+    * row carrying the mean — self-describing, mergeable with plain
+    * readers, and KB-sized (doubles round-trip parquet exactly, so loaded
+    * projections ≡ in-memory projections; ModelStoreSpec pins it). For
+    * the RESUMABLE state persist [[Moments]] instead ([[saveMoments]]) —
+    * a model alone cannot absorb new batches. */
+  def saveModel(model: Model, path: String)
+      (implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rows = (-1, model.mean, 0.0) +:
+      model.components.zipWithIndex.map { case (c, i) =>
+        (i, c, model.eigenvalues(i))
+      }
+    rows.toDF("component_id", "component", "eigenvalue")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(path: String)
+      (implicit spark: org.apache.spark.sql.SparkSession): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("component_id").cast("int"), col("component"), col("eigenvalue"))
+      .as[(Int, Seq[Double], Double)].collect()
+    val mean = rows.find(_._1 == -1)
+      .getOrElse(sys.error(s"no mean row at $path"))._2.toIndexedSeq
+    val comps = rows.filter(_._1 >= 0).sortBy(_._1)
+    Model(mean, comps.map(_._2.toIndexedSeq).toIndexedSeq,
+      comps.map(_._3).toIndexedSeq)
+  }
+
+  /** Persist accumulated [[Moments]] (one row) — the incremental-PCA
+    * state: load, [[Moments.merge]] a new batch's moments, save back,
+    * [[fitFromMoments]] whenever a refreshed model is wanted. */
+  def saveMoments(mom: Moments, path: String)
+      (implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    Seq((mom.n, mom.sums, mom.prods)).toDF("n", "sums", "prods")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadMoments(path: String)
+      (implicit spark: org.apache.spark.sql.SparkSession): Moments = {
+    import spark.implicits._
+    val r = spark.read.parquet(path)
+      .select(col("n").cast("long"), col("sums"), col("prods"))
+      .as[(Long, Seq[Double], Seq[Double])].head()
+    Moments(r._1, r._2.toIndexedSeq, r._3.toIndexedSeq)
+  }
+
   /** The sufficient statistics of a fit: count, per-dim sums, upper-
     * triangular product sums. ALGEBRAIC — `merge` of two corpora's
     * moments equals the union's moments exactly (addition of exact

@@ -840,8 +840,16 @@ object ExtQueries {
     * Deterministic end to end (seeded PCA sample, seeded Lloyd init,
     * min-id survivors). */
   val x0_semdedup_pca: Q = (s, d) => {
+    implicit val spark: SparkSession = s
     val emb = t(s, d, "embeddings")
-    val (model, _) = graft.ext.Pca.fit(emb, k = 8)
+    // train → PERSIST → reload (round 9): the flagship exercises the
+    // production train-Monday/score-Tuesday split — both models travel
+    // through their parquet save/load faces before any scoring;
+    // ModelStoreSpec proves persisted ≡ in-memory bit-for-bit.
+    val store = java.nio.file.Files.createTempDirectory("graft_models").toString
+    val (fitModel, _) = graft.ext.Pca.fit(emb, k = 8)
+    graft.ext.Pca.saveModel(fitModel, s"$store/pca")
+    val model = graft.ext.Pca.loadModel(s"$store/pca")
     val reduced = graft.ext.Pca.project(emb, model)
       .select(col("vec_id"), col("pca").cast("array<float>").as("embedding"))
     // the SemDeDup recipe sizes k WITH the corpus (target ~512 vectors
@@ -850,7 +858,9 @@ object ExtQueries {
     // self-join (measured: minutes), while k ≈ N/512 keeps it ~N·512/2
     // pairs at any scale. Train cost is k·N·iters row-local cosines.
     val k = math.max(8, math.min(4096, (emb.count() / 512).toInt))
-    val ivf = graft.ext.Ivf.train(reduced, k = k, iters = 2)
+    graft.ext.Ivf.save(graft.ext.Ivf.train(reduced, k = k, iters = 2),
+      s"$store/ivf")
+    val ivf = graft.ext.Ivf.load(s"$store/ivf")
     graft.ext.SemDedup.dedup(
         reduced, reduced.limit(0), threshold = 0.9,
         assign = Some(graft.ext.SemDedup.assignIvf(ivf)))
