@@ -1799,6 +1799,31 @@ object ExtQueries {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** X49 extension (round 9) — TRAIN-then-score, ORACLE-CHECKED: the
+    * distributed Newton/IRLS logistic fit ([[graft.ext.QualityModel.fit]])
+    * on one binary feature, where the MLE has a CLOSED FORM — bias =
+    * logit(rate|f=0), weight = logit(rate|f=1) − logit(rate|f=0) — that
+    * DuckDB computes from group label rates. The face then SCORES the
+    * corpus with the engine-fit weights (keep = σ(z) ≥ 0.5 ⟺ z ≥ 0, and
+    * z per group is exactly that group's logit, both safely away from 0
+    * on this data), so the whole train→deploy loop is hash-checked.
+    * Multi-feature recovery, determinism, and the separable-data ridge
+    * path are QualityModelSpec-pinned. */
+  val x49_fit: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val feats = Seq("is_en" -> (col("lang") === "en").cast("double"))
+    val fit = graft.ext.QualityModel.fit(
+      docs, (col("n_chars") > 250).cast("int"), feats)
+    docs.withColumn("keep",
+        (graft.ext.QualityModel.sigmoidScore(fit.bias, fit.terms(feats))
+          >= 0.5).cast("long"))
+      .agg(
+        round(lit(fit.bias), 4).as("bias"),
+        round(lit(fit.weights(0)), 4).as("w_is_en"),
+        sum(when(col("lang") === "en", col("keep")).otherwise(0L)).as("keep_en"),
+        sum(when(col("lang") =!= "en", col("keep")).otherwise(0L)).as("keep_other"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -1903,11 +1928,29 @@ object ExtQueries {
     "x83_robust_norm" -> x83_robust_norm,
     "x23_k_anonymity" -> x23_k_anonymity,
     "x84_image_dedup" -> x84_image_dedup,
-    "x84_image_neardup" -> x84_image_neardup)
+    "x84_image_neardup" -> x84_image_neardup,
+    "x49_fit" -> x49_fit)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
   val oracleSql: Map[String, String] = Map(
+    "x49_fit" ->
+      // closed-form MLE of the one-binary-feature logistic fit + the
+      // keep counts it implies (see the query scaladoc)
+      """WITH r AS (
+        |  SELECT
+        |   avg(CASE WHEN lang = 'en' THEN (n_chars > 250)::int END) AS p1,
+        |   avg(CASE WHEN lang <> 'en' THEN (n_chars > 250)::int END) AS p0,
+        |   sum((lang = 'en')::int) AS n_en,
+        |   sum((lang <> 'en')::int) AS n_other
+        |  FROM documents)
+        | SELECT ROUND(ln(p0 / (1 - p0)), 4) AS bias,
+        |  ROUND(ln(p1 / (1 - p1)) - ln(p0 / (1 - p0)), 4) AS w_is_en,
+        |  CAST(CASE WHEN ln(p1 / (1 - p1)) >= 0 THEN n_en ELSE 0 END
+        |    AS BIGINT) AS keep_en,
+        |  CAST(CASE WHEN ln(p0 / (1 - p0)) >= 0 THEN n_other ELSE 0 END
+        |    AS BIGINT) AS keep_other
+        | FROM r""",
     "x2_minhash_dedup" ->
       // survivor = min doc_id per shingle-SET-equality class: the provable
       // output of the MinHash pipeline at threshold 1.0 (see the query
