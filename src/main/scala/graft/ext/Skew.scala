@@ -91,7 +91,16 @@ object Skew {
     *
     * Pick the smaller/less-skewed side as `right`: its heavy slice is
     * what replicates. `saltFactor` ≈ the per-task row budget you want
-    * for the hottest key. */
+    * for the hottest key.
+    *
+    * NULL join keys follow plain-inner-join SQL semantics: a NULL key
+    * never equals anything (not even another NULL), so NULL-keyed rows
+    * from either side produce NO output rows. Mechanically they route to
+    * the light path (the null-rejecting heavy probe can't mark them) and
+    * the light equi-join drops them there — exactly what the plain join
+    * the operator must equal does. Pinned by SaltedJoinSpec's null-key
+    * test; callers who need null-as-value matching should coalesce keys
+    * to a sentinel first. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       distributeCol: String, saltFactor: Int = 16,
       heavyThreshold: Long = 4000000): DataFrame = {

@@ -51,6 +51,28 @@ class SaltedJoinSpec extends SparkSpec {
     assert(keys === Set(1L, 2L, 3L))
   }
 
+  test("NULL join keys produce no rows on either path — plain-join semantics") {
+    // NULLs planted on both sides, in BOTH regimes: with a heavy key
+    // present (nulls ride beside the salted path) and with the threshold
+    // disabling salting entirely (nulls in the pure light path)
+    val l = left.select($"k", $"lval")
+      .unionByName(Seq((Option.empty[Long], 900L), (Option.empty[Long], 901L))
+        .toDF("k", "lval"))
+    val r = right
+      .unionByName(Seq((Option.empty[Long], "null-r")).toDF("k", "rval"))
+    for (threshold <- Seq(10L, 1000L)) {
+      val got = Skew.saltedJoin(l, r, Seq("k"), "lval",
+          saltFactor = 4, heavyThreshold = threshold)
+        .select("k", "lval", "rval")
+        .as[(Option[Long], Long, String)].collect().sorted.toSeq
+      val plain = l.join(r, Seq("k"))
+        .select("k", "lval", "rval")
+        .as[(Option[Long], Long, String)].collect().sorted.toSeq
+      assert(got === plain, s"threshold=$threshold")
+      assert(!got.exists(_._1.isEmpty), "a NULL key must never join")
+    }
+  }
+
   test("heavy left rows spread over multiple salts (the scatter is real)") {
     // reconstruct the salt the operator derives: distinct values over
     // the hot key's distribute column must land in >1 bucket
