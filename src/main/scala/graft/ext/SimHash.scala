@@ -35,6 +35,28 @@ object SimHash {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame =
     Hamming.pairs64(fingerprints(df, idCol, textCol), "id", "simhash", maxHamming)
+
+  /** Token-multiset-identical duplicate pairs, found through the SimHash
+    * machinery — the PROVABLE subcase (the [[ImageDedup.exactDupPairs]]
+    * pattern): simhash64 accumulates per-token hash bits order-
+    * independently, so an identical token multiset gives an identical
+    * fingerprint ⇒ Hamming 0 ⇒ the banding join finds the pair with
+    * recall 1 BY CONSTRUCTION; candidates are then verified by sorted-
+    * token-array equality, making precision exact (not merely up to a
+    * 64-bit collision). The verify join moves token arrays for the tiny
+    * candidate set only — the corpus-sized relation stays (id, simhash).
+    * Oracle-checkable: DuckDB recomputes the pairs as a sorted-token-list
+    * equality self-join (x2_simhash_neardup). */
+  def exactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      array_sort(TextStats.tokens(col(textCol))).as("st"))
+    val h0 = Hamming.pairs64(fingerprints(df, idCol, textCol),
+      "id", "simhash", maxHamming = 0)
+    h0.join(toks.select(col("id").as("id_a"), col("st").as("st_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("st").as("st_b")), "id_b")
+      .filter(col("st_a") === col("st_b"))
+      .select(col("id_a"), col("id_b"))
+  }
 }
 
 /** X2 — exact n-gram Jaccard similarity via inverted-index join (the

@@ -72,9 +72,17 @@ object ExtQueries {
     Dedup.nearDupPairs(withPlantedDups(t(s, d, "documents")), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
-  /** X2 — SimHash near-dup pairs (Hamming ≤ 3). */
+  /** X2 — SimHash near-dup, ORACLE-CHECKED subcase (promoted round 9,
+    * the x3_ann_lsh/x84 pattern): the full SimHash pipeline —
+    * fingerprint, Hamming banding, verify — run at radius 0 with a
+    * sorted-token-equality verify gate. Identical token multisets give
+    * identical fingerprints (simhash64 accumulates order-independently)
+    * ⇒ recall 1 by construction; the verify gate makes precision exact.
+    * DuckDB recomputes the pairs as a sorted-token-list equality
+    * self-join. The probabilistic Hamming ≤ 3 radius on mutated copies
+    * stays covered by SimHashSpec. */
   val x2_simhash_neardup: Q = (s, d) =>
-    SimHash.nearDupPairs(withPlantedDups(t(s, d, "documents")), "doc_id", "text")
+    SimHash.exactDupPairs(withPlantedDups(t(s, d, "documents")), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
   /** X2 — exact n-gram Jaccard pairs (inverted-index join). */
@@ -1951,6 +1959,22 @@ object ExtQueries {
         |  CAST(CASE WHEN ln(p0 / (1 - p0)) >= 0 THEN n_other ELSE 0 END
         |    AS BIGINT) AS keep_other
         | FROM r""",
+    "x2_simhash_neardup" ->
+      // token-multiset duplicate pairs (the provable radius-0 subcase of
+      // SimHash near-dup — see the query scaladoc): sorted token lists
+      // are a canonical multiset form in both engines
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' appended' FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10),
+        | t AS (
+        |  SELECT doc_id, list_sort(regexp_split_to_array(trim(text), '\s+')) AS st
+        |  FROM planted)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM t a JOIN t b ON a.st = b.st AND a.doc_id < b.doc_id
+        | ORDER BY id_a, id_b""",
     "x2_minhash_dedup" ->
       // survivor = min doc_id per shingle-SET-equality class: the provable
       // output of the MinHash pipeline at threshold 1.0 (see the query

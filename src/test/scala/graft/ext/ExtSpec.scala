@@ -141,6 +141,19 @@ class SimHashSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("exactDupPairs: multiset duplicates recalled, reorderings included, edits excluded") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // identical → pair
+      (3L, "delta gamma beta alpha"),   // same multiset, reordered → pair
+      (4L, "alpha beta gamma epsilon"), // one-token edit → no pair
+      (5L, "alpha alpha beta gamma delta") // different multiplicity → no pair
+    ).toDF("doc_id", "text")
+    val got = SimHash.exactDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
 
 class NgramJaccardSpec extends SparkSpec {
