@@ -73,11 +73,12 @@ object PlanCheck {
     // PreAggExpandRewrite: grouping-sets families must collapse to one row
     // per full key BEFORE Expand replicates per grouping set — in the
     // top-down plan text, an aggregate below Expand prints AFTER it
-    Seq("q17_rollup", "q22_cube", "q32_grouping_sets").foreach { n =>
-      check(n, "partial aggregate BELOW Expand (row multiplication collapsed)")(p =>
-        p.contains("Expand") &&
-          p.substring(p.indexOf("Expand")).contains("HashAggregate"))
-    }
+    Seq("q17_rollup", "q22_cube", "q32_grouping_sets", "q86_rollup_avg")
+      .foreach { n =>
+        check(n, "partial aggregate BELOW Expand (row multiplication collapsed)")(p =>
+          p.contains("Expand") &&
+            p.substring(p.indexOf("Expand")).contains("HashAggregate"))
+      }
     check("q39_revenue_topk", "dim filter broadcast + top-k, no global sort")(p =>
       p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject"))
     check("q40_correlated_scalar", "decorrelated to window: one shuffle, no per-row subquery join")(p =>

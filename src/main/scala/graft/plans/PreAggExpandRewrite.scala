@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, NumericType}
 
 /** Optimizer rule: partial-aggregate BELOW `Expand` for ROLLUP / CUBE /
   * GROUPING SETS — the cure for the named scale-killer "Expand-before-
@@ -27,7 +27,10 @@ import org.apache.spark.sql.types.DecimalType
   *         Aggregate(keys, keys ++ partial(aggs), child)))
   *
   * with COUNT→SUM(partial count) (wrapped in COALESCE(…, 0) to keep the
-  * non-nullable schema), SUM→SUM, MIN→MIN, MAX→MAX.
+  * non-nullable schema), SUM→SUM, MIN→MIN, MAX→MAX, and (r10)
+  * AVG→Σ(partial SUM)/Σ(partial COUNT) — AVG is not itself
+  * re-aggregatable (an average of averages is wrong under unequal group
+  * sizes) but decomposes exactly into two partials that are.
   *
   * Correctness relies only on the aggregates being re-aggregatable and on
   * `spark_grouping_id` riding through untouched, so NULL grouping values
@@ -50,6 +53,15 @@ object PreAggExpandRewrite extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.preAggExpand"
 
+  /** Stamped on the rebuilt Expand: the structural guard (child is an
+    * Aggregate) is sufficient today, but would stop holding if another
+    * fixed-point rule interposed a node (e.g. a Project) between the
+    * Expand and the pre-aggregate — the tag makes "already rewritten"
+    * explicit rather than inferred, so the rule can never stack. */
+  private val RewrittenTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit](
+      "graft.preAggExpand.rewritten")
+
   private def enabled: Boolean =
     conf.getConfString(EnabledKey, "true").toBoolean
 
@@ -57,7 +69,8 @@ object PreAggExpandRewrite extends Rule[LogicalPlan] {
     if (!enabled) plan
     else plan.transformUp {
       case agg @ Aggregate(_, _, expand: Expand, _)
-          if !expand.child.isInstanceOf[Aggregate] =>
+          if !expand.child.isInstanceOf[Aggregate] &&
+            expand.getTagValue(RewrittenTag).isEmpty =>
         rewrite(agg, expand).getOrElse(agg)
     }
 
@@ -137,12 +150,21 @@ object PreAggExpandRewrite extends Rule[LogicalPlan] {
     val litSlotAttrs = AttributeSet(slots.collect { case (a, _: LitSlot) => a })
     if (aggInputRefs.intersect(litSlotAttrs).nonEmpty) return None
 
-    // all aggregate calls must be algebraic, bare, and decimal-free
+    // all aggregate calls must be algebraic (or, for AVG, decomposable
+    // into algebraic partials), bare, and decimal-free
     val supported = aggExpressions.forall { ae =>
       !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
         case _: Count => true
         case Sum(e, _) => !e.dataType.isInstanceOf[DecimalType]
         case _: Min | _: Max => true
+        // AVG = Σsum/Σcount only for plain numerics: decimal re-sum
+        // widens precision, and interval averages have their own
+        // division semantics — both refused
+        case Average(e, _) => e.dataType match {
+          case _: DecimalType => false
+          case _: NumericType => true
+          case _              => false
+        }
         case _ => false
       })
     }
@@ -172,22 +194,34 @@ object PreAggExpandRewrite extends Rule[LogicalPlan] {
     def keyAttrFor(e: Expression): Attribute =
       keyNamed(distinctKeys.indexWhere(_.semanticEquals(e))).toAttribute
 
-    // partial aggregates, one per distinct upper AggregateExpression
+    // partial aggregates — one per distinct upper AggregateExpression,
+    // except AVG which decomposes into a SUM + COUNT partial pair (each
+    // under a FRESH resultId: two buffers must not share an id)
     val distinctAggs = aggExpressions.foldLeft(Seq.empty[AggregateExpression]) {
       (acc, ae) => if (acc.exists(_.semanticEquals(ae))) acc else acc :+ ae
     }
-    val partials: Seq[(AggregateExpression, Alias)] = distinctAggs.map { ae =>
+    val partials: Seq[(AggregateExpression, Seq[Alias])] = distinctAggs.map { ae =>
       val loweredFn = ae.aggregateFunction
         .transform { case a: Attribute => childSideOf.getOrElse(a, a) }
         .asInstanceOf[AggregateFunction]
       // inputs must now be pure child-side expressions
       if (!loweredFn.references.subsetOf(expand.child.outputSet)) return None
-      ae -> Alias(ae.copy(aggregateFunction = loweredFn), "__graft_partial")()
+      val aliases = loweredFn match {
+        case Average(e, _) => Seq(
+          Alias(ae.copy(aggregateFunction = Sum(e),
+            resultId = NamedExpression.newExprId), "__graft_psum")(),
+          Alias(ae.copy(aggregateFunction = Count(e),
+            resultId = NamedExpression.newExprId), "__graft_pcnt")())
+        case fn =>
+          Seq(Alias(ae.copy(aggregateFunction = fn), "__graft_partial")())
+      }
+      ae -> aliases
     }
-    val lower = Aggregate(keyNamed, keyNamed ++ partials.map(_._2), expand.child)
+    val lower =
+      Aggregate(keyNamed, keyNamed ++ partials.flatMap(_._2), expand.child)
 
     // ---- rebuilt Expand over the collapsed relation --------------------
-    val partialAttrs = partials.map(_._2.toAttribute)
+    val partialAttrs = partials.flatMap(_._2).map(_.toAttribute)
     val keptSlots = slots.filter {
       case (_, _: LitSlot) => true
       case (a, _)          => keySlots.exists(_._1 == a)
@@ -204,11 +238,13 @@ object PreAggExpandRewrite extends Rule[LogicalPlan] {
     // resolve unchanged; partial columns ride through under their own ids
     val newOutput = keptSlots.map(_._1) ++ partialAttrs
     val newExpand = Expand(newProjections, newOutput, lower)
+    newExpand.setTagValue(RewrittenTag, ())
 
     // ---- upper aggregate over merged partials --------------------------
     val mergeOf: Map[AggregateExpression, Expression] =
-      partials.map { case (ae, partial) =>
-        val pa = partial.toAttribute
+      partials.map { case (ae, ps) =>
+        val pAttrs = ps.map(_.toAttribute)
+        val pa = pAttrs.head
         val merged: Expression = ae.aggregateFunction match {
           case _: Count =>
             // COUNT is non-nullable; SUM of never-null partial counts can
@@ -219,6 +255,20 @@ object PreAggExpandRewrite extends Rule[LogicalPlan] {
           case _: Sum => ae.copy(aggregateFunction = Sum(pa))
           case _: Min => ae.copy(aggregateFunction = Min(pa))
           case _: Max => ae.copy(aggregateFunction = Max(pa))
+          case _: Average =>
+            // AVG = Σ partial sums / Σ partial non-null counts. LEGACY
+            // division (Average's own internal mode) yields NULL when the
+            // count is 0, reproducing AVG's all-null-group result even
+            // under ANSI sessions; casts normalize both sides to AVG's
+            // double result type (partial sums may be long for integral
+            // inputs)
+            val Seq(psum, pcnt) = pAttrs
+            Divide(
+              Cast(ae.copy(aggregateFunction = Sum(psum),
+                resultId = NamedExpression.newExprId), DoubleType),
+              Cast(ae.copy(aggregateFunction = Sum(pcnt),
+                resultId = NamedExpression.newExprId), DoubleType),
+              EvalMode.LEGACY)
           case _      => return None
         }
         if (merged.dataType != ae.dataType) return None

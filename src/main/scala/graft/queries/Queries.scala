@@ -1421,6 +1421,24 @@ object Queries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Q86 — AVG under ROLLUP: the face for [[graft.plans.PreAggExpandRewrite]]'s
+    * r10 AVG decomposition (Σ partial SUM / Σ partial COUNT below the
+    * Expand). AVG is the most common rollup aggregate in dashboards, and
+    * an average-of-averages shortcut would be WRONG under unequal group
+    * sizes — the oracle hash-checks the exact decomposition. Rounding
+    * uses the +1e-9 nudge (q44 contract) so half-at-digit ties agree
+    * with DuckDB. */
+  val q86_rollup_avg: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(avg(col("l_quantity")) + 1e-9, 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")) + 1e-9, 2).as("avg_price"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
@@ -1507,7 +1525,8 @@ object Queries {
     "q82_float_edges" -> q82_float_edges,
     "q83_pit_lookup" -> q83_pit_lookup,
     "q84_bit_agg" -> q84_bit_agg,
-    "q85_struct" -> q85_struct)
+    "q85_struct" -> q85_struct,
+    "q86_rollup_avg" -> q86_rollup_avg)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
@@ -2205,5 +2224,12 @@ object Queries {
         |   max({'bal': ROUND(c_acctbal, 2), 'key': c_custkey}) AS x
         |  FROM customer GROUP BY c_mktsegment)
         | ORDER BY c_mktsegment""",
+    "q86_rollup_avg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  ROUND(AVG(l_quantity) + 1e-9, 2) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice) + 1e-9, 2) AS avg_price,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

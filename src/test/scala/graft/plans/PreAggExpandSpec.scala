@@ -97,8 +97,33 @@ class PreAggExpandSpec extends SparkSpec {
       .agg(countDistinct($"g2").as("cd")))))
   }
 
-  test("guard: non-algebraic aggregate (avg) is not rewritten") {
-    val q = df.cube($"g1").agg(avg($"v").as("a"))
+  test("cube avg (double with nulls) ≡ stock plan") {
+    checkSame(df.cube($"g1", $"g2").agg(
+      avg($"v").as("av"), count(lit(1)).as("cnt")))
+  }
+
+  test("rollup avg over integral input (long→double) ≡ stock plan") {
+    checkSame(df.rollup($"g1").agg(
+      avg($"n").as("an"), sum($"n").as("sn"), avg($"v").as("av")))
+  }
+
+  test("avg of an all-null group stays NULL through the decomposition") {
+    // group "dead" carries ONLY null measures: Σcount=0 must merge to
+    // NULL (LEGACY division), not a divide-by-zero error or 0
+    val d = Seq(("dead", None: Option[Double]), ("dead", None),
+      ("live", Some(2.0)), ("live", Some(4.0))).toDF("g", "v")
+    val build = d.cube($"g").agg(avg($"v").as("av"), count($"v").as("cv"))
+    assert(expandReadsFromAggregate(build))
+    val got = build.collect().map(r =>
+      (r.getAs[String]("g"), Option(r.getAs[Any]("av")))).toMap
+    assert(got(("dead")) === None)
+    assert(got(("live")) === Some(3.0))
+    checkSame(d.cube($"g").agg(avg($"v").as("av")))
+  }
+
+  test("guard: decimal AVG is not rewritten") {
+    val d = df.withColumn("dec", $"n".cast("decimal(10,2)"))
+    val q = d.cube($"g1").agg(avg($"dec").as("ad"))
     assert(!expandReadsFromAggregate(q))
   }
 
