@@ -1807,6 +1807,50 @@ object ExtQueries {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** X85 (round 10) — perceptual audio dedup, oracle face: 90 clips of
+    * REAL WAV bytes (16-bit PCM tone mixtures via the javax.sound
+    * encoder) whose content derives from `doc_id % 30`, so
+    * byte-identical duplicate groups are planted by construction; the
+    * engine finds them PERCEPTUALLY (decode → energy-band signature →
+    * Hamming-0 banding → PCM-checksum verify — recall 1 by
+    * construction, see [[graft.ext.AudioDedup.exactDupPairs]]) and
+    * DuckDB reproduces the ground truth as a modular self-join over the
+    * same doc_ids (the x84 pattern). */
+  val x85_audio_dedup: Q = (s, d) => {
+    import s.implicits._
+    val media = t(s, d, "documents")
+      .filter(col("doc_id") < 90).select(col("doc_id")).as[Long]
+      .map(i => Multimodal.MediaRow(i, s"synthetic://wav/$i", "audio/wav",
+        graft.ext.AudioDedup.encodeToneWav(4000, 8000, seed = i % 30)))
+    graft.ext.AudioDedup.exactDupPairs(graft.ext.AudioDedup.fingerprints(media))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** X85 — perceptual audio NEAR-dup face (Tier B rows-only: Goertzel
+    * band energies over resampled PCM have no SQL oracle): 30 originals
+    * plus a REAL resampled copy (same continuous signal rendered at
+    * 11.025 kHz) and a gain-halved copy of each, plus planted corrupt
+    * bytes; energy-band Hamming banding at the default radius 14
+    * recalls every variant pair (spec-pinned margins: variants ≤ 13
+    * bits away, distinct seeds ≥ 19). */
+  val x85_audio_neardup: Q = (s, _) => {
+    import s.implicits._
+    val media = s.range(30).as[Long].flatMap { i =>
+      Seq(
+        Multimodal.MediaRow(i, s"orig/$i", "audio/wav",
+          graft.ext.AudioDedup.encodeToneWav(8000, 8000, seed = i)),
+        Multimodal.MediaRow(1000 + i, s"rs/$i", "audio/wav",
+          graft.ext.AudioDedup.encodeToneWav(11025, 11025, seed = i)),
+        Multimodal.MediaRow(2000 + i, s"gain/$i", "audio/wav",
+          graft.ext.AudioDedup.encodeToneWav(8000, 8000, seed = i, gain = 0.5))) ++
+        (if (i == 0) Seq(Multimodal.MediaRow(
+          9999, "corrupt", "audio/wav", Array[Byte](1, 2, 3))) else Nil)
+    }
+    graft.ext.AudioDedup.nearDupPairs(
+        graft.ext.AudioDedup.fingerprints(media))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** X49 extension (round 9) — TRAIN-then-score, ORACLE-CHECKED: the
     * distributed Newton/IRLS logistic fit ([[graft.ext.QualityModel.fit]])
     * on one binary feature, where the MLE has a CLOSED FORM — bias =
@@ -1937,6 +1981,8 @@ object ExtQueries {
     "x23_k_anonymity" -> x23_k_anonymity,
     "x84_image_dedup" -> x84_image_dedup,
     "x84_image_neardup" -> x84_image_neardup,
+    "x85_audio_dedup" -> x85_audio_dedup,
+    "x85_audio_neardup" -> x85_audio_neardup,
     "x49_fit" -> x49_fit)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
@@ -2013,6 +2059,12 @@ object ExtQueries {
         | FROM documents a JOIN documents b
         |   ON a.doc_id % 30 = b.doc_id % 30 AND a.doc_id < b.doc_id
         | WHERE a.doc_id < 120 AND b.doc_id < 120
+        | ORDER BY media_a, media_b""",
+    "x85_audio_dedup" ->
+      """SELECT a.doc_id AS media_a, b.doc_id AS media_b
+        | FROM documents a JOIN documents b
+        |   ON a.doc_id % 30 = b.doc_id % 30 AND a.doc_id < b.doc_id
+        | WHERE a.doc_id < 90 AND b.doc_id < 90
         | ORDER BY media_a, media_b""",
     "x1_dedup_exact" ->
       """WITH planted AS (
