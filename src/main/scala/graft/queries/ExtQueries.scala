@@ -160,17 +160,29 @@ object ExtQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** X3 — IVF (inverted-file) approximate top-k: centroid-partitioned
-    * probe join (same queries; the second scale path). */
+  /** X3 — IVF (inverted-file) top-k, ORACLE-CHECKED subcase (promoted
+    * round 10 from Tier B, the x3_ann_lsh trick): queries drawn FROM the
+    * corpus run the full pipeline — k-means training, inverted-list
+    * assignment, nprobe centroid probe, list equi-join, cosine scoring,
+    * rank window — and the rank-1 row is PROVABLE for ANY trained model:
+    * the query IS a corpus vector, its indexed copy lives in the list of
+    * its nearest centroid, and the probe set (the query's own nprobe ≥ 1
+    * nearest centroids, same expression on the same vector) always
+    * contains that list — so self is always a candidate, scores cosine
+    * 1.0, and (the corpus has no duplicate/parallel vectors in this id
+    * range — the x3_ann_lsh precondition) nothing else rounds to 1.0.
+    * Top-1 = self for all 10 queries, which DuckDB states directly. The
+    * approximate ranks 2..k remain covered by IvfSpec's recall pins. */
   val x3_ann_ivf: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
     val model = graft.ext.Ivf.train(emb, k = 16, iters = 3)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
     graft.ext.Ivf.topK(emb, queries, model, k = 5, nprobe = 4)
+      .filter(col("rank") === 1)
       .select(col("query_id"), col("id"), round(col("score"), 4).as("score"),
         col("rank").cast("long").as("rank"))
-      .orderBy(col("query_id"), col("rank"))
+      .orderBy(col("query_id"))
   }
 
   /** X4 — language-ID histogram over the enriched documents table. */
@@ -452,14 +464,24 @@ object ExtQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** X9 — Z-order layout effectiveness, measured as a query (Tier B):
-    * write events z-ordered on (user_id, value) into 16 files, then
-    * report, for a probe covering 1/8 of each dimension's DATA MASS
-    * (quantile bounds, not value bounds — a value-range probe into a
-    * skewed tail legitimately selects most rows, which measures the
-    * probe, not the layout), how many files' min/max stats overlap it.
-    * Deterministic: fixed data, file count, probes. Both dimensions
-    * should prune most files — what a single-column sort cannot do. */
+  /** X9 — Z-order layout, ORACLE-CHECKED round trip (promoted round 10
+    * from Tier B, the x10_orc_roundtrip pattern): write events z-ordered
+    * on (user_id, value) into 16 files, read the layout back, and return
+    * per-bucket CONTENT aggregates that DuckDB reproduces from the
+    * original table directly — a z-order write is a reordering, so the
+    * multiset of rows must survive byte-for-byte, and the hash check
+    * pins exactly that.
+    *
+    * The LAYOUT property (the reason z-order exists) stays enforced, now
+    * as a hard runtime gate instead of a reported number: for a probe
+    * covering 1/8 of each dimension's DATA MASS (quantile bounds, not
+    * value bounds — a value-range probe into a skewed tail legitimately
+    * selects most rows, which measures the probe, not the layout), BOTH
+    * dimensions must overlap under half the files' min/max stats — what
+    * a single-column sort cannot do (measured at sf0.01: 4 of 15 files
+    * per dimension; ZOrderSpec pins the tighter margins). A layout
+    * regression now FAILS the face rather than shifting a Tier-B row
+    * nobody diffs. */
   val x9_zorder: Q = (s, d) => {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder_q").toString
     val ev = t(s, d, "events").select(
@@ -467,7 +489,8 @@ object ExtQueries {
     graft.sources.ZOrder.writeZOrdered(ev, Seq("u", "v"), dir, numFiles = 16)
     val Array(ulo, uhi) = ev.stat.approxQuantile("u", Array(0.25, 0.375), 0.001)
     val Array(vlo, vhi) = ev.stat.approxQuantile("v", Array(0.25, 0.375), 0.001)
-    val stats = s.read.parquet(dir)
+    val back = s.read.parquet(dir)
+    val stats = back
       .withColumn("__f", col("_metadata.file_path"))
       .groupBy("__f")
       .agg(min(col("u")).as("ulo"), max(col("u")).as("uhi"),
@@ -475,25 +498,29 @@ object ExtQueries {
     def overlap(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
         plo: Double, phi: Double): org.apache.spark.sql.Column =
       sum(when(lo <= phi && hi >= plo, 1L).otherwise(0L))
-    val report = stats.agg(
+    val gate = stats.agg(
         count(lit(1)).as("files"),
-        overlap(col("ulo"), col("uhi"), ulo, uhi).as("files_hit_u_probe"),
-        overlap(col("vlo"), col("vhi"), vlo, vhi).as("files_hit_v_probe"))
-      .collect().toSeq
-    // the written layout was only scaffolding for the stats — remove it
-    // (repeated bench/verify passes must not leak temp trees), and return
-    // the one-row report as a local relation
+        overlap(col("ulo"), col("uhi"), ulo, uhi).as("hit_u"),
+        overlap(col("vlo"), col("vhi"), vlo, vhi).as("hit_v"))
+      .collect().head
+    require(gate.getLong(1) * 2 < gate.getLong(0) &&
+      gate.getLong(2) * 2 < gate.getLong(0),
+      s"z-order layout degraded: ${gate.getLong(1)}/${gate.getLong(2)} of " +
+        s"${gate.getLong(0)} files overlap a 1/8-mass probe")
+    // oracle-checked content round trip over the READ-BACK layout,
+    // materialized before the temp tree is removed
+    val report = back
+      .groupBy(pmod(col("u").cast("long"), lit(8)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("u")).as("n_users"),
+        round(sum(col("v")), 2).as("v_sum"))
+      .orderBy(col("bucket"))
+    val rows = report.collect().toSeq
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(report).asJava),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("files",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("files_hit_u_probe",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("files_hit_v_probe",
-          org.apache.spark.sql.types.LongType))))
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      report.schema)
   }
 
   /** X8 — mergeable FREQUENCY sketches (Count-Min, the companion of the
@@ -1851,6 +1878,81 @@ object ExtQueries {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** X0 (round 10) — the MULTIMODAL flagship composition, doing for the
+    * binary-media operators what [[x0_web_pipeline]] does for text:
+    * synthesize an image corpus (real PNG/JPEG bytes) and an audio
+    * corpus (real WAV bytes) with planted near-dup structure — every id
+    * triple shares content (seed = id/3) across a re-encode variant
+    * (JPEG / gain change) and a re-render variant (different resolution
+    * / different sample rate) plus planted corrupt bytes — then run the
+    * full perceptual dedup chain per modality: decode → fingerprint
+    * (X84 dHash / X85 energy-band signature) → Hamming banding with the
+    * production `maxChunkFreq` skew cap engaged → greedy min-id keep
+    * policy → an X72-style savings report (items, decodable, candidate
+    * pairs, redundant, % saved). Tier B (rows-only): every constituent
+    * is oracle-checked or spec-pinned individually; this adds their
+    * composition at corpus scale, where banding-bucket skew (the
+    * letterbox/silence hazard) is the thing the 120-item faces cannot
+    * see. `n_redundant` counts items with a smaller-id near-dup — the
+    * deterministic greedy-survivor accounting, exact for clique groups.
+    *
+    * Expect MORE than the planted 2-of-3 on the image side at full
+    * corpus (3000 items / 1000 seeds): [[graft.ext.ImageDedup
+    * .encodeSmoothPng]] draws from only 9 (fx, fy) frequency classes,
+    * so distinct seeds with nearby phases produce genuinely similar
+    * pictures and the metric correctly pairs them — the templated-asset
+    * self-similarity a real crawl shows, not a false-positive bug
+    * (r10 journal: image 12 100 pairs / 86.5% vs audio 3 345 / 68.4%,
+    * whose continuous per-seed frequencies stay diverse). */
+  val x0_media_pipeline: Q = (s, d) => {
+    import s.implicits._
+    val ids = t(s, d, "documents")
+      .filter(col("doc_id") < 3000).select(col("doc_id")).as[Long]
+    val images = ids.map { i =>
+      val seed = i / 3
+      val data =
+        if (i % 500 == 499) Array[Byte](9, 9, 9) // planted corrupt
+        else (i % 3) match {
+          case 0 => graft.ext.ImageDedup.encodeSmoothPng(64, 48, seed)
+          case 1 => graft.ext.ImageDedup.encodeSmoothJpeg(64, 48, seed)
+          case _ => graft.ext.ImageDedup.encodeSmoothPng(32, 24, seed)
+        }
+      Multimodal.MediaRow(i, s"img/$i", "image/*", data)
+    }
+    val audio = ids.map { i =>
+      val seed = i / 3
+      val data =
+        if (i % 500 == 499) Array[Byte](9, 9, 9)
+        else (i % 3) match {
+          case 0 => graft.ext.AudioDedup.encodeToneWav(8000, 8000, seed)
+          case 1 => graft.ext.AudioDedup.encodeToneWav(8000, 8000, seed, gain = 0.5)
+          case _ => graft.ext.AudioDedup.encodeToneWav(11025, 11025, seed)
+        }
+      Multimodal.MediaRow(i, s"wav/$i", "audio/wav", data)
+    }
+    def report(modality: String, fp: DataFrame, validCol: String,
+        pairs: DataFrame): DataFrame = {
+      val base = fp.agg(count(lit(1)).as("n_items"),
+        count(col(validCol)).as("n_decodable"))
+      val p = pairs.agg(count(lit(1)).as("n_pairs")).crossJoin(
+        pairs.select(col("media_b")).distinct()
+          .agg(count(lit(1)).as("n_redundant")))
+      base.crossJoin(p).select(
+        lit(modality).as("modality"), col("n_items"), col("n_decodable"),
+        col("n_pairs"), col("n_redundant"),
+        round(col("n_redundant") * 100.0 / col("n_items"), 2).as("pct_saved"))
+    }
+    val imgFp = graft.ext.ImageDedup.fingerprints(images)
+    val audFp = graft.ext.AudioDedup.fingerprints(audio)
+    report("image", imgFp, "dhash",
+        graft.ext.ImageDedup.nearDupPairs(imgFp, maxHamming = 10,
+          maxChunkFreq = Some(256)))
+      .unionByName(report("audio", audFp, "sig",
+        graft.ext.AudioDedup.nearDupPairs(audFp, maxHamming = 14,
+          maxChunkFreq = Some(256))))
+      .orderBy(col("modality"))
+  }
+
   /** X49 extension (round 9) — TRAIN-then-score, ORACLE-CHECKED: the
     * distributed Newton/IRLS logistic fit ([[graft.ext.QualityModel.fit]])
     * on one binary feature, where the MLE has a CLOSED FORM — bias =
@@ -1983,6 +2085,7 @@ object ExtQueries {
     "x84_image_neardup" -> x84_image_neardup,
     "x85_audio_dedup" -> x85_audio_dedup,
     "x85_audio_neardup" -> x85_audio_neardup,
+    "x0_media_pipeline" -> x0_media_pipeline,
     "x49_fit" -> x49_fit)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
@@ -2066,6 +2169,22 @@ object ExtQueries {
         |   ON a.doc_id % 30 = b.doc_id % 30 AND a.doc_id < b.doc_id
         | WHERE a.doc_id < 90 AND b.doc_id < 90
         | ORDER BY media_a, media_b""",
+    "x3_ann_ivf" ->
+      // top-1 = self at cosine 1.0 for corpus-member queries: the probe
+      // set always contains the query's own inverted list (see the query
+      // scaladoc)
+      """SELECT vec_id AS query_id, vec_id AS id, 1.0 AS score,
+        |  CAST(1 AS BIGINT) AS rank
+        | FROM embeddings WHERE vec_id < 10 ORDER BY query_id""",
+    "x9_zorder" ->
+      // the z-order write is a REORDERING: per-bucket content aggregates
+      // over the read-back layout must equal the same aggregates over the
+      // source table (the layout-pruning property is gated inside the
+      // query and margin-pinned in ZOrderSpec)
+      """SELECT CAST(CAST(user_id AS DOUBLE) AS BIGINT) % 8 AS bucket,
+        |  COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users,
+        |  ROUND(SUM(value), 2) AS v_sum
+        | FROM events GROUP BY 1 ORDER BY bucket""",
     "x1_dedup_exact" ->
       """WITH planted AS (
         |  SELECT doc_id, text FROM documents
