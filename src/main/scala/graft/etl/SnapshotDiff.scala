@@ -85,8 +85,12 @@ object SnapshotDiff {
     * fall back to the generic [[diff]].
     *
     * The delta subtree is consumed twice (sketch build + content
-    * compare) — pass a materialized/checkpointed delta, which is what a
-    * production audit has in hand anyway.
+    * compare), so by default (`materializeDelta = true`) it is
+    * localCheckpointed internally before first use — an expensive lazy
+    * delta can never be silently recomputed. Callers that already hold
+    * a materialized/checkpointed delta (the usual production case: the
+    * applied change set is an input file) pass `materializeDelta =
+    * false` to skip the redundant persist.
     *
     * Contract (same as [[Upsert.upsert]]): delta keys are unique; NULL
     * key components match null-safely on both paths. Delta must carry
@@ -96,9 +100,11 @@ object SnapshotDiff {
     *
     * @param numBits Bloom size in bits; the 2^24 default (2 MB) holds
     *   ~2M delta keys at ~1% fpp — size up with the delta. */
-  def auditDelta(base: DataFrame, delta: DataFrame,
-      keys: Seq[String], numBits: Int = 1 << 24): DataFrame = {
+  def auditDelta(base: DataFrame, rawDelta: DataFrame,
+      keys: Seq[String], numBits: Int = 1 << 24,
+      materializeDelta: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "at least one key column")
+    val delta = if (materializeDelta) rawDelta.localCheckpoint() else rawDelta
     val attrCols = base.columns.filterNot(keys.contains)
     require(delta.columns.filterNot(keys.contains).sorted.sameElements(attrCols.sorted),
       "delta must share the base's non-key columns")

@@ -94,7 +94,13 @@ object QualityModel {
     * @param label 0/1 (or boolean) label column
     * @param features (name, expression) pairs; expressions must be
     *   non-null finite doubles
-    * @return fitted bias/weights + final gradient norm (= 0 at the MLE) */
+    * @return fitted bias/weights + a convergence diagnostic: `gradNorm`
+    *   is the gradient norm at the START of the LAST iteration (the
+    *   penultimate iterate — the returned weights are one Newton step
+    *   past it, so the diagnostic lags one step; near the MLE it bounds
+    *   the final norm from above by quadratic convergence, and
+    *   recomputing at the returned weights would cost one extra full
+    *   scan for a number only read by humans) */
   def fit(df: DataFrame, label: Column, features: Seq[(String, Column)],
       iters: Int = 8, ridge: Double = 1e-8): Fit = {
     require(features.nonEmpty, "at least one feature")

@@ -136,7 +136,14 @@ object ExtQueries {
     * collision by construction), scores cosine 1.0, and nothing else can
     * reach 1.0 on this corpus — so top-1 = self for all 50 queries, which
     * DuckDB states directly. The approximate ranks 2..k remain covered by
-    * x3_ann_ivf (Tier B by design) and the recall property specs. */
+    * the recall property specs.
+    *
+    * Precondition (shared with x3_ann_ivf): the generated embeddings
+    * for vec_id < 50 are pairwise non-parallel — no second vector ties
+    * at cosine 1.0. This holds for the driver's random generator by
+    * construction; if a future generator ever planted a duplicate, the
+    * rank window's (score DESC, id) tie-break makes the failure a
+    * DETERMINISTIC hash mismatch on the smaller id, not a flaky one. */
   val x3_ann_lsh: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
     val queries = emb.filter(col("vec_id") < 50)
