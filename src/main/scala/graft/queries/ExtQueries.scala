@@ -225,16 +225,32 @@ object ExtQueries {
 
   /** X5 — multimodal stub pipeline: synthesize → batched decode →
     * per-mime feature aggregate (includes planted-corrupt accounting). */
+  /** X5 — multimodal feature extraction, ORACLE-CHECKED (promoted round
+    * 10, the x9_zorder pattern): the synthesized corpus's geometry is a
+    * pure function of the id (PNG/video width = 8+(i%5)·4, audio "width"
+    * = the 8000 Hz sample rate; corrupt rows at i%97=13), so the per-mime
+    * decode report — REAL ImageIO and javax.sound decodes included — is
+    * SQL-stateable and hash-checked against DuckDB's range() formula.
+    * The one non-SQL-able column (total encoded bytes: codec-dependent)
+    * becomes a runtime gate instead of a reported number. */
   val x5_multimodal: Q = (s, d) => {
     val media = Multimodal.synthesize(s, 500)
-    Multimodal.extractFeatures(media)
-      .groupBy(col("mime"))
+    val feats = Multimodal.extractFeatures(media)
+    val report = feats.groupBy(col("mime"))
       .agg(
         count(lit(1)).as("n_items"),
         sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
-        sum(col("size_bytes")).as("total_bytes"),
-        round(avg(when(col("valid"), col("width"))), 4).as("avg_width"))
+        round(avg(when(col("valid"), col("width"))), 4).as("avg_width"),
+        sum(col("size_bytes")).as("__bytes"))
       .orderBy(col("mime"))
+      .collect()
+    report.foreach { r =>
+      require(r.getLong(r.fieldIndex("__bytes")) > 0,
+        s"${r.getString(0)}: encoded corpus has zero bytes") }
+    import s.implicits._
+    report.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .toDF("mime", "n_items", "n_valid", "avg_width")
   }
 
   /** X4 — term frequency via explode + groupBy (the TF building block). */
@@ -339,17 +355,25 @@ object ExtQueries {
         sum(when(col("thumb_png").isNotNull, 1L).otherwise(0L)).as("n_thumbed"),
         max(length(col("thumb_png"))).cast("long").as("max_thumb_bytes"))
 
-  /** X5 — real-audio features: every WAV row decodes through javax.sound
-    * (16-bit PCM) into rate/channels/samples/RMS; non-audio rows audit as
-    * undecoded. RMS is rounded so the Tier B row dump is stable. */
-  val x5_audio: Q = (s, d) =>
-    Multimodal.audioFeatures(Multimodal.synthesize(s, 200))
-      .groupBy(col("sample_rate"))
-      .agg(
-        count(lit(1)).as("n_items"),
-        sum(col("n_samples")).as("total_samples"),
-        round(avg(col("rms")), 4).as("mean_rms"))
-      .orderBy(col("sample_rate").asc_nulls_first)
+  /** X5 — real-audio features, ORACLE-CHECKED (promoted round 10, the
+    * x9_zorder pattern): every WAV row decodes through javax.sound
+    * (16-bit PCM); the decoded rate/channels/sample-count are pure
+    * functions of the id in the synthesized corpus (8000 Hz, mono,
+    * 32+(i%50) samples; audio rows are i%3=2 minus the i%97=13 corrupts),
+    * so the PER-ROW decode output hash-checks against DuckDB's range()
+    * formula — a real encode→decode round trip certified cross-engine.
+    * The non-SQL-able feature (RMS of the LCG noise: uniform white ⇒
+    * ≈ 1/√3) becomes a runtime gate on every decoded row. */
+  val x5_audio: Q = (s, d) => {
+    val feats = Multimodal.audioFeatures(Multimodal.synthesize(s, 200))
+    val rms = feats.filter(col("rms").isNotNull)
+      .agg(min(col("rms")), max(col("rms"))).head
+    require(rms.getDouble(0) > 0.35 && rms.getDouble(1) < 0.8,
+      s"decoded PCM RMS outside the uniform-noise band: $rms")
+    feats.select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_samples"))
+      .orderBy(col("media_id"))
+  }
 
   /** X7 — deterministic train/val/test split (~80/10/10): assignment by
     * md5 of the stable document id against hex thresholds — portable
@@ -2183,6 +2207,29 @@ object ExtQueries {
       """SELECT vec_id AS query_id, vec_id AS id, 1.0 AS score,
         |  CAST(1 AS BIGINT) AS rank
         | FROM embeddings WHERE vec_id < 10 ORDER BY query_id""",
+    "x5_multimodal" ->
+      // the synthesized corpus's geometry is a pure function of the id
+      // (see Multimodal.synthesize); corrupt rows at i%97=13
+      """WITH m AS (
+        |  SELECT i,
+        |   CASE WHEN i%3=0 THEN 'image/png' WHEN i%3=1 THEN 'video/fake'
+        |        ELSE 'audio/wav' END AS mime,
+        |   (i%97 <> 13) AS ok,
+        |   CASE WHEN i%3=2 THEN 8000 ELSE 8+(i%5)*4 END AS w
+        |  FROM range(500) t(i))
+        | SELECT mime, COUNT(*) AS n_items,
+        |  CAST(COUNT(*) FILTER (WHERE ok) AS BIGINT) AS n_valid,
+        |  ROUND(AVG(CASE WHEN ok THEN w END), 4) AS avg_width
+        | FROM m GROUP BY mime ORDER BY mime""",
+    "x5_audio" ->
+      // audio rows are i%3=2 minus the i%97=13 corrupts: 8 kHz mono,
+      // 32+(i%50) PCM samples — the decode must recover exactly these
+      """SELECT i AS media_id,
+        |  CASE WHEN i%3=2 AND i%97<>13 THEN 8000 END AS sample_rate,
+        |  CASE WHEN i%3=2 AND i%97<>13 THEN 1 END AS channels,
+        |  CAST(CASE WHEN i%3=2 AND i%97<>13 THEN 32+(i%50) END AS BIGINT)
+        |    AS n_samples
+        | FROM range(200) t(i) ORDER BY media_id""",
     "x9_zorder" ->
       // the z-order write is a REORDERING: per-bucket content aggregates
       // over the read-back layout must equal the same aggregates over the
