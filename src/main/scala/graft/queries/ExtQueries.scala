@@ -1984,6 +1984,43 @@ object ExtQueries {
       .orderBy(col("modality"))
   }
 
+  /** X86 (round 10) — small-file compaction, ORACLE-CHECKED round trip
+    * (the x9_zorder pattern): documents written as 64 deliberately tiny
+    * parquet files (the ingest-debris shape the reference's
+    * file-at-a-time model produces at scale), compacted via
+    * [[graft.sources.Compact.parquetDir]] to a byte-targeted file
+    * count, read BACK from the compacted layout, and reported as
+    * per-lang content aggregates DuckDB reproduces from the source
+    * table — compaction is a pure relayout, so the row multiset must
+    * survive exactly. The LAYOUT property is a hard runtime gate: the
+    * output file count must match the byte-derived plan and be far
+    * under the input's 64 (a compaction that doesn't compact fails the
+    * face, not a dashboard). */
+  val x86_compaction: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_q").toString
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.repartition(64).write.parquet(s"$root/src")
+    val stats = graft.sources.Compact.parquetDir(
+      s, s"$root/src", s"$root/out", targetFileBytes = 4L * 1024 * 1024)
+    val (filesAfter, _) = graft.sources.Compact.dirStats(s, s"$root/out")
+    require(filesAfter == stats.outFiles && filesAfter < stats.files,
+      s"compaction layout wrong: $filesAfter files out vs planned " +
+        s"${stats.outFiles} from ${stats.files} in")
+    val report = s.read.parquet(s"$root/out")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+    val rows = report.collect().toSeq
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      report.schema)
+  }
+
   /** X49 extension (round 9) — TRAIN-then-score, ORACLE-CHECKED: the
     * distributed Newton/IRLS logistic fit ([[graft.ext.QualityModel.fit]])
     * on one binary feature, where the MLE has a CLOSED FORM — bias =
@@ -2117,6 +2154,7 @@ object ExtQueries {
     "x85_audio_dedup" -> x85_audio_dedup,
     "x85_audio_neardup" -> x85_audio_neardup,
     "x0_media_pipeline" -> x0_media_pipeline,
+    "x86_compaction" -> x86_compaction,
     "x49_fit" -> x49_fit)
 
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
@@ -2230,6 +2268,14 @@ object ExtQueries {
         |  CAST(CASE WHEN i%3=2 AND i%97<>13 THEN 32+(i%50) END AS BIGINT)
         |    AS n_samples
         | FROM range(200) t(i) ORDER BY media_id""",
+    "x86_compaction" ->
+      // compaction is a pure relayout: per-lang content aggregates over
+      // the compacted output must equal the same over the source table
+      // (file-count plan gated inside the query)
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        | FROM documents GROUP BY lang ORDER BY lang""",
     "x9_zorder" ->
       // the z-order write is a REORDERING: per-bucket content aggregates
       // over the read-back layout must equal the same aggregates over the
