@@ -341,19 +341,41 @@ object ExtQueries {
       .orderBy(col("mix_source"))
   }
 
-  /** X5 — frame sampling output (video analog). */
+  /** X5 — frame sampling, ORACLE-CHECKED (promoted round 10): the
+    * per-modality frame counts of the synthesized corpus are pure
+    * functions of the id (images decode to 1 frame, synthetic video to
+    * 1+(i%7), WAV to its 32+(i%50) PCM frames; the i%97=13 corrupt is
+    * excluded by the valid filter), so the every-2nd-frame explode is
+    * exactly a DuckDB generate_series over the same formulas. */
   val x5_frame_sample: Q = (s, d) =>
     Multimodal.sampleFrames(Multimodal.synthesize(s, 100), everyN = 2)
+      .select(col("media_id"), col("uri"),
+        col("frame_idx").cast("long").as("frame_idx"))
       .orderBy(col("media_id"), col("frame_idx"))
 
-  /** X5 — real-image resize: every PNG row decodes through ImageIO and
-    * re-encodes as a bounded thumbnail; non-image rows audit as un-thumbed. */
-  val x5_thumbnail: Q = (s, d) =>
-    Multimodal.thumbnails(Multimodal.synthesize(s, 200), maxDim = 4)
-      .agg(
-        count(lit(1)).as("n_items"),
-        sum(when(col("thumb_png").isNotNull, 1L).otherwise(0L)).as("n_thumbed"),
-        max(length(col("thumb_png"))).cast("long").as("max_thumb_bytes"))
+  /** X5 — real-image resize, ORACLE-CHECKED round trip (promoted round
+    * 10): every PNG row runs encode → real ImageIO decode → bilinear
+    * fit-to-4 resize → PNG re-encode, and the face decodes the
+    * THUMBNAILS BACK through the same codec — the recovered geometry is
+    * the pure resize arithmetic (tw = 4, th = round(32/w) for the
+    * corpus's w = 8+(i%5)·4, h = 8 sources), which DuckDB states
+    * directly. Non-image rows (video/audio/corrupt bytes) yield no
+    * thumbnail and drop out, which the oracle's i%3=0 filter mirrors —
+    * so the full decode–resize–re-encode–decode loop is hash-checked
+    * per row, not just counted. */
+  val x5_thumbnail: Q = (s, d) => {
+    import s.implicits._
+    val thumbs = Multimodal.thumbnails(Multimodal.synthesize(s, 200), maxDim = 4)
+    val asMedia = thumbs.filter(col("thumb_png").isNotNull)
+      .select(col("media_id"), col("uri"), lit("image/png").as("mime"),
+        col("thumb_png").as("data"))
+      .as[Multimodal.MediaRow]
+    Multimodal.extractFeatures(asMedia)
+      .filter(col("valid"))
+      .select(col("media_id"), col("width").cast("long").as("thumb_w"),
+        col("height").cast("long").as("thumb_h"))
+      .orderBy(col("media_id"))
+  }
 
   /** X5 — real-audio features, ORACLE-CHECKED (promoted round 10, the
     * x9_zorder pattern): every WAV row decodes through javax.sound
@@ -2276,6 +2298,24 @@ object ExtQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         | FROM documents GROUP BY lang ORDER BY lang""",
+    "x5_frame_sample" ->
+      // frame counts by modality: images 1, synthetic video 1+(i%7),
+      // WAV 32+(i%50) PCM frames; i%97=13 corrupt excluded; every 2nd
+      """WITH m AS (
+        |  SELECT i,
+        |   CASE WHEN i%3=0 THEN 1 WHEN i%3=1 THEN 1+(i%7)
+        |        ELSE 32+(i%50) END AS nf
+        |  FROM range(100) t(i) WHERE i%97 <> 13)
+        | SELECT i AS media_id, 'synthetic://media/' || i AS uri,
+        |  unnest(range(0, nf, 2)) AS frame_idx
+        | FROM m
+        | ORDER BY media_id, frame_idx""",
+    "x5_thumbnail" ->
+      // fit-to-4 of the corpus's (w = 8+(i%5)*4, h = 8) PNG sources:
+      // tw = 4, th = round(32/w); only i%3=0 rows are images
+      """SELECT i AS media_id, 4 AS thumb_w,
+        |  CAST(ROUND(32.0 / (8 + (i%5)*4)) AS BIGINT) AS thumb_h
+        | FROM range(200) t(i) WHERE i%3 = 0 ORDER BY media_id""",
     "x9_zorder" ->
       // the z-order write is a REORDERING: per-bucket content aggregates
       // over the read-back layout must equal the same aggregates over the
