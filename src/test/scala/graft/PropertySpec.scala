@@ -340,4 +340,28 @@ class RoundFivePropertySpec extends SparkSpec {
       assert(canonOf(Seq(c1)).head === c1, s"not a fixpoint: $c1")
     }
   }
+
+  test("audio signature: EXACT gain invariance and determinism on random PCM") {
+    import graft.ext.AudioDedup
+    // random sample arrays long enough for the 17-window grid; any
+    // positive gain must leave every bit unchanged (per-window
+    // normalization cancels g² exactly), and the signature is a pure
+    // function of its input
+    val pcmGen: Gen[(List[Double], Double)] = for {
+      n <- Gen.choose(64, 800)
+      xs <- Gen.listOfN(n, Gen.choose(-1.0, 1.0))
+      g <- Gen.choose(0.05, 20.0)
+    } yield (xs, g)
+    forAllSeeded(pcmGen, n = 15) { case (xs, g) =>
+      val a = xs.toArray
+      val s1 = AudioDedup.signature64(a, 8000.0)
+      assert(s1.isDefined)
+      assert(AudioDedup.signature64(a.map(_ * g), 8000.0) === s1,
+        s"gain $g flipped bits")
+      assert(AudioDedup.signature64(a.clone(), 8000.0) === s1)
+    }
+    // refusal contracts hold for arbitrary content
+    assert(AudioDedup.signature64(Array.fill(10)(0.5), 8000.0).isEmpty)
+    assert(AudioDedup.signature64(Array.fill(500)(0.5), 3000.0).isEmpty)
+  }
 }
