@@ -1987,9 +1987,10 @@ object ExtQueries {
         pairs: DataFrame): DataFrame = {
       val base = fp.agg(count(lit(1)).as("n_items"),
         count(col(validCol)).as("n_decodable"))
-      val p = pairs.agg(count(lit(1)).as("n_pairs")).crossJoin(
-        pairs.select(col("media_b")).distinct()
-          .agg(count(lit(1)).as("n_redundant")))
+      // one aggregation over ONE pass of the banding join: a separate
+      // distinct-count relation would recompute the whole pairs subtree
+      val p = pairs.agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("media_b")).as("n_redundant"))
       base.crossJoin(p).select(
         lit(modality).as("modality"), col("n_items"), col("n_decodable"),
         col("n_pairs"), col("n_redundant"),
