@@ -27,6 +27,13 @@ object Hamming {
 
   /** All pairs (id_a < id_b) with Hamming(hash_a, hash_b) <= maxHamming.
     *
+    * When 64 doesn't divide evenly into maxHamming+1 chunks, the top
+    * `64 mod chunks` bits belong to no chunk — the pigeonhole argument
+    * is unaffected (a differing bit outside every chunk kills zero
+    * chunks, so ≤ maxHamming differing bits still leave ≥ 1 of the
+    * maxHamming+1 chunks agreeing), and the final `bit_count` verify
+    * runs on the full 64 bits regardless.
+    *
     * @param df one row per item; `idCol` orderable, `hashCol` LONG.
     *   NULL fingerprints (undecodable items) are skipped.
     * @return (id_a, id_b, hamming) — exact when maxChunkFreq is None. */
