@@ -1931,6 +1931,55 @@ object ExtQueries {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** X87 (round 10) — perceptual video dedup, oracle face: 60 clips of
+    * REAL GVID containers (each frame genuine PNG bytes decoded through
+    * `javax.imageio`) whose content derives from `doc_id % 20`, so
+    * byte-identical duplicate groups are planted by construction; the
+    * engine finds them PERCEPTUALLY (container parse → sampled-frame
+    * decode → temporal-gradient signature → Hamming-0 banding →
+    * frame-checksum verify — recall 1 by construction, see
+    * [[graft.ext.VideoDedup.exactDupPairs]]) and DuckDB reproduces the
+    * ground truth as a modular self-join over the same doc_ids (the
+    * x84/x85 pattern). */
+  val x87_video_dedup: Q = (s, d) => {
+    import s.implicits._
+    val media = t(s, d, "documents")
+      .filter(col("doc_id") < 60).select(col("doc_id")).as[Long]
+      .map(i => Multimodal.MediaRow(i, s"synthetic://vid/$i", "video/gvid",
+        graft.ext.VideoDedup.encodeSyntheticVideo(32, 24, 8.0, 1.5, seed = i % 20)))
+    graft.ext.VideoDedup.exactDupPairs(graft.ext.VideoDedup.fingerprints(media))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** X87 — perceptual video NEAR-dup face (Tier B rows-only: sampled-
+    * frame block averages over re-rendered pixel grids have no SQL
+    * oracle): 20 originals plus a REAL frame-rate-doubled copy (same
+    * continuous signal rendered at 20 fps), a half-resolution re-render,
+    * and a per-frame-JPEG re-encode of each, plus planted corrupt bytes;
+    * temporal-gradient Hamming banding at the default radius 8 recalls
+    * every variant pair (spec-pinned margins: variants ≤ 7 bits away,
+    * distinct seeds ≥ 10). */
+  val x87_video_neardup: Q = (s, _) => {
+    import s.implicits._
+    val media = s.range(20).as[Long].flatMap { i =>
+      Seq(
+        Multimodal.MediaRow(i, s"orig/$i", "video/gvid",
+          graft.ext.VideoDedup.encodeSyntheticVideo(64, 48, 10.0, 2.0, seed = i)),
+        Multimodal.MediaRow(1000 + i, s"fps2/$i", "video/gvid",
+          graft.ext.VideoDedup.encodeSyntheticVideo(64, 48, 20.0, 2.0, seed = i)),
+        Multimodal.MediaRow(2000 + i, s"half/$i", "video/gvid",
+          graft.ext.VideoDedup.encodeSyntheticVideo(32, 24, 10.0, 2.0, seed = i)),
+        Multimodal.MediaRow(3000 + i, s"jpeg/$i", "video/gvid",
+          graft.ext.VideoDedup.encodeSyntheticVideo(64, 48, 10.0, 2.0, seed = i,
+            jpeg = true))) ++
+        (if (i == 0) Seq(Multimodal.MediaRow(
+          9999, "corrupt", "video/gvid", Array[Byte](1, 2, 3))) else Nil)
+    }
+    graft.ext.VideoDedup.nearDupPairs(
+        graft.ext.VideoDedup.fingerprints(media))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** X0 (round 10) — the MULTIMODAL flagship composition, doing for the
     * binary-media operators what [[x0_web_pipeline]] does for text:
     * synthesize an image corpus (real PNG/JPEG bytes) and an audio
@@ -2176,6 +2225,8 @@ object ExtQueries {
     "x84_image_neardup" -> x84_image_neardup,
     "x85_audio_dedup" -> x85_audio_dedup,
     "x85_audio_neardup" -> x85_audio_neardup,
+    "x87_video_dedup" -> x87_video_dedup,
+    "x87_video_neardup" -> x87_video_neardup,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,
     "x49_fit" -> x49_fit)
@@ -2260,6 +2311,12 @@ object ExtQueries {
         | FROM documents a JOIN documents b
         |   ON a.doc_id % 30 = b.doc_id % 30 AND a.doc_id < b.doc_id
         | WHERE a.doc_id < 90 AND b.doc_id < 90
+        | ORDER BY media_a, media_b""",
+    "x87_video_dedup" ->
+      """SELECT a.doc_id AS media_a, b.doc_id AS media_b
+        | FROM documents a JOIN documents b
+        |   ON a.doc_id % 20 = b.doc_id % 20 AND a.doc_id < b.doc_id
+        | WHERE a.doc_id < 60 AND b.doc_id < 60
         | ORDER BY media_a, media_b""",
     "x3_ann_ivf" ->
       // top-1 = self at cosine 1.0 for corpus-member queries: the probe
