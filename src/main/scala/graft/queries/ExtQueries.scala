@@ -1982,8 +1982,10 @@ object ExtQueries {
 
   /** X0 (round 10) — the MULTIMODAL flagship composition, doing for the
     * binary-media operators what [[x0_web_pipeline]] does for text:
-    * synthesize an image corpus (real PNG/JPEG bytes) and an audio
-    * corpus (real WAV bytes) with planted near-dup structure — every id
+    * synthesize an image corpus (real PNG/JPEG bytes), an audio corpus
+    * (real WAV bytes), and a video corpus (GVID containers of real PNG
+    * frames — X87's fps-doubled and half-resolution re-renders as the
+    * planted variants) with planted near-dup structure — every id
     * triple shares content (seed = id/3) across a re-encode variant
     * (JPEG / gain change) and a re-render variant (different resolution
     * / different sample rate) plus planted corrupt bytes — then run the
@@ -2032,6 +2034,17 @@ object ExtQueries {
         }
       Multimodal.MediaRow(i, s"wav/$i", "audio/wav", data)
     }
+    val videos = ids.map { i =>
+      val seed = i / 3
+      val data =
+        if (i % 500 == 499) Array[Byte](9, 9, 9)
+        else (i % 3) match {
+          case 0 => graft.ext.VideoDedup.encodeSyntheticVideo(32, 24, 8.0, 1.5, seed)
+          case 1 => graft.ext.VideoDedup.encodeSyntheticVideo(32, 24, 16.0, 1.5, seed)
+          case _ => graft.ext.VideoDedup.encodeSyntheticVideo(16, 12, 8.0, 1.5, seed)
+        }
+      Multimodal.MediaRow(i, s"vid/$i", "video/gvid", data)
+    }
     def report(modality: String, fp: DataFrame, validCol: String,
         pairs: DataFrame): DataFrame = {
       val base = fp.agg(count(lit(1)).as("n_items"),
@@ -2047,11 +2060,15 @@ object ExtQueries {
     }
     val imgFp = graft.ext.ImageDedup.fingerprints(images)
     val audFp = graft.ext.AudioDedup.fingerprints(audio)
+    val vidFp = graft.ext.VideoDedup.fingerprints(videos)
     report("image", imgFp, "dhash",
         graft.ext.ImageDedup.nearDupPairs(imgFp, maxHamming = 10,
           maxChunkFreq = Some(256)))
       .unionByName(report("audio", audFp, "sig",
         graft.ext.AudioDedup.nearDupPairs(audFp, maxHamming = 14,
+          maxChunkFreq = Some(256))))
+      .unionByName(report("video", vidFp, "sig",
+        graft.ext.VideoDedup.nearDupPairs(vidFp, maxHamming = 8,
           maxChunkFreq = Some(256))))
       .orderBy(col("modality"))
   }
