@@ -40,25 +40,7 @@ object Hamming {
   def pairs64(df: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int, maxChunkFreq: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63, "maxHamming in [0, 63]")
-    val chunks = maxHamming + 1
-    val bitsPerChunk = 64 / chunks
-    val fp = df.select(col(idCol).as("id"), col(hashCol).as("h"))
-      .filter(col("h").isNotNull)
-    val banded = fp.select(col("id"), col("h"),
-      posexplode(transform(
-        sequence(lit(0), lit(chunks - 1)),
-        c => call_function("shiftrightunsigned", col("h"), (c * bitsPerChunk).cast("int"))
-          .bitwiseAND(if (bitsPerChunk >= 64) lit(-1L)
-            else shiftleft(lit(1L), bitsPerChunk) - 1L)))
-        .as(Seq("chunk", "key")))
-    val capped = maxChunkFreq match {
-      case Some(f) => banded.join(
-        banded.groupBy(col("chunk"), col("key"))
-          .agg(count(lit(1)).as("__cf")).filter(col("__cf") <= f)
-          .select(col("chunk"), col("key")),
-        Seq("chunk", "key"))
-      case None => banded
-    }
+    val capped = banded(df, idCol, hashCol, maxHamming, maxChunkFreq)
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key")
@@ -69,5 +51,53 @@ object Hamming {
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** All CROSS pairs (id_l from `left`, id_r from `right`) with
+    * Hamming(hash_l, hash_r) <= maxHamming — the two-relation face of
+    * [[pairs64]] for probe-vs-index shapes (a new ingest batch against
+    * an accumulated fingerprint index, corpus A against corpus B). Same
+    * pigeonhole exactness; no id ordering constraint, and an id present
+    * in both relations WILL pair with itself at distance 0 (callers
+    * filter if identity pairs are unwanted). `maxChunkFreq` caps bucket
+    * frequency per side independently. */
+  def pairsBetween64(left: DataFrame, right: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int,
+      maxChunkFreq: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63, "maxHamming in [0, 63]")
+    val l = banded(left, idCol, hashCol, maxHamming, maxChunkFreq).as("l")
+    val r = banded(right, idCol, hashCol, maxHamming, maxChunkFreq).as("r")
+    l.join(r, col("l.chunk") === col("r.chunk") && col("l.key") === col("r.key"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
+        col("l.h").as("h_l"), col("r.h").as("h_r"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_l").bitwiseXOR(col("h_r"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_l"), col("id_r"), col("hamming"))
+  }
+
+  /** Shared banding stage: (id, h, chunk, key) rows, optionally
+    * frequency-capped per (chunk, key) bucket. */
+  private def banded(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxChunkFreq: Option[Int]): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPerChunk = 64 / chunks
+    val fp = df.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .filter(col("h").isNotNull)
+    val out = fp.select(col("id"), col("h"),
+      posexplode(transform(
+        sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftrightunsigned", col("h"), (c * bitsPerChunk).cast("int"))
+          .bitwiseAND(if (bitsPerChunk >= 64) lit(-1L)
+            else shiftleft(lit(1L), bitsPerChunk) - 1L)))
+        .as(Seq("chunk", "key")))
+    maxChunkFreq match {
+      case Some(f) => out.join(
+        out.groupBy(col("chunk"), col("key"))
+          .agg(count(lit(1)).as("__cf")).filter(col("__cf") <= f)
+          .select(col("chunk"), col("key")),
+        Seq("chunk", "key"))
+      case None => out
+    }
   }
 }

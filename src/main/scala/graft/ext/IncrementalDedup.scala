@@ -120,4 +120,95 @@ object IncrementalDedup {
       withinClean(idCol) === col("__dup_id"), "left_anti")
     (clean, index.unionByName(batchSketch))
   }
+
+  // ------------------------------------------- perceptual (media, X88)
+
+  /** Fixed schema of the perceptual-media index: one row per item ever
+    * seen, `(media_id: long, sig: long, verify: long?)` — 64-bit
+    * perceptual signature (X84 dHash / X85 energy-band / X87
+    * temporal-gradient — the fold is modality-agnostic) plus an optional
+    * exact-content verify key (pixel/PCM/frame checksum). ~16 bytes per
+    * historical item: a 10-billion-item history indexes in ~160 GB,
+    * shuffled only by banding chunk keys, never re-decoded. */
+  def emptyHammingIndex(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("sig", LongType, nullable = true),
+        StructField("verify", LongType, nullable = true))))
+
+  /** X88 — one media batch through INCREMENTAL perceptual dedup:
+    * returns (surviving batch rows, updated index). The media analog of
+    * [[addBatchNear]], sharing its PREFIX-CAUSAL contract: a batch item
+    * is removed iff it pairs within `maxHamming` against an item that
+    * arrived before it (the index — which keeps removed items' sigs, so
+    * chains collapse forward) or against a smaller-id item of its own
+    * batch (the greedy min-id accounting of the X72/X84 family). NULL
+    * signatures (undecodable media) survive and are excluded from the
+    * index — auditable, never silently matched.
+    *
+    * `requireVerifyMatch = true` additionally demands `verify` equality
+    * on every candidate pair (both non-null): with `maxHamming = 0`
+    * this is EXACT content identity dedup — an equivalence relation, so
+    * the fold provably equals the full-corpus first-per-content
+    * recompute (the oracle-checked face, x88_incremental_media_dedup).
+    * With the default (false, radius > 0) it is perceptual near-dup at
+    * ingest: re-encoded/re-rendered copies of anything ever seen are
+    * dropped without rescanning history.
+    *
+    * Scale shape: one banding self-join over the batch + one
+    * [[Hamming.pairsBetween64]] batch-vs-index join — per-batch cost is
+    * O(batch + matching index buckets), the history is never rescanned,
+    * and both joins are chunk-key equi-joins (`maxChunkFreq` caps
+    * boilerplate buckets — black leaders, silence — like every other
+    * user of the kernel). */
+  def addBatchHamming(index: DataFrame, batch: DataFrame,
+      maxHamming: Int, requireVerifyMatch: Boolean = false,
+      maxChunkFreq: Option[Int] = None): (DataFrame, DataFrame) = {
+    val fp = batch.select(col("media_id"), col("sig"), col("verify"))
+
+    def verified(pairs: DataFrame, aId: String, bId: String,
+        aSide: DataFrame, bSide: DataFrame): DataFrame =
+      if (!requireVerifyMatch) pairs
+      else pairs
+        .join(aSide.select(col("media_id").as(aId), col("verify").as("__va")), aId)
+        .join(bSide.select(col("media_id").as(bId), col("verify").as("__vb")), bId)
+        .filter(col("__va").isNotNull && col("__va") === col("__vb"))
+        .select(col(aId), col(bId))
+
+    // within-batch: greedy min-id — any item with a smaller-id partner loses
+    val within = verified(
+      Hamming.pairs64(fp, "media_id", "sig", maxHamming, maxChunkFreq),
+      "id_a", "id_b", fp, fp)
+      .select(col("id_b").as("__loser"))
+    // against history: any index partner at all loses
+    val against = verified(
+      Hamming.pairsBetween64(fp, index, "media_id", "sig", maxHamming,
+        maxChunkFreq),
+      "id_l", "id_r", fp, index)
+      .select(col("id_l").as("__loser"))
+
+    val losers = within.unionByName(against).distinct()
+    val clean = batch.join(losers, batch("media_id") === col("__loser"),
+      "left_anti")
+    (clean, index.unionByName(fp.filter(col("sig").isNotNull)))
+  }
+
+  /** Fold chronological media batches through [[addBatchHamming]],
+    * cutting index lineage each step; returns all surviving rows. */
+  def foldBatchesHamming(spark: SparkSession, batches: Seq[DataFrame],
+      maxHamming: Int, requireVerifyMatch: Boolean = false,
+      maxChunkFreq: Option[Int] = None): DataFrame = {
+    require(batches.nonEmpty, "need at least one batch")
+    var index = emptyHammingIndex(spark)
+    var out: Option[DataFrame] = None
+    batches.foreach { b =>
+      val (clean, updated) = addBatchHamming(index, b, maxHamming,
+        requireVerifyMatch, maxChunkFreq)
+      index = updated.localCheckpoint()
+      out = Some(out.fold(clean)(_.unionByName(clean)))
+    }
+    out.get
+  }
 }

@@ -1980,6 +1980,36 @@ object ExtQueries {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** X88 (round 10) — INCREMENTAL perceptual media dedup, oracle face:
+    * three chronological ingest batches of 20 real PNGs each (ids 0–59,
+    * content seed = doc_id % 25, so later batches re-deliver earlier
+    * content), folded through [[graft.ext.IncrementalDedup
+    * .addBatchHamming]] at radius 0 with checksum verification — exact
+    * content identity, an equivalence relation, so the prefix-causal
+    * fold PROVABLY equals the global first-per-content recompute that
+    * DuckDB runs as a window over doc_id % 25 (the x38 exact-fold
+    * argument, lifted to perceptual fingerprints). History is never
+    * rescanned: each batch pays one banding self-join plus one
+    * batch-vs-index [[graft.ext.Hamming.pairsBetween64]] join. */
+  val x88_incremental_media_dedup: Q = (s, d) => {
+    import s.implicits._
+    def batch(lo: Long, hi: Long) = {
+      val media = t(s, d, "documents")
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id")).as[Long]
+        .map(i => Multimodal.MediaRow(i, s"synthetic://img/$i", "image/png",
+          graft.ext.ImageDedup.encodeSmoothPng(32, 24, seed = i % 25)))
+      graft.ext.ImageDedup.fingerprints(media)
+        .select(col("media_id"), col("dhash").as("sig"),
+          col("checksum").as("verify"))
+    }
+    graft.ext.IncrementalDedup.foldBatchesHamming(
+        s, Seq(batch(0, 20), batch(20, 40), batch(40, 60)),
+        maxHamming = 0, requireVerifyMatch = true)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** X0 (round 10) — the MULTIMODAL flagship composition, doing for the
     * binary-media operators what [[x0_web_pipeline]] does for text:
     * synthesize an image corpus (real PNG/JPEG bytes), an audio corpus
@@ -2244,6 +2274,7 @@ object ExtQueries {
     "x85_audio_neardup" -> x85_audio_neardup,
     "x87_video_dedup" -> x87_video_dedup,
     "x87_video_neardup" -> x87_video_neardup,
+    "x88_incremental_media_dedup" -> x88_incremental_media_dedup,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,
     "x49_fit" -> x49_fit)
@@ -2335,6 +2366,14 @@ object ExtQueries {
         |   ON a.doc_id % 20 = b.doc_id % 20 AND a.doc_id < b.doc_id
         | WHERE a.doc_id < 60 AND b.doc_id < 60
         | ORDER BY media_a, media_b""",
+    "x88_incremental_media_dedup" ->
+      // exact content identity is an equivalence relation, so the
+      // prefix-causal fold equals the global first-per-content window
+      """SELECT doc_id AS media_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id % 25 ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id < 60)
+        | WHERE rn = 1 ORDER BY media_id""",
     "x3_ann_ivf" ->
       // top-1 = self at cosine 1.0 for corpus-member queries: the probe
       // set always contains the query's own inverted list (see the query

@@ -104,4 +104,79 @@ class IncrementalDedupSpec extends SparkSpec {
     val full = ids(Dedup.dedupNear(all, "doc_id", "text", loose))
     assert(full === Set(1L), "full recompute merges the chain retroactively")
   }
+
+  // ------------------------------------------- perceptual (media, X88)
+
+  private def mids(df: DataFrame): Set[Long] =
+    df.select("media_id").as[Long].collect().toSet
+
+  private def fpRows(rows: Seq[(Long, java.lang.Long, java.lang.Long)]): DataFrame =
+    rows.toDF("media_id", "sig", "verify")
+
+  test("hamming: within-batch greedy min-id, cross-batch removal, NULL sig survives") {
+    // sigs 0x10 and 0x11 are 1 bit apart; 0xF0 is far from both
+    val b1 = fpRows(Seq((1L, 0x10L, 100L), (2L, 0x11L, 200L), (3L, 0xF0L, 300L),
+      (4L, null, null)))
+    val b2 = fpRows(Seq((10L, 0x13L, 400L), (11L, 0x0FF0L, 500L)))
+
+    val (c1, i1) = IncrementalDedup.addBatchHamming(
+      IncrementalDedup.emptyHammingIndex(spark), b1, maxHamming = 2)
+    assert(mids(c1) === Set(1L, 3L, 4L),
+      "2 loses to 1 within batch; NULL-sig 4 survives")
+    assert(i1.filter($"media_id" === 4L).count() === 0,
+      "NULL signatures never enter the index")
+    assert(i1.filter($"media_id" === 2L).count() === 1,
+      "removed items' sigs stay in the index (prefix-causal chains)")
+
+    val (c2, _) = IncrementalDedup.addBatchHamming(i1, b2, maxHamming = 2)
+    // 0x13 is 1 bit from 0x11 (a REMOVED item) and 2 bits from 0x10 —
+    // dies against history either way; 0xFF0 is far from everything
+    assert(mids(c2) === Set(11L))
+  }
+
+  test("hamming: verify-match gating turns radius 0 into exact content identity") {
+    // same sig, different verify checksum: perceptual collision, not a dup
+    val b1 = fpRows(Seq((1L, 0x10L, 100L)))
+    val b2 = fpRows(Seq((2L, 0x10L, 999L), (3L, 0x10L, 100L)))
+    val (_, i1) = IncrementalDedup.addBatchHamming(
+      IncrementalDedup.emptyHammingIndex(spark), b1, maxHamming = 0,
+      requireVerifyMatch = true)
+    val (c2, _) = IncrementalDedup.addBatchHamming(i1, b2, maxHamming = 0,
+      requireVerifyMatch = true)
+    assert(mids(c2) === Set(2L),
+      "3 is content-identical to history; 2 only collides perceptually")
+  }
+
+  test("hamming fold: re-encoded image variants arriving in later batches are dropped") {
+    import graft.ext.Multimodal.MediaRow
+    def imgFp(rows: Seq[MediaRow]): DataFrame =
+      ImageDedup.fingerprints(spark.createDataset(rows))
+        .select($"media_id", $"dhash".as("sig"), $"checksum".as("verify"))
+    // batch 1: originals (seeds 0..5); batch 2: JPEG re-encodes of seeds
+    // 0..2 plus a new original (seed 6); batch 3: a resize of seed 6
+    val b1 = imgFp((0L until 6L).map(s =>
+      MediaRow(s, s"o/$s", "image/png", ImageDedup.encodeSmoothPng(64, 48, s))))
+    val b2 = imgFp((0L until 3L).map(s =>
+      MediaRow(100 + s, s"j/$s", "image/jpeg",
+        ImageDedup.encodeSmoothJpeg(64, 48, s))) :+
+      MediaRow(106, "o/6", "image/png", ImageDedup.encodeSmoothPng(64, 48, 6)))
+    val b3 = imgFp(Seq(MediaRow(200, "t/6", "image/png",
+      Multimodal.MediaCodec.thumbnailPng(
+        ImageDedup.encodeSmoothPng(64, 48, 6), maxDim = 24).get)))
+    val folded = IncrementalDedup.foldBatchesHamming(
+      spark, Seq(b1, b2, b3), maxHamming = 10)
+    assert(mids(folded) === (0L until 6L).toSet + 106L,
+      "every re-encode/resize of something seen dies; new content survives")
+  }
+
+  test("hamming fold at radius 0 + verify equals the first-per-content recompute") {
+    // content key c(i) = i % 5 planted across shuffled batches
+    val rows = (0L until 30L).map(i => (i, (i % 5) * 7L, (i % 5) * 1000L))
+    val batches = rows.grouped(10).map(g => fpRows(
+      g.map { case (id, s, v) => (id, Long.box(s), Long.box(v)) })).toSeq
+    val folded = IncrementalDedup.foldBatchesHamming(
+      spark, batches, maxHamming = 0, requireVerifyMatch = true)
+    assert(mids(folded) === (0L until 5L).toSet,
+      "equivalence relation => fold == global min-id per content key")
+  }
 }
