@@ -364,4 +364,30 @@ class RoundFivePropertySpec extends SparkSpec {
     assert(AudioDedup.signature64(Array.fill(10)(0.5), 8000.0).isEmpty)
     assert(AudioDedup.signature64(Array.fill(500)(0.5), 3000.0).isEmpty)
   }
+
+  test("video signature: determinism and container round-trip on random clips") {
+    import graft.ext.VideoDedup
+    // the signature is a pure function of the container bytes, the GVID
+    // round trip is exact for arbitrary frame payloads, and the sample
+    // grid covers both endpoints for any frame count
+    val clipGen: Gen[(Int, Int, Long)] = for {
+      w <- Gen.choose(8, 40)
+      nf <- Gen.choose(2, 24)
+      seed <- Gen.choose(0L, 1000L)
+    } yield (w, nf, seed)
+    forAllSeeded(clipGen, n = 10) { case (w, nf, seed) =>
+      val clip = VideoDedup.encodeSyntheticVideo(
+        w, w * 3 / 4 max 2, fps = 8.0, durationSec = nf / 8.0, seed)
+      val s1 = VideoDedup.signature64(clip)
+      assert(s1.isDefined)
+      assert(VideoDedup.signature64(clip.clone()) === s1)
+      val v = VideoDedup.decodeVideo(clip).get
+      assert(VideoDedup.decodeVideo(
+        VideoDedup.encodeVideo(v.frames, v.fps)).get.frames
+          .map(_.toSeq) === v.frames.map(_.toSeq))
+      val idx = VideoDedup.sampleIndices(v.frames.length)
+      assert(idx.head === 0 && idx.last === v.frames.length - 1)
+      assert(idx.forall(i => i >= 0 && i < v.frames.length))
+    }
+  }
 }
