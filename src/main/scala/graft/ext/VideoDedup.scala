@@ -220,6 +220,30 @@ object VideoDedup {
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"))
   }
 
+  /** Per-frame byte-checksum sequences for [[SegmentDedup]]: one row per
+    * decodable video, `(media_id, uri, keys: array<long>)` where keys(i)
+    * checksums frame i's ENCODED bytes — byte-identical frames agree, so
+    * shared byte-identical segments (title sequences, stingers) align
+    * exactly. No image decode: container parse only, O(bytes) per clip.
+    * Undecodable containers drop out (auditable via an anti-join). */
+  def frameKeys(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc =
+      Encoders.product[(Long, String, Array[Long])]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeVideo(if (r.data == null) Array.emptyByteArray else r.data)
+          .map { v =>
+            (r.media_id, r.uri, v.frames.map { f =>
+              var sum = 0L
+              var i = 0
+              while (i < f.length) { sum = sum * 31 + (f(i) & 0xff); i += 1 }
+              sum
+            }.toArray)
+          }
+      }
+    }.toDF("media_id", "uri", "keys")
+  }
+
   // ----------------------------------------------------------- generator
 
   /** Deterministic smooth spatio-temporal clip for specs and the x87

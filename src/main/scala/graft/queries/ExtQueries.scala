@@ -2010,6 +2010,38 @@ object ExtQueries {
       .orderBy(col("media_id"))
   }
 
+  /** X89 (round 10) — shared-segment detection, oracle face: 40 real
+    * GVID clips where every clip in intro group `doc_id % 8` opens with
+    * the same 6 byte-identical PNG title frames before 8 unique body
+    * frames; [[graft.ext.VideoDedup.frameKeys]] (container parse +
+    * per-frame byte checksum, no image decode) feeds
+    * [[graft.ext.SegmentDedup.sharedRuns]], which must report EXACTLY
+    * the planted alignment — (a, b, 0, 0, 6) for every same-group pair,
+    * maximal extent recovered from shingle islands — while the unique
+    * bodies contribute nothing. DuckDB reproduces the ground truth from
+    * the id arithmetic. */
+  val x89_shared_segments: Q = (s, d) => {
+    import s.implicits._
+    def frame(seed: Long) = graft.ext.ImageDedup.encodeSmoothPng(16, 12, seed)
+    val media = t(s, d, "documents")
+      .filter(col("doc_id") < 40).select(col("doc_id")).as[Long]
+      .map { i =>
+        val g = i % 8
+        Multimodal.MediaRow(i, s"synthetic://vid/$i", "video/gvid",
+          graft.ext.VideoDedup.encodeVideo(
+            (0 until 6).map(k => frame(100000 + g * 100 + k)) ++
+              (0 until 8).map(j => frame(200000 + i * 100 + j)), fps = 8.0))
+      }
+    graft.ext.SegmentDedup.sharedRuns(
+        graft.ext.VideoDedup.frameKeys(media)
+          .select(col("media_id").as("id"), col("keys")),
+        "id", "keys", minRun = 4)
+      .select(col("id_a"), col("id_b"),
+        col("a_start").cast("long").as("a_start"),
+        col("b_start").cast("long").as("b_start"), col("run_len"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** X0 (round 10) — the MULTIMODAL flagship composition, doing for the
     * binary-media operators what [[x0_web_pipeline]] does for text:
     * synthesize an image corpus (real PNG/JPEG bytes), an audio corpus
@@ -2275,6 +2307,7 @@ object ExtQueries {
     "x87_video_dedup" -> x87_video_dedup,
     "x87_video_neardup" -> x87_video_neardup,
     "x88_incremental_media_dedup" -> x88_incremental_media_dedup,
+    "x89_shared_segments" -> x89_shared_segments,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,
     "x49_fit" -> x49_fit)
@@ -2374,6 +2407,16 @@ object ExtQueries {
         |    PARTITION BY doc_id % 25 ORDER BY doc_id) AS rn
         |  FROM documents WHERE doc_id < 60)
         | WHERE rn = 1 ORDER BY media_id""",
+    "x89_shared_segments" ->
+      // planted structure: same-intro-group pairs share exactly the
+      // 6-frame title sequence at position 0 on both sides
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS BIGINT) AS a_start, CAST(0 AS BIGINT) AS b_start,
+        |  CAST(6 AS BIGINT) AS run_len
+        | FROM documents a JOIN documents b
+        |   ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
+        | WHERE a.doc_id < 40 AND b.doc_id < 40
+        | ORDER BY id_a, id_b""",
     "x3_ann_ivf" ->
       // top-1 = self at cosine 1.0 for corpus-member queries: the probe
       // set always contains the query's own inverted list (see the query

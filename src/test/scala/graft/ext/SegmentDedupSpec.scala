@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.ext.Multimodal.MediaRow
+
+/** X89 [[SegmentDedup.sharedRuns]]: maximal shared runs with positions.
+  * Pins the run-extent arithmetic, resolution contract, multi-run and
+  * repeated-element alignment reporting, brute-force equivalence on
+  * random sequences, the boilerplate cap, and the video frame-key
+  * binding (shared byte-identical intros across different clips). */
+class SegmentDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runs(df: DataFrame, minRun: Int,
+      cap: Option[Int] = None): Set[(Long, Long, Long, Long, Long)] =
+    SegmentDedup.sharedRuns(df, "id", "keys", minRun, cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue(),
+        r.getAs[Number](3).longValue(), r.getAs[Number](4).longValue()))
+      .toSet
+
+  /** Reference: maximal diagonal stretches of equality ≥ minRun. */
+  private def brute(seqs: Seq[(Long, Array[Long])], minRun: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    val out = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    for {
+      (ia, ka) <- seqs; (ib, kb) <- seqs if ia < ib
+      d <- -(kb.length - 1) to (ka.length - 1)
+    } {
+      var i = math.max(0, d)
+      while (i < ka.length && i - d < kb.length) {
+        if (ka(i) == kb(i - d)) {
+          val start = i
+          while (i < ka.length && i - d < kb.length && ka(i) == kb(i - d)) i += 1
+          if (i - start >= minRun)
+            out += ((ia, ib, start.toLong, (start - d).toLong, (i - start).toLong))
+        } else i += 1
+      }
+    }
+    out.toSet
+  }
+
+  test("one shared middle run: extent and positions exact") {
+    val a = (1L, Array(1L, 2L, 3L, 40L, 41L, 42L, 43L, 44L, 45L, 9L))
+    val b = (2L, Array(40L, 41L, 42L, 43L, 44L, 45L, 77L))
+    val df = Seq(a, b).toDF("id", "keys")
+    assert(runs(df, minRun = 3) === Set((1L, 2L, 3L, 0L, 6L)))
+    // resolution: a 2-element shared run is invisible at minRun = 3
+    val c = Seq((1L, Array(1L, 2L, 9L)), (2L, Array(1L, 2L, 8L)))
+      .toDF("id", "keys")
+    assert(runs(c, minRun = 3).isEmpty)
+  }
+
+  test("two shared runs at different offsets are both reported maximally") {
+    val a = (1L, Array(10L, 11L, 12L, 0L, 0L, 20L, 21L, 22L, 23L))
+    val b = (2L, Array(20L, 21L, 22L, 23L, 5L, 10L, 11L, 12L, 6L))
+    val df = Seq(a, b).toDF("id", "keys")
+    assert(runs(df, minRun = 3) ===
+      Set((1L, 2L, 0L, 5L, 3L), (1L, 2L, 5L, 0L, 4L)))
+  }
+
+  test("matches brute force on random sequences with planted overlaps") {
+    val rnd = new scala.util.Random(7)
+    val seqs = (0L until 12L).map { i =>
+      val base = Array.fill(rnd.nextInt(20) + 8)(rnd.nextLong())
+      // plant a shared block from a common pool at a random position
+      val block = (0 until 5).map(j => 1000L + (i % 3) * 10 + j).toArray
+      val at = rnd.nextInt(base.length - 1)
+      (i, base.patch(at, block, math.min(block.length, base.length - at)))
+    }
+    val df = seqs.toDF("id", "keys")
+    for (m <- Seq(2, 3, 4))
+      assert(runs(df, minRun = m) === brute(seqs, m), s"minRun $m")
+  }
+
+  test("maxShingleFreq drops boilerplate windows") {
+    // the zero-run is shared by ALL items (boilerplate); the planted
+    // pair-only run must survive the cap
+    val seqs = (0L until 6L).map(i =>
+      (i, Array(0L, 0L, 0L, 0L) ++ Array(i * 100, i * 100 + 1, i * 100 + 2)))
+    val withPair = seqs :+
+      (10L, Array(55L, 56L, 57L, 58L)) :+ (11L, Array(55L, 56L, 57L, 58L))
+    val df = withPair.toDF("id", "keys")
+    val capped = runs(df, minRun = 3, cap = Some(3))
+    assert(capped === Set((10L, 11L, 0L, 0L, 4L)),
+      "boilerplate alignments capped away, genuine pair kept")
+  }
+
+  test("video binding: shared byte-identical intros across different clips") {
+    def frame(seed: Long) = ImageDedup.encodeSmoothPng(16, 12, seed)
+    def video(introGroup: Long, id: Long) = VideoDedup.encodeVideo(
+      (0 until 5).map(i => frame(100000 + introGroup * 100 + i)) ++
+        (0 until 6).map(j => frame(200000 + id * 100 + j)), fps = 8.0)
+    val rows = (0L until 6L).map(i => MediaRow(i, s"v/$i", "video/gvid",
+      video(i % 2, i))) :+ MediaRow(99, "corrupt", "video/gvid", Array[Byte](1))
+    val keys = VideoDedup.frameKeys(spark.createDataset(rows))
+    assert(keys.count() === 6, "corrupt container drops out of frameKeys")
+    val got = runs(keys.select($"media_id".as("id"), $"keys"), minRun = 3)
+    val want = (for {
+      a <- 0L until 6L; b <- 0L until 6L if a < b && a % 2 == b % 2
+    } yield (a, b, 0L, 0L, 5L)).toSet
+    assert(got === want, "every same-group pair shares exactly the 5-frame intro")
+  }
+}
