@@ -204,6 +204,43 @@ object AudioDedup {
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"))
   }
 
+  /** Per-block PCM checksum sequences for [[SegmentDedup]]: one row per
+    * decodable clip, `(media_id, uri, keys: array<long>)` where keys(i)
+    * checksums PCM block i (`blockFrames` frames per block, trailing
+    * partial block dropped — a partial tail can't byte-match a full
+    * block elsewhere). Byte-identical audio segments aligned on the
+    * block grid agree, so a sampled jingle or re-used stinger shared
+    * between two DIFFERENT clips aligns exactly — the audio binding of
+    * [[SegmentDedup.sharedRuns]], as [[VideoDedup.frameKeys]] is the
+    * video one. Alignment caveat (documented contract): detection
+    * requires the shared segment to start on a block boundary in both
+    * clips — producers cutting on beat grids do; arbitrary-offset
+    * matching needs all `blockFrames` phase shifts (callers can run the
+    * operator per phase). */
+  def blockKeys(media: Dataset[MediaRow], blockFrames: Int = 4000): DataFrame = {
+    require(blockFrames >= 1, "blockFrames must be positive")
+    implicit val enc = Encoders.product[(Long, String, Array[Long])]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeAudio(
+            if (r.data == null) Array.emptyByteArray else r.data)
+          .map { case (fmt, pcm) =>
+            val bytesPerBlock =
+              blockFrames * fmt.getFrameSize.max(1)
+            val nBlocks = pcm.length / bytesPerBlock
+            val keys = Array.tabulate(nBlocks) { b =>
+              var sum = 0L
+              var i = b * bytesPerBlock
+              val end = i + bytesPerBlock
+              while (i < end) { sum = sum * 31 + (pcm(i) & 0xff); i += 1 }
+              sum
+            }
+            (r.media_id, r.uri, keys)
+          }
+      }
+    }.toDF("media_id", "uri", "keys")
+  }
+
   /** Deterministic tone-mixture WAV for specs and the x85 face: three
     * seed-derived tones (one per low band region) with slow seed-derived
     * amplitude envelopes, defined in CONTINUOUS time — rendering the

@@ -103,4 +103,35 @@ class SegmentDedupSpec extends SparkSpec {
     } yield (a, b, 0L, 0L, 5L)).toSet
     assert(got === want, "every same-group pair shares exactly the 5-frame intro")
   }
+
+  test("audio binding: a shared jingle between different clips aligns on blocks") {
+    // clip i = unique PCM, except clips 1 and 3 open with the same
+    // 4-block (4 x 500 frames) jingle rendered from the same seed
+    val block = 500
+    def pcmWav(segSeeds: Seq[Long]): Array[Byte] = {
+      val pcm = segSeeds.flatMap { s =>
+        val rnd = new scala.util.Random(s)
+        Array.fill(block * 2)(rnd.nextInt(256).toByte) // 16-bit mono frames
+      }.toArray
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val jingle = Seq(900L, 901L, 902L, 903L)
+    val rows = Seq(
+      MediaRow(0, "a/0", "audio/wav", pcmWav(Seq(10L, 11L, 12L, 13L, 14L, 15L))),
+      MediaRow(1, "a/1", "audio/wav", pcmWav(jingle ++ Seq(20L, 21L))),
+      MediaRow(2, "a/2", "audio/wav", pcmWav(Seq(30L, 31L, 32L, 33L))),
+      MediaRow(3, "a/3", "audio/wav", pcmWav(jingle ++ Seq(40L, 41L))),
+      MediaRow(9, "corrupt", "audio/wav", Array[Byte](1, 2)))
+    val keys = AudioDedup.blockKeys(spark.createDataset(rows), blockFrames = block)
+    assert(keys.count() === 4, "corrupt clip drops out of blockKeys")
+    val got = runs(keys.select($"media_id".as("id"), $"keys"), minRun = 3)
+    assert(got === Set((1L, 3L, 0L, 0L, 4L)),
+      "exactly the shared 4-block jingle, nothing else")
+  }
 }
