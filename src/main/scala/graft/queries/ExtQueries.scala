@@ -2197,6 +2197,64 @@ object ExtQueries {
         sum(when(col("lang") =!= "en", col("keep")).otherwise(0L)).as("keep_other"))
   }
 
+  /** X90 (round 10) — Product Quantization ANN, ORACLE-CHECKED exact
+    * subcase: codebooks = the corpus's own distinct subvectors
+    * ([[graft.ext.Pq.exactModel]]), so encoding is lossless and ADC ≡ the
+    * true squared L2 distance — the FULL pipeline (codebook build, encode,
+    * per-query lookup tables, ADC scan over codes only, rank window) runs
+    * with nothing approximate left in it. The double-summation GROUPING
+    * (left-to-right within each 8-dim subspace, then left-to-right across
+    * the 8 subspaces) is pinned in [[graft.ext.Pq]] and reproduced
+    * verbatim in the DuckDB oracle via nested list_reduce, so both engines
+    * produce bit-identical IEEE doubles before the ROUND. Trained-codebook
+    * behavior stays covered by x90_pq_topk + PqSpec. */
+  val x90_pq_exact: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 64)
+    val model = graft.ext.Pq.exactModel(corpus, m = 8)
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.ext.Pq.adcTopK(
+        graft.ext.Pq.encodeCorpus(corpus, model), queries, model, k = 3)
+      .select(col("query_id"), col("id"), round(col("dist"), 4).as("dist"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** X90 — trained PQ, Tier B by design (k-means codebooks are a lossy
+    * compressor, so ADC ranks have no SQL oracle): train m=8 × k=16
+    * codebooks (deterministic seeded Lloyd), encode the corpus to 8 bytes
+    * per vector (a 32× compression of the 64-float embedding), shortlist
+    * 100 candidates per query from the CODES ALONE, and exact-re-rank only
+    * the shortlist ([[graft.ext.Pq.refineTopK]] — the production ADC+refine
+    * pattern: at 100 TB the exact math touches shortlist/|corpus| of the
+    * raw floats). Per-query recall@10 against the exact squared-L2 brute
+    * force is emitted and the mean is require-gated at the PqProbe-
+    * calibrated floor (measured 0.86–0.88 at both test SFs; raw-ADC recall
+    * 0.31–0.33 stays PqSpec-pinned). Exact-arithmetic correctness is the
+    * x90_pq_exact oracle; IVF-PQ composition and model persistence are
+    * PqSpec-pinned. */
+  val x90_pq_topk: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val model = graft.ext.Pq.train(emb, m = 8, k = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val approx = graft.ext.Pq.refineTopK(
+        emb, queries, model, k = 10, shortlist = 100)
+      .select(col("query_id"), col("id"))
+    val exact = graft.ext.Pq.exactTopK(emb, queries, k = 10)
+      .select(col("query_id"), col("id"))
+    val overlap = approx.join(exact, Seq("query_id", "id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val rec = queries.select(col("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall", round(col("hits") / 10.0, 2))
+    val mean = rec.agg(avg(col("recall"))).head().getDouble(0)
+    require(mean >= 0.6, f"PQ refined mean recall@10 $mean%.2f < 0.6")
+    rec.orderBy(col("query_id"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -2308,6 +2366,8 @@ object ExtQueries {
     "x87_video_neardup" -> x87_video_neardup,
     "x88_incremental_media_dedup" -> x88_incremental_media_dedup,
     "x89_shared_segments" -> x89_shared_segments,
+    "x90_pq_exact" -> x90_pq_exact,
+    "x90_pq_topk" -> x90_pq_topk,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,
     "x49_fit" -> x49_fit)
@@ -2417,6 +2477,30 @@ object ExtQueries {
         |   ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
         | WHERE a.doc_id < 40 AND b.doc_id < 40
         | ORDER BY id_a, id_b""",
+    "x90_pq_exact" ->
+      // lossless-codebook PQ: ADC ≡ true squared L2, with the engine's
+      // subspace-grouped left-to-right summation reproduced via nested
+      // list_reduce so the doubles are bit-identical (see the scaladoc)
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 64),
+        | q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        | scored AS (
+        |  SELECT q.query_id, c.vec_id AS id,
+        |    list_reduce(list_transform(range(0, 8), j ->
+        |      list_reduce(list_transform(range(1, 9), i ->
+        |        (qv[j*8+i] - v[j*8+i]) * (qv[j*8+i] - v[j*8+i])),
+        |        (a, b) -> a + b)),
+        |      (a, b) -> a + b) AS d
+        |  FROM q, c),
+        | ranked AS (
+        |  SELECT query_id, id, d,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, id) AS rank
+        |  FROM scored)
+        | SELECT query_id, id, ROUND(d, 4) AS dist, CAST(rank AS BIGINT) AS rank
+        | FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
     "x3_ann_ivf" ->
       // top-1 = self at cosine 1.0 for corpus-member queries: the probe
       // set always contains the query's own inverted list (see the query
