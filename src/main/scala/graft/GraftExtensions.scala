@@ -95,5 +95,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.OverlapJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.PreAggExpandRewrite)
+    e.injectOptimizerRule(_ => graft.plans.RollupViewRewrite)
   }
 }

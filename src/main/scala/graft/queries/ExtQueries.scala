@@ -2255,6 +2255,57 @@ object ExtQueries {
     rec.orderBy(col("query_id"))
   }
 
+  /** X91 (round 10) — materialized-rollup rewrite, ORACLE-CHECKED
+    * end-to-end: build + register a (l_returnflag, l_linestatus) rollup of
+    * lineitem ([[graft.etl.MaterializedRollup]]), then run an ordinary
+    * DataFrame aggregation against the BASE table — a coarser grouping
+    * with a key-only filter and COUNT/SUM/MIN/MAX/AVG. The injected
+    * [[graft.plans.RollupViewRewrite]] must reroute it to the rollup: a
+    * hard require() gate walks the optimized plan's file relations and
+    * refuses if the fact table is still scanned (the x86/x9_zorder plan-
+    * gate pattern). DuckDB answers the SAME question from the base table,
+    * so the hash check proves the rerouted plan computes the fact-table
+    * truth. At 100 TB this is the dashboard query answered from KB. */
+  val x91_mv_rewrite: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_q").toString
+    try {
+      graft.etl.MaterializedRollup.createAndRegister(
+        s, "x91_lineitem", s"$d/lineitem.parquet", s"$root/mv",
+        keys = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq("l_quantity", "l_extendedprice"),
+        base = Some(t(s, d, "lineitem")))
+      val q = t(s, d, "lineitem")
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(avg(col("l_extendedprice")) + 1e-9, 4).as("avg_price"))
+        .orderBy(col("l_returnflag"))
+      val paths = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(paths.exists(_.contains(s"$root/mv")) &&
+        !paths.exists(_.contains("lineitem")),
+        s"rollup rewrite did not fire: scans $paths")
+      val rows = q.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        q.schema)
+    } finally {
+      graft.plans.RollupViewRewrite.unregister("x91_lineitem")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -2368,6 +2419,7 @@ object ExtQueries {
     "x89_shared_segments" -> x89_shared_segments,
     "x90_pq_exact" -> x90_pq_exact,
     "x90_pq_topk" -> x90_pq_topk,
+    "x91_mv_rewrite" -> x91_mv_rewrite,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,
     "x49_fit" -> x49_fit)
@@ -2477,6 +2529,17 @@ object ExtQueries {
         |   ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
         | WHERE a.doc_id < 40 AND b.doc_id < 40
         | ORDER BY id_a, id_b""",
+    "x91_mv_rewrite" ->
+      // DuckDB computes the fact-table truth directly; the engine must
+      // produce the same numbers from the rerouted rollup scan
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  MIN(l_quantity) AS min_qty,
+        |  MAX(l_quantity) AS max_qty,
+        |  ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_price
+        | FROM lineitem WHERE l_linestatus = 'F'
+        | GROUP BY l_returnflag ORDER BY l_returnflag""",
     "x90_pq_exact" ->
       // lossless-codebook PQ: ADC ≡ true squared L2, with the engine's
       // subspace-grouped left-to-right summation reproduced via nested

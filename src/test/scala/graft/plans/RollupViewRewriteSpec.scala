@@ -1,0 +1,235 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.etl.MaterializedRollup
+
+/** [[RollupViewRewrite]]: coarse aggregates rerouted from the base scan to
+  * a registered materialized rollup. Semantics tests compare the rewritten
+  * result against the SAME query with the rule disabled (the direct base
+  * aggregation is the oracle); plan tests assert which file the aggregate
+  * actually reads; guard tests assert ineligible shapes keep the base
+  * scan. */
+class RollupViewRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  // base with duplicate keys, nulls in a measure, negative values
+  private def baseRows: Seq[(String, Int, Option[Double], Long)] = {
+    val rnd = new scala.util.Random(13)
+    Seq.tabulate(400) { i =>
+      val k1 = "k" + rnd.nextInt(3)
+      val k2 = rnd.nextInt(4)
+      val x = if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble() * 10 - 5)
+      (k1, k2, x, rnd.nextInt(100).toLong)
+    }
+  }
+
+  private def withBase[A](f: (String, DataFrame) => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    try {
+      baseRows.toDF("k1", "k2", "x", "n")
+        .write.mode("overwrite").parquet(s"$root/base")
+      MaterializedRollup.createAndRegister(spark, "mv_test", s"$root/base",
+        s"$root/mv", keys = Seq("k1", "k2"), measures = Seq("x", "n"))
+      f(root, spark.read.parquet(s"$root/base"))
+    } finally {
+      RollupViewRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  private def disabled[A](f: => A): A = {
+    spark.conf.set(RollupViewRewrite.EnabledKey, "false")
+    try f finally spark.conf.unset(RollupViewRewrite.EnabledKey)
+  }
+
+  private def scans(q: DataFrame, what: String): Boolean =
+    q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten.exists(_.contains(what))
+
+  private def sortedRows(q: DataFrame): Seq[String] =
+    q.collect().map(_.toString).sorted.toSeq
+
+  test("coarser grouping answers from the rollup, matching the base exactly") {
+    withBase { (root, base) =>
+      val q = base.groupBy($"k1").agg(
+        count(lit(1)).as("n_rows"), sum($"x").as("sum_x"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        avg($"x").as("avg_x"), count($"x").as("cnt_x"),
+        sum($"n").as("sum_n"), avg($"n").as("avg_n"))
+      assert(scans(q, s"$root/mv") && !scans(q, s"$root/base"),
+        q.queryExecution.optimizedPlan.toString.take(500))
+      val got = sortedRows(q)
+      val want = sortedRows(disabled(
+        base.groupBy($"k1").agg(
+          count(lit(1)).as("n_rows"), sum($"x").as("sum_x"),
+          min($"x").as("min_x"), max($"x").as("max_x"),
+          avg($"x").as("avg_x"), count($"x").as("cnt_x"),
+          sum($"n").as("sum_n"), avg($"n").as("avg_n"))))
+      assert(got === want)
+    }
+  }
+
+  test("full-key grouping, global aggregate, and DISTINCT keys all reroute") {
+    withBase { (root, base) =>
+      val full = base.groupBy($"k1", $"k2").agg(sum($"x").as("s"))
+      assert(scans(full, s"$root/mv"))
+      assert(sortedRows(full) ===
+        sortedRows(disabled(base.groupBy($"k1", $"k2").agg(sum($"x").as("s")))))
+
+      val global = base.agg(count(lit(1)).as("c"), avg($"n").as("a"))
+      assert(scans(global, s"$root/mv"))
+      assert(sortedRows(global) ===
+        sortedRows(disabled(base.agg(count(lit(1)).as("c"), avg($"n").as("a")))))
+
+      val dist = base.select($"k1").distinct()
+      assert(scans(dist, s"$root/mv"))
+      assert(sortedRows(dist) === sortedRows(disabled(base.select($"k1").distinct())))
+    }
+  }
+
+  test("key-only filters are replayed on the rollup; non-key filters refuse") {
+    withBase { (root, base) =>
+      val q = base.filter($"k2" > 1).groupBy($"k1")
+        .agg(count(lit(1)).as("c"), avg($"x").as("a"))
+      assert(scans(q, s"$root/mv") && !scans(q, s"$root/base"))
+      assert(sortedRows(q) === sortedRows(disabled(
+        base.filter($"k2" > 1).groupBy($"k1")
+          .agg(count(lit(1)).as("c"), avg($"x").as("a")))))
+      // empty selection stays empty from the rollup too
+      val empty = base.filter($"k1" === "nope").groupBy($"k2").agg(sum($"n").as("s"))
+      assert(scans(empty, s"$root/mv") && empty.count() === 0)
+      // measure-column filter cannot be replayed -> base scan kept
+      val nk = base.filter($"x" > 0).groupBy($"k1").agg(sum($"x").as("s"))
+      assert(scans(nk, s"$root/base") && !scans(nk, s"$root/mv"))
+    }
+  }
+
+  test("guards: distinct aggs, computed inputs, uncovered columns refuse") {
+    withBase { (root, base) =>
+      val distinct = base.groupBy($"k1").agg(countDistinct($"k2").as("d"))
+      assert(scans(distinct, s"$root/base"))
+      val computed = base.groupBy($"k1").agg(sum($"x" + 1).as("s"))
+      assert(scans(computed, s"$root/base"))
+      val exprKey = base.groupBy(upper($"k1").as("u")).agg(sum($"x").as("s"))
+      assert(scans(exprKey, s"$root/base"))
+      val keyOutside = base.groupBy($"k1").agg(first($"x").as("f"))
+      assert(scans(keyOutside, s"$root/base"))
+      // grouping key not covered by the rollup's key set
+      val otherKey = base.groupBy($"n").agg(count(lit(1)).as("c"))
+      assert(scans(otherKey, s"$root/base"))
+    }
+  }
+
+  test("refresh after base change re-points the rollup; unregister restores") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mv2").toString
+    try {
+      Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$root/base")
+      MaterializedRollup.createAndRegister(spark, "mv2", s"$root/base",
+        s"$root/mv", keys = Seq("k"), measures = Seq("v"))
+      val base = spark.read.parquet(s"$root/base")
+      def total(): Double =
+        base.agg(sum($"v")).collect().head.getDouble(0)
+      assert(total() === 6.0)
+      // base grows; the registered rollup is STALE by contract...
+      Seq(("b", 10.0)).toDF("k", "v")
+        .write.mode("append").parquet(s"$root/base")
+      assert(total() === 6.0)
+      // ...until refreshed
+      MaterializedRollup.createAndRegister(spark, "mv2", s"$root/base",
+        s"$root/mv", keys = Seq("k"), measures = Seq("v"))
+      assert(spark.read.parquet(s"$root/base").agg(sum($"v"))
+        .collect().head.getDouble(0) === 16.0)
+      RollupViewRewrite.unregister("mv2")
+      val direct = spark.read.parquet(s"$root/base").agg(sum($"v"))
+      assert(scans(direct, s"$root/base"))
+    } finally {
+      RollupViewRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("applyDelta maintains the rollup incrementally, base never rescanned") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mv5").toString
+    try {
+      // integer measures so incremental ≡ rebuild is EXACT, not tolerant
+      val batch1 = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L))
+      val batch2 = Seq(("a", 100L, -7L), ("c", 4L, 4L)) // new extreme + new key
+      batch1.toDF("k", "v", "w").write.mode("overwrite").parquet(s"$root/base")
+      MaterializedRollup.createAndRegister(spark, "mv5", s"$root/base",
+        s"$root/mv", keys = Seq("k"), measures = Seq("v", "w"))
+      // base grows by batch2; the rollup is refreshed from the DELTA alone
+      batch2.toDF("k", "v", "w").write.mode("append").parquet(s"$root/base")
+      MaterializedRollup.applyDelta(spark, "mv5", batch2.toDF("k", "v", "w"))
+      val base = spark.read.parquet(s"$root/base")
+      val q = base.groupBy($"k").agg(
+        count(lit(1)).as("c"), sum($"v").as("sv"), min($"v").as("mnv"),
+        max($"v").as("mxv"), avg($"v").as("av"),
+        min($"w").as("mnw"), max($"w").as("mxw"))
+      assert(scans(q, s"$root/mv") && !scans(q, s"$root/base"))
+      assert(sortedRows(q) === sortedRows(disabled(
+        base.groupBy($"k").agg(
+          count(lit(1)).as("c"), sum($"v").as("sv"), min($"v").as("mnv"),
+          max($"v").as("mxv"), avg($"v").as("av"),
+          min($"w").as("mnw"), max($"w").as("mxw")))))
+      // and incremental content equals a from-scratch rebuild exactly
+      val inc = spark.read.parquet(s"$root/mv")
+        .collect().map(_.toString).sorted.toSeq
+      val rebuilt = MaterializedRollup.build(
+        disabled(base), Seq("k"), Seq("v", "w"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(inc === rebuilt)
+    } finally {
+      RollupViewRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("fewest-keys cover wins when several rollups match") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mv3").toString
+    try {
+      baseRows.toDF("k1", "k2", "x", "n")
+        .write.mode("overwrite").parquet(s"$root/base")
+      MaterializedRollup.createAndRegister(spark, "wide", s"$root/base",
+        s"$root/mv_wide", keys = Seq("k1", "k2"), measures = Seq("x"))
+      MaterializedRollup.createAndRegister(spark, "slim", s"$root/base",
+        s"$root/mv_slim", keys = Seq("k1"), measures = Seq("x"))
+      val q = spark.read.parquet(s"$root/base")
+        .groupBy($"k1").agg(sum($"x").as("s"))
+      assert(scans(q, s"$root/mv_slim") && !scans(q, s"$root/mv_wide"))
+      assert(sortedRows(q) === sortedRows(disabled(
+        spark.read.parquet(s"$root/base").groupBy($"k1").agg(sum($"x").as("s")))))
+    } finally {
+      RollupViewRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("self-registration is refused; decimal sums keep the base scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mv4").toString
+    try {
+      Seq(("a", BigDecimal(1.5))).toDF("k", "d")
+        .write.mode("overwrite").parquet(s"$root/base")
+      intercept[IllegalArgumentException] {
+        MaterializedRollup.register(spark, "self", s"$root/base",
+          s"$root/base", Seq("k"), Seq("d"))
+      }
+      MaterializedRollup.createAndRegister(spark, "mv4", s"$root/base",
+        s"$root/mv", keys = Seq("k"), measures = Seq("d"))
+      val q = spark.read.parquet(s"$root/base").groupBy($"k").agg(sum($"d").as("s"))
+      assert(scans(q, s"$root/base") && !scans(q, s"$root/mv"))
+    } finally {
+      RollupViewRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+}
