@@ -2306,6 +2306,61 @@ object ExtQueries {
     }
   }
 
+  /** X92 (round 10) — targeted deletion (right-to-be-forgotten),
+    * ORACLE-CHECKED end-to-end: copy documents into a lang-partitioned
+    * layout, erase the keys of every `doc_id % 37 = 0` ENGLISH document
+    * ([[graft.etl.Forget.deleteKeys]] — hit scan, staged anti-join
+    * rewrite of affected partitions only, per-partition swap), then
+    * aggregate the SURVIVING table per lang. Hard require() gates pin the
+    * surgical contract: exactly one partition (en) rewritten, every other
+    * partition's file set byte-identical (path+size+mtime), and the audit
+    * report's deletedTotal matches. DuckDB computes the same post-erasure
+    * aggregates from the source with a WHERE NOT clause — the rewritten
+    * store must equal the global filter. */
+  val x92_forget: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_forget_q").toString
+    try {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.write.partitionBy("lang").parquet(s"$root/t")
+      def files(dir: String): Set[(String, Long, Long)] = {
+        val r = new java.io.File(dir)
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(r).map(f => (f.getAbsolutePath.stripPrefix(r.getAbsolutePath),
+          f.length(), f.lastModified())).toSet
+      }
+      val untouchedBefore = new java.io.File(s"$root/t").listFiles()
+        .filter(f => f.isDirectory && f.getName != "lang=en")
+        .map(f => f.getName -> files(f.getAbsolutePath)).toMap
+      val delKeys = docs
+        .filter(col("doc_id") % 37 === 0 && col("lang") === "en")
+        .select(col("doc_id"))
+      val expectDeleted = delKeys.count()
+      val report = graft.etl.Forget.deleteKeys(
+        s, s"$root/t", "lang", "doc_id", delKeys)
+      require(report.deletedTotal == expectDeleted &&
+        report.partitions.map(_.partition) == Seq("en"),
+        s"erasure not surgical: $report")
+      val untouchedAfter = new java.io.File(s"$root/t").listFiles()
+        .filter(f => f.isDirectory && f.getName != "lang=en")
+        .map(f => f.getName -> files(f.getAbsolutePath)).toMap
+      require(untouchedAfter == untouchedBefore,
+        "unaffected partitions were rewritten")
+      val out = s.read.parquet(s"$root/t")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+      val rows = out.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        out.schema)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -2420,6 +2475,7 @@ object ExtQueries {
     "x90_pq_exact" -> x90_pq_exact,
     "x90_pq_topk" -> x90_pq_topk,
     "x91_mv_rewrite" -> x91_mv_rewrite,
+    "x92_forget" -> x92_forget,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,
     "x49_fit" -> x49_fit)
@@ -2529,6 +2585,14 @@ object ExtQueries {
         |   ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
         | WHERE a.doc_id < 40 AND b.doc_id < 40
         | ORDER BY id_a, id_b""",
+    "x92_forget" ->
+      // the erased store must equal a global filter of the source
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        | FROM documents
+        | WHERE NOT (doc_id % 37 = 0 AND lang = 'en')
+        | GROUP BY lang ORDER BY lang""",
     "x91_mv_rewrite" ->
       // DuckDB computes the fact-table truth directly; the engine must
       // produce the same numbers from the rerouted rollup scan

@@ -1,0 +1,95 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Forget]]: surgical key erasure from a partitioned table. Pins the
+  * three contract points — survivors exactly match a global filter,
+  * UNAFFECTED partitions' files are byte-identical (path+size+mtime),
+  * fully-deleted partitions disappear — plus null-safe key semantics,
+  * the no-hit fast path, and the audit report arithmetic. */
+class ForgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def files(dir: String): Set[(String, Long, Long)] = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(root).map(f => (f.getAbsolutePath.stripPrefix(root.getAbsolutePath),
+      f.length(), f.lastModified())).toSet
+  }
+
+  test("deletes surgically: survivors exact, untouched partitions byte-identical") {
+    val root = Files.createTempDirectory("graft_forget").toString
+    val rows = Seq(
+      ("en", 1L, "a"), ("en", 2L, "b"), ("en", 3L, "c"),
+      ("de", 4L, "d"), ("de", 5L, "e"),
+      ("fr", 6L, "f"), ("fr", 7L, "g"),
+      ("zh", 8L, "h")) // zh will be fully deleted
+    rows.toDF("lang", "id", "payload")
+      .write.partitionBy("lang").parquet(s"$root/t")
+    val frBefore = files(s"$root/t/lang=fr")
+
+    val report = Forget.deleteKeys(spark, s"$root/t", "lang", "id",
+      Seq(2L, 3L, 5L, 8L, 999L).toDF("id"))
+
+    // survivors = global filter result
+    val got = spark.read.parquet(s"$root/t")
+      .select($"lang", $"id", $"payload").as[(String, Long, String)]
+      .collect().sortBy(_._2).toSeq
+    assert(got === rows.filterNot(r => Set(2L, 3L, 5L, 8L)(r._2))
+      .map { case (l, i, p) => (l, i, p) }.sortBy(_._2))
+    // fr had no hits: not in the report, files untouched
+    assert(files(s"$root/t/lang=fr") === frBefore)
+    assert(!report.partitions.exists(_.partition == "fr"))
+    // zh fully deleted: directory gone
+    assert(!new java.io.File(s"$root/t/lang=zh").exists())
+    // report arithmetic
+    assert(report.deletedTotal === 4)
+    assert(report.removedPartitions === 1)
+    assert(report.partitions.map(p => (p.partition, p.rowsBefore, p.deleted,
+      p.rowsAfter)).toSet === Set(("en", 3L, 2L, 1L), ("de", 2L, 1L, 1L),
+      ("zh", 1L, 1L, 0L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("null keys erase null-keyed rows; no-hit delete touches nothing") {
+    val root = Files.createTempDirectory("graft_forget2").toString
+    Seq((1, Some(10L)), (1, None), (2, Some(20L)))
+      .toDF("p", "k")
+      .write.partitionBy("p").parquet(s"$root/t")
+    val before = files(s"$root/t")
+
+    // no-hit: report empty, zero filesystem churn
+    val miss = Forget.deleteKeys(spark, s"$root/t", "p", "k",
+      Seq(Some(99L)).toDF("k"))
+    assert(miss.partitions.isEmpty && files(s"$root/t") === before)
+
+    // null key in the delete set removes the NULL-keyed row only
+    val report = Forget.deleteKeys(spark, s"$root/t", "p", "k",
+      Seq(Option.empty[Long]).toDF("k"))
+    assert(report.deletedTotal === 1)
+    val left = spark.read.parquet(s"$root/t")
+      .select($"p", $"k").as[(Int, Option[Long])].collect().toSet
+    assert(left === Set((1, Some(10L)), (2, Some(20L))))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("integer partition values and repeated erasure are handled") {
+    val root = Files.createTempDirectory("graft_forget3").toString
+    Seq.tabulate(20)(i => (i % 4, i.toLong)).toDF("bucket", "id")
+      .write.partitionBy("bucket").parquet(s"$root/t")
+    val r1 = Forget.deleteKeys(spark, s"$root/t", "bucket", "id",
+      Seq(0L, 1L, 2L, 3L).toDF("id"))
+    assert(r1.deletedTotal === 4 && r1.partitions.size === 4)
+    // idempotent: the same keys again hit nothing
+    val r2 = Forget.deleteKeys(spark, s"$root/t", "bucket", "id",
+      Seq(0L, 1L, 2L, 3L).toDF("id"))
+    assert(r2.partitions.isEmpty)
+    assert(spark.read.parquet(s"$root/t").count() === 16)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+}
