@@ -94,8 +94,8 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
 
-  /** Unwrap attribute-only Projects and key-only Filters down to the base
-    * relation; returns (relation, filter conditions met on the way). */
+  /** Unwrap attribute-only Projects and Filters down to a file relation;
+    * returns (relation, filter conditions met on the way). */
   private def unwrap(p: LogicalPlan,
       conds: Seq[Expression]): Option[(LogicalRelation, Seq[Expression])] =
     p match {
@@ -106,77 +106,140 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (baseRel, filterConds) = unwrap(agg.child, Nil) match {
-      case Some(x) => x
-      case None    => return None
-    }
-    val basePaths = rootPaths(baseRel)
-    if (basePaths.size != 1) return None
-    val basePath = basePaths.head
-
-    // grouping must be plain attributes
-    val groupAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
-      case a: AttributeReference => a
-      case _                     => return None
-    }
-    // candidate views: base matches, keys cover the grouping AND every
-    // filter condition; measures cover the aggregate inputs (checked
-    // below). Prefer the fewest-keys cover (smallest rollup wins).
-    val filterRefs = filterConds.flatMap(_.references.toSeq)
-    val candidates = views.values.asScala.toSeq
-      .filter(v => v.basePath == basePath)
-      .filter(v => groupAttrs.forall(a => v.keys.contains(a.name)))
-      .filter(v => filterRefs.forall(a => v.keys.contains(a.name)))
+  private def candidates(basePath: String): Seq[View] =
+    views.values.asScala.toSeq
+      .filter(_.basePath == basePath)
       .sortBy(v => (v.keys.size, v.name))
-    candidates.view.flatMap(v => rewriteWith(agg, filterConds, v)).headOption
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    // grouping must be plain attributes in either shape
+    if (!agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
+      return None
+    plainRewrite(agg).orElse(joinRewrite(agg))
   }
 
-  private def rewriteWith(agg: Aggregate, filterConds: Seq[Expression],
-      v: View): Option[LogicalPlan] = {
+  /** Aggregate([Project][Filter] Scan(base)) — the whole child collapses
+    * to the rollup. */
+  private def plainRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (baseRel, filterConds) = unwrap(agg.child, Nil).getOrElse(return None)
+    val basePaths = rootPaths(baseRel)
+    if (basePaths.size != 1) return None
+    candidates(basePaths.head).view.flatMap { v =>
+      rewriteCore(agg, v, baseRel.outputSet, filterConds,
+        AttributeSet.empty, (factChild, _) => Some(factChild))
+    }.headOption
+  }
+
+  /** Aggregate([Project] Join(fact, dim)) — star-schema shape: the FACT
+    * side collapses to the rollup and the join replays against it. The
+    * algebra needs no dim-key uniqueness: rows of the fact sharing the
+    * same full key vector join the same dim rows and carry the same
+    * grouping values, so collapsing them first and re-aggregating the
+    * partials across the join is exact for ANY inner join whose condition
+    * touches only rollup keys on the fact side. Aggregates over dim-side
+    * columns refuse (each would need cnt-weighting — not implemented). */
+  private def joinRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripProjects(child)
+      case other => other
+    }
+    val join = stripProjects(agg.child) match {
+      case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+      case _ => return None
+    }
+
+    def attempt(factPlan: LogicalPlan, dimPlan: LogicalPlan,
+        rebuild: (LogicalPlan, Option[Expression]) => Join): Option[LogicalPlan] = {
+      val (baseRel, factFilters) = unwrap(factPlan, Nil).getOrElse(return None)
+      val basePaths = rootPaths(baseRel)
+      if (basePaths.size != 1) return None
+      val factAttrs = baseRel.outputSet
+      candidates(basePaths.head).view.flatMap { v =>
+        // the join condition may touch fact KEYS and anything dim-side
+        val condOk = join.condition.forall(_.references.forall(a =>
+          !factAttrs.contains(a) || v.keys.contains(a.name)))
+        if (!condOk) None
+        else rewriteCore(agg, v, factAttrs, factFilters, dimPlan.outputSet,
+          (factChild, toMv) =>
+            Some(rebuild(factChild, join.condition.map(toMv))))
+      }.headOption
+    }
+
+    attempt(join.left, join.right,
+      (fc, cond) => join.copy(left = fc, condition = cond))
+      .orElse(attempt(join.right, join.left,
+        (fc, cond) => join.copy(right = fc, condition = cond)))
+  }
+
+  /** Shared rebuild: replace the fact subtree with the (filtered) rollup
+    * relation, merge the aggregates from partials, preserve output
+    * attribute ids/names/types exactly. `buildChild` receives the filtered
+    * rollup plan and the fact→rollup attribute mapper and returns the new
+    * aggregate child (the rollup itself, or the rebuilt join). */
+  private def rewriteCore(agg: Aggregate, v: View, factAttrs: AttributeSet,
+      factFilters: Seq[Expression], dimAttrs: AttributeSet,
+      buildChild: (LogicalPlan, Expression => Expression) => Option[LogicalPlan])
+      : Option[LogicalPlan] = {
     // fresh MV attribute ids per use (several rewrites may share a view)
     val mvRel = v.mv.newInstance()
     val mvAttr: Map[String, Attribute] = mvRel.output.map(a => a.name -> a).toMap
+    // the MV file must actually carry every declared key column
+    if (!v.keys.forall(mvAttr.contains)) return None
     def partial(prefix: String, c: String): Option[Attribute] =
       mvAttr.get(s"${prefix}_$c")
+
+    // fact-side filters must sit on rollup keys (replayable verbatim)
+    val filterOk = factFilters.forall(_.references.forall(a =>
+      factAttrs.contains(a) && v.keys.contains(a.name)))
+    if (!filterOk) return None
 
     val aggExpressions = agg.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression => ae
     })
 
-    // merged replacement per distinct aggregate call — None (outer) aborts
+    // merged replacement per distinct aggregate call — None (outer) aborts.
+    // Inputs must be bare FACT attributes (or the COUNT(*) literal):
+    // dim-side aggregate inputs would need cnt-weighting and refuse.
     val distinctAggs = aggExpressions.foldLeft(Seq.empty[AggregateExpression]) {
       (acc, ae) => if (acc.exists(_.semanticEquals(ae))) acc else acc :+ ae
     }
     val mergeOf: Map[AggregateExpression, Expression] = distinctAggs.map { ae =>
       if (ae.isDistinct || ae.filter.nonEmpty) return None
+      def factAttr(a: AttributeReference): Option[AttributeReference] =
+        if (factAttrs.contains(a)) Some(a) else None
       val merged: Expression = ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null =>
           val cnt = mvAttr.getOrElse("cnt", return None)
           Coalesce(Seq(ae.copy(aggregateFunction = Sum(cnt),
             resultId = NamedExpression.newExprId), Literal(0L)))
         case Count(Seq(a: AttributeReference)) =>
-          val cc = partial("cnt", a.name).getOrElse(return None)
+          val fa = factAttr(a).getOrElse(return None)
+          val cc = partial("cnt", fa.name).getOrElse(return None)
           Coalesce(Seq(ae.copy(aggregateFunction = Sum(cc),
             resultId = NamedExpression.newExprId), Literal(0L)))
         case Sum(a: AttributeReference, _)
             if !a.dataType.isInstanceOf[DecimalType] =>
-          val sc = partial("sum", a.name).getOrElse(return None)
+          val fa = factAttr(a).getOrElse(return None)
+          val sc = partial("sum", fa.name).getOrElse(return None)
           ae.copy(aggregateFunction = Sum(sc),
             resultId = NamedExpression.newExprId)
         case Min(a: AttributeReference) =>
-          val mc = partial("min", a.name).getOrElse(return None)
+          val fa = factAttr(a).getOrElse(return None)
+          val mc = partial("min", fa.name).getOrElse(return None)
           ae.copy(aggregateFunction = Min(mc),
             resultId = NamedExpression.newExprId)
         case Max(a: AttributeReference) =>
-          val mc = partial("max", a.name).getOrElse(return None)
+          val fa = factAttr(a).getOrElse(return None)
+          val mc = partial("max", fa.name).getOrElse(return None)
           ae.copy(aggregateFunction = Max(mc),
             resultId = NamedExpression.newExprId)
         case Average(a: AttributeReference, _) => a.dataType match {
           case _: DecimalType => return None
           case _: NumericType =>
-            val sc = partial("sum", a.name).getOrElse(return None)
-            val cc = partial("cnt", a.name).getOrElse(return None)
+            val fa = factAttr(a).getOrElse(return None)
+            val sc = partial("sum", fa.name).getOrElse(return None)
+            val cc = partial("cnt", fa.name).getOrElse(return None)
             // LEGACY division: NULL at count 0, reproducing AVG's
             // all-null-group result even under ANSI sessions
             Divide(
@@ -193,8 +256,8 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
       ae -> merged
     }.toMap
 
-    // every column the aggregate touches must be a key (outside agg
-    // functions) — aggregate inputs were validated per-call above
+    // outside aggregate functions, every FACT attribute must be a key;
+    // dim-side attributes pass through untouched
     def refsOutsideAgg(e: Expression): Seq[Attribute] = e match {
       case _: AggregateExpression => Nil
       case a: Attribute           => Seq(a)
@@ -202,44 +265,41 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
     }
     val outside = agg.aggregateExpressions.flatMap(refsOutsideAgg) ++
       agg.groupingExpressions.flatMap(refsOutsideAgg)
-    if (!outside.forall(a => v.keys.contains(a.name))) return None
+    val outsideOk = outside.forall(a =>
+      if (factAttrs.contains(a)) v.keys.contains(a.name)
+      else dimAttrs.contains(a))
+    if (!outsideOk) return None
 
-    // the MV file must actually carry every declared key column
-    if (!v.keys.forall(mvAttr.contains)) return None
-
-    // rebuild: [Filter'] over the fresh MV relation (every attr reaching
-    // here was validated to be a key, and keys ⊆ mv columns just above)
+    // fact attr -> rollup attr, by name (validated to be keys above)
     def toMv(e: Expression): Expression = e.transformUp {
-      case a: AttributeReference if mvAttr.contains(a.name) => mvAttr(a.name)
+      case a: AttributeReference if factAttrs.contains(a) =>
+        mvAttr.getOrElse(a.name, a)
     }
-    val child: LogicalPlan = filterConds match {
+    val factChild: LogicalPlan = factFilters match {
       case Seq() => mvRel
       case cs    => Filter(cs.map(toMv).reduce(And), mvRel)
     }
+    val child = buildChild(factChild, toMv).getOrElse(return None)
 
-    // result expressions: merged aggregates + key attrs, under the
+    // result expressions: merged aggregates + key/dim attrs, under the
     // ORIGINAL names and exprIds so parents resolve unchanged
     val newResult: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      case a: AttributeReference =>
+      case a: AttributeReference if factAttrs.contains(a) =>
         Alias(mvAttr.getOrElse(a.name, return None), a.name)(exprId = a.exprId)
+      case a: AttributeReference => a // dim-side: still produced by child
       case al: Alias =>
         val rewritten = al.child.transformUp {
           case ae: AggregateExpression =>
             mergeOf.collectFirst { case (k, m) if k.semanticEquals(ae) => m }
               .getOrElse(return None)
         }
-        // remaining base-side attrs outside aggregate subtrees are keys
-        // (validated above); mv-side attrs introduced by the merge are
-        // mapped to themselves harmlessly
-        val mapped = rewritten.transformUp {
-          case a: AttributeReference if v.keys.contains(a.name) =>
-            mvAttr.getOrElse(a.name, return None)
-        }
-        if (!mapped.references.subsetOf(mvRel.outputSet)) return None
+        val mapped = toMv(rewritten)
+        if (!mapped.references.subsetOf(child.outputSet)) return None
         Alias(mapped, al.name)(exprId = al.exprId, qualifier = al.qualifier,
           explicitMetadata = Some(al.metadata))
       case _ => return None
     }
+    if (!newResult.forall(_.references.subsetOf(child.outputSet))) return None
     val newGrouping = agg.groupingExpressions.map(toMv)
     Some(agg.copy(groupingExpressions = newGrouping,
       aggregateExpressions = newResult, child = child))

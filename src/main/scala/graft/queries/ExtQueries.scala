@@ -2306,6 +2306,55 @@ object ExtQueries {
     }
   }
 
+  /** X91 star-schema face (round 10) — join-aware rollup rewrite,
+    * ORACLE-CHECKED: register an o_custkey-keyed rollup of orders (10×
+    * smaller than the fact), then run the classic dashboard join —
+    * orders ⋈ customer grouped by market segment with COUNT/SUM/AVG.
+    * The rule must collapse the FACT side of the join to the rollup
+    * (exact for any inner join whose condition touches only rollup keys
+    * on the fact side — no dim-uniqueness assumption; see
+    * [[graft.plans.RollupViewRewrite]]), leaving the dim scan in place:
+    * the require() gate demands the rollup in the plan and the orders
+    * fact OUT of it. DuckDB joins the raw tables — the collapsed plan
+    * must reproduce the raw-join truth exactly. */
+  val x91_mv_star: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_star").toString
+    try {
+      graft.etl.MaterializedRollup.createAndRegister(
+        s, "x91_orders", s"$d/orders.parquet", s"$root/mv",
+        keys = Seq("o_custkey"), measures = Seq("o_totalprice"),
+        base = Some(t(s, d, "orders")))
+      val orders = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      val q = orders.join(customer,
+          orders("o_custkey") === customer("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          round(avg(col("o_totalprice")) + 1e-9, 4).as("avg_price"))
+        .orderBy(col("c_mktsegment"))
+      val paths = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(paths.exists(_.contains(s"$root/mv")) &&
+        !paths.exists(_.contains("orders")),
+        s"star rewrite did not fire: scans $paths")
+      val rows = q.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        q.schema)
+    } finally {
+      graft.plans.RollupViewRewrite.unregister("x91_orders")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   /** X92 (round 10) — targeted deletion (right-to-be-forgotten),
     * ORACLE-CHECKED end-to-end: copy documents into a lang-partitioned
     * layout, erase the keys of every `doc_id % 37 = 0` ENGLISH document
@@ -2475,6 +2524,7 @@ object ExtQueries {
     "x90_pq_exact" -> x90_pq_exact,
     "x90_pq_topk" -> x90_pq_topk,
     "x91_mv_rewrite" -> x91_mv_rewrite,
+    "x91_mv_star" -> x91_mv_star,
     "x92_forget" -> x92_forget,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,
@@ -2585,6 +2635,14 @@ object ExtQueries {
         |   ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
         | WHERE a.doc_id < 40 AND b.doc_id < 40
         | ORDER BY id_a, id_b""",
+    "x91_mv_star" ->
+      // DuckDB joins the raw tables; the engine's fact side is collapsed
+      // to the o_custkey rollup before the join
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price,
+        |  ROUND(AVG(o_totalprice) + 1e-9, 4) AS avg_price
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "x92_forget" ->
       // the erased store must equal a global filter of the source
       """SELECT lang, COUNT(*) AS n_docs,

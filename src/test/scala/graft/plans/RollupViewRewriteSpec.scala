@@ -214,6 +214,54 @@ class RollupViewRewriteSpec extends SparkSpec {
     }
   }
 
+  test("star-schema shape: the fact side of a join collapses to the rollup") {
+    withBase { (root, base) =>
+      val dim = Seq(("k0", "north"), ("k1", "south"), ("k2", "north"))
+        .toDF("dk", "region")
+      def q() = base.join(dim, base("k1") === dim("dk"))
+        .groupBy($"region")
+        .agg(count(lit(1)).as("pairs"), sum($"x").as("sx"),
+          avg($"n").as("an"), max($"x").as("mx"))
+        .orderBy($"region")
+      assert(scans(q(), s"$root/mv") && !scans(q(), s"$root/base"),
+        q().queryExecution.optimizedPlan.toString.take(600))
+      assert(sortedRows(q()) === sortedRows(disabled(q())))
+      // grouping may also MIX dim attrs and fact keys
+      val mixed = base.join(dim, base("k1") === dim("dk"))
+        .groupBy($"region", $"k2").agg(sum($"n").as("sn"))
+      assert(scans(mixed, s"$root/mv"))
+      assert(sortedRows(mixed) === sortedRows(disabled(
+        base.join(dim, base("k1") === dim("dk"))
+          .groupBy($"region", $"k2").agg(sum($"n").as("sn")))))
+      // fact-side key filter under the join is replayed on the rollup
+      val filtered = base.filter($"k2" <= 2)
+        .join(dim, base("k1") === dim("dk"))
+        .groupBy($"region").agg(sum($"x").as("sx"))
+      assert(scans(filtered, s"$root/mv") && !scans(filtered, s"$root/base"))
+      assert(sortedRows(filtered) === sortedRows(disabled(
+        base.filter($"k2" <= 2).join(dim, base("k1") === dim("dk"))
+          .groupBy($"region").agg(sum($"x").as("sx")))))
+    }
+  }
+
+  test("join guards: dim-side aggregates, measure-keyed joins, outer joins refuse") {
+    withBase { (root, base) =>
+      val dim = Seq(("k0", 1.5), ("k1", 2.5)).toDF("dk", "weight")
+      // aggregate over a dim column needs cnt-weighting -> refuse
+      val dimAgg = base.join(dim, base("k1") === dim("dk"))
+        .groupBy($"k2").agg(sum($"weight").as("sw"))
+      assert(scans(dimAgg, s"$root/base") && !scans(dimAgg, s"$root/mv"))
+      // join condition on a fact MEASURE cannot replay on the rollup
+      val measJoin = base.join(dim, base("x") > dim("weight"))
+        .groupBy($"k1").agg(count(lit(1)).as("c"))
+      assert(scans(measJoin, s"$root/base") && !scans(measJoin, s"$root/mv"))
+      // outer joins refuse (unmatched-row semantics differ per multiplicity)
+      val outer = base.join(dim, base("k1") === dim("dk"), "left")
+        .groupBy($"k2").agg(sum($"x").as("sx"))
+      assert(scans(outer, s"$root/base") && !scans(outer, s"$root/mv"))
+    }
+  }
+
   test("self-registration is refused; decimal sums keep the base scan") {
     val root = java.nio.file.Files.createTempDirectory("graft_mv4").toString
     try {
