@@ -136,8 +136,10 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
     * same full key vector join the same dim rows and carry the same
     * grouping values, so collapsing them first and re-aggregating the
     * partials across the join is exact for ANY inner join whose condition
-    * touches only rollup keys on the fact side. Aggregates over dim-side
-    * columns refuse (each would need cnt-weighting — not implemented). */
+    * touches only rollup keys on the fact side. Dim-side aggregate inputs
+    * CNT-WEIGHT (each rollup row stands for cnt fact rows): SUM(d.x) →
+    * Σ cnt·d.x, COUNT(d.x) → Σ cnt over non-null d.x, AVG their ratio;
+    * MIN/MAX pass through unweighted (cnt ≥ 1 keeps every value). */
   private def joinRewrite(agg: Aggregate): Option[LogicalPlan] = {
     def stripProjects(p: LogicalPlan): LogicalPlan = p match {
       case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
@@ -198,9 +200,13 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
       case ae: AggregateExpression => ae
     })
 
-    // merged replacement per distinct aggregate call — None (outer) aborts.
-    // Inputs must be bare FACT attributes (or the COUNT(*) literal):
-    // dim-side aggregate inputs would need cnt-weighting and refuse.
+    // merged replacement per distinct aggregate call — None (outer)
+    // aborts. FACT inputs merge from the rollup partials. DIM-side
+    // inputs (join mode only) CNT-WEIGHT instead: each collapsed rollup
+    // row stands for cnt fact rows, all joining the same dim row, so
+    // SUM(d.x) over pairs = Σ cnt·d.x, COUNT(d.x) = Σ cnt over non-null
+    // d.x, AVG = their ratio — and MIN/MAX need no weighting at all
+    // (cnt ≥ 1 keeps every pair value present).
     val distinctAggs = aggExpressions.foldLeft(Seq.empty[AggregateExpression]) {
       (acc, ae) => if (acc.exists(_.semanticEquals(ae))) acc else acc :+ ae
     }
@@ -208,10 +214,31 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
       def factAttr(a: AttributeReference): Option[AttributeReference] =
         if (factAttrs.contains(a)) Some(a) else None
+      def isDim(a: AttributeReference): Boolean = dimAttrs.contains(a)
+      val cntOpt: Option[Attribute] = mvAttr.get("cnt")
+      // cnt-weighted product for a dim-side value, type-matched to what
+      // SUM of the raw input would produce (long for integrals, double
+      // otherwise)
+      def weighted(a: AttributeReference, cnt: Attribute): Expression =
+        a.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType =>
+            Multiply(Cast(a, org.apache.spark.sql.types.LongType),
+              Cast(cnt, org.apache.spark.sql.types.LongType))
+          case _ =>
+            Multiply(Cast(a, DoubleType), Cast(cnt, DoubleType))
+        }
+      def dimNonNullCnt(a: AttributeReference, cnt: Attribute): Expression =
+        If(IsNotNull(a), Cast(cnt, org.apache.spark.sql.types.LongType),
+          Literal(0L))
       val merged: Expression = ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null =>
-          val cnt = mvAttr.getOrElse("cnt", return None)
-          Coalesce(Seq(ae.copy(aggregateFunction = Sum(cnt),
+          Coalesce(Seq(ae.copy(aggregateFunction = Sum(cntOpt.getOrElse(return None)),
+            resultId = NamedExpression.newExprId), Literal(0L)))
+        case Count(Seq(a: AttributeReference)) if isDim(a) =>
+          Coalesce(Seq(ae.copy(aggregateFunction = Sum(dimNonNullCnt(a, cntOpt.getOrElse(return None))),
             resultId = NamedExpression.newExprId), Literal(0L)))
         case Count(Seq(a: AttributeReference)) =>
           val fa = factAttr(a).getOrElse(return None)
@@ -219,16 +246,23 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
           Coalesce(Seq(ae.copy(aggregateFunction = Sum(cc),
             resultId = NamedExpression.newExprId), Literal(0L)))
         case Sum(a: AttributeReference, _)
+            if isDim(a) && !a.dataType.isInstanceOf[DecimalType] &&
+              a.dataType.isInstanceOf[NumericType] =>
+          ae.copy(aggregateFunction = Sum(weighted(a, cntOpt.getOrElse(return None))),
+            resultId = NamedExpression.newExprId)
+        case Sum(a: AttributeReference, _)
             if !a.dataType.isInstanceOf[DecimalType] =>
           val fa = factAttr(a).getOrElse(return None)
           val sc = partial("sum", fa.name).getOrElse(return None)
           ae.copy(aggregateFunction = Sum(sc),
             resultId = NamedExpression.newExprId)
+        case Min(a: AttributeReference) if isDim(a) => ae // unweighted
         case Min(a: AttributeReference) =>
           val fa = factAttr(a).getOrElse(return None)
           val mc = partial("min", fa.name).getOrElse(return None)
           ae.copy(aggregateFunction = Min(mc),
             resultId = NamedExpression.newExprId)
+        case Max(a: AttributeReference) if isDim(a) => ae // unweighted
         case Max(a: AttributeReference) =>
           val fa = factAttr(a).getOrElse(return None)
           val mc = partial("max", fa.name).getOrElse(return None)
@@ -236,6 +270,13 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
             resultId = NamedExpression.newExprId)
         case Average(a: AttributeReference, _) => a.dataType match {
           case _: DecimalType => return None
+          case _: NumericType if isDim(a) =>
+            Divide(
+              Cast(ae.copy(aggregateFunction = Sum(weighted(a, cntOpt.getOrElse(return None))),
+                resultId = NamedExpression.newExprId), DoubleType),
+              Cast(ae.copy(aggregateFunction = Sum(dimNonNullCnt(a, cntOpt.getOrElse(return None))),
+                resultId = NamedExpression.newExprId), DoubleType),
+              EvalMode.LEGACY)
           case _: NumericType =>
             val fa = factAttr(a).getOrElse(return None)
             val sc = partial("sum", fa.name).getOrElse(return None)

@@ -244,13 +244,28 @@ class RollupViewRewriteSpec extends SparkSpec {
     }
   }
 
-  test("join guards: dim-side aggregates, measure-keyed joins, outer joins refuse") {
+  test("dim-side aggregates rewrite with cnt-weighting, exactly") {
+    withBase { (root, base) =>
+      // weight has a NULL (avg/count denominators) and integer wint checks
+      // the long-typed weighted product path
+      val dim = Seq(("k0", Some(1.5), 10), ("k1", None, 20), ("k2", Some(2.5), 30))
+        .toDF("dk", "weight", "wint")
+      def q() = base.join(dim, base("k1") === dim("dk"))
+        .groupBy($"k2")
+        .agg(sum($"weight").as("sw"), avg($"weight").as("aw"),
+          count($"weight").as("cw"), min($"weight").as("mnw"),
+          max($"weight").as("mxw"), sum($"wint").as("swi"),
+          sum($"x").as("sx"))
+        .orderBy($"k2")
+      assert(scans(q(), s"$root/mv") && !scans(q(), s"$root/base"),
+        q().queryExecution.optimizedPlan.toString.take(600))
+      assert(sortedRows(q()) === sortedRows(disabled(q())))
+    }
+  }
+
+  test("join guards: measure-keyed joins and outer joins refuse") {
     withBase { (root, base) =>
       val dim = Seq(("k0", 1.5), ("k1", 2.5)).toDF("dk", "weight")
-      // aggregate over a dim column needs cnt-weighting -> refuse
-      val dimAgg = base.join(dim, base("k1") === dim("dk"))
-        .groupBy($"k2").agg(sum($"weight").as("sw"))
-      assert(scans(dimAgg, s"$root/base") && !scans(dimAgg, s"$root/mv"))
       // join condition on a fact MEASURE cannot replay on the rollup
       val measJoin = base.join(dim, base("x") > dim("weight"))
         .groupBy($"k1").agg(count(lit(1)).as("c"))
