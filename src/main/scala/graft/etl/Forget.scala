@@ -89,8 +89,12 @@ object Forget {
     // 3. per-partition swap; fully-deleted partitions have nothing staged
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // hive-escaped directory names, exactly as Spark's writer renders them
+    // (special characters like space/'='/'%' in string partition values)
     def dirName(v: Any): String =
-      s"$partitionCol=" + (if (v == null) HiveDefaultPartition else v.toString)
+      s"$partitionCol=" + (if (v == null) HiveDefaultPartition
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v.toString))
     affected.foreach { r =>
       val d = dirName(r.get(0))
       val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$d")

@@ -158,9 +158,11 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
       if (basePaths.size != 1) return None
       val factAttrs = baseRel.outputSet
       candidates(basePaths.head).view.flatMap { v =>
-        // the join condition may touch fact KEYS and anything dim-side
-        val condOk = join.condition.forall(_.references.forall(a =>
-          !factAttrs.contains(a) || v.keys.contains(a.name)))
+        // the join condition may touch fact KEYS and anything dim-side,
+        // and must be deterministic (it re-evaluates per collapsed row)
+        val condOk = join.condition.forall(c => c.deterministic &&
+          c.references.forall(a =>
+            !factAttrs.contains(a) || v.keys.contains(a.name)))
         if (!condOk) None
         else rewriteCore(agg, v, factAttrs, factFilters, dimPlan.outputSet,
           (factChild, toMv) =>
@@ -191,9 +193,12 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
     def partial(prefix: String, c: String): Option[Attribute] =
       mvAttr.get(s"${prefix}_$c")
 
-    // fact-side filters must sit on rollup keys (replayable verbatim)
-    val filterOk = factFilters.forall(_.references.forall(a =>
-      factAttrs.contains(a) && v.keys.contains(a.name)))
+    // fact-side filters must sit on rollup keys (replayable verbatim) and
+    // be DETERMINISTIC — a rand() filter evaluated per collapsed group
+    // would sample groups where the original sampled rows
+    val filterOk = factFilters.forall(f => f.deterministic &&
+      f.references.forall(a =>
+        factAttrs.contains(a) && v.keys.contains(a.name)))
     if (!filterOk) return None
 
     val aggExpressions = agg.aggregateExpressions.flatMap(_.collect {

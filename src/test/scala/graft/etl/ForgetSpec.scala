@@ -78,6 +78,20 @@ class ForgetSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("partition values with special characters swap the right directory") {
+    val root = Files.createTempDirectory("graft_forget4").toString
+    // a space and an '=' force hive escaping in the directory name
+    Seq(("a b", 1L), ("a b", 2L), ("c=d", 3L)).toDF("p", "id")
+      .write.partitionBy("p").parquet(s"$root/t")
+    val report = Forget.deleteKeys(spark, s"$root/t", "p", "id",
+      Seq(1L).toDF("id"))
+    assert(report.deletedTotal === 1)
+    val left = spark.read.parquet(s"$root/t")
+      .select($"p", $"id").as[(String, Long)].collect().toSet
+    assert(left === Set(("a b", 2L), ("c=d", 3L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("integer partition values and repeated erasure are handled") {
     val root = Files.createTempDirectory("graft_forget3").toString
     Seq.tabulate(20)(i => (i % 4, i.toLong)).toDF("bucket", "id")
