@@ -113,4 +113,45 @@ object Forget {
         n, hits, n - hits)
     }.sortBy(_.partition).toSeq)
   }
+
+  /** One row per expired partition. */
+  final case class PartitionExpiry(partition: String, rowsDropped: Long)
+
+  /** Retention sweep (TTL): drop every partition whose VALUE fails
+    * `retain` — e.g. `retain = col("day") >= "2026-01-01"`. No data page
+    * is ever read: partition values come from the file index (a metadata
+    * listing), the predicate evaluates on a |partitions|-row relation,
+    * and expiry is one directory delete per failing partition; the row
+    * counts in the report come from parquet FOOTERS of the dropped
+    * partitions only. The complement of [[deleteKeys]]: deleteKeys
+    * erases rows surgically INSIDE partitions; this retires whole
+    * partitions — the daily lifecycle job at 100 TB. */
+  def expirePartitions(spark: SparkSession, tableDir: String,
+      partitionCol: String,
+      retain: org.apache.spark.sql.Column): Seq[PartitionExpiry] = {
+    val table = spark.read.parquet(tableDir)
+    require(table.columns.contains(partitionCol),
+      s"$partitionCol is not a column of $tableDir")
+    val expired = table.select(col(partitionCol)).distinct()
+      .filter(!retain).collect().map(_.get(0))
+    if (expired.isEmpty) return Nil
+    val expiredCol = expired.map(v =>
+      if (v == null) col(partitionCol).isNull
+      else col(partitionCol) <=> lit(v)).reduce(_ || _)
+    // footer-only count of what is being dropped (metadata rows)
+    val counts = table.filter(expiredCol)
+      .groupBy(col(partitionCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    expired.foreach { v =>
+      val d = s"$partitionCol=" + (if (v == null) HiveDefaultPartition
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v.toString))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$d"), true)
+    }
+    expired.map(v => PartitionExpiry(
+      if (v == null) HiveDefaultPartition else v.toString,
+      counts.getOrElse(String.valueOf(v), 0L))).sortBy(_.partition).toSeq
+  }
 }

@@ -92,6 +92,25 @@ class ForgetSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("expirePartitions drops failing partitions whole, retains the rest") {
+    val root = Files.createTempDirectory("graft_expire").toString
+    Seq(("2026-01-01", 1L), ("2026-01-01", 2L), ("2026-02-01", 3L),
+      ("2026-03-01", 4L)).toDF("day", "id")
+      .write.partitionBy("day").parquet(s"$root/t")
+    val keepBefore = files(s"$root/t/day=2026-03-01")
+    val expired = Forget.expirePartitions(spark, s"$root/t", "day",
+      col("day") >= "2026-02-01")
+    assert(expired.map(e => (e.partition, e.rowsDropped)) ===
+      Seq(("2026-01-01", 2L)))
+    assert(!new java.io.File(s"$root/t/day=2026-01-01").exists())
+    assert(files(s"$root/t/day=2026-03-01") === keepBefore)
+    assert(spark.read.parquet(s"$root/t").count() === 2)
+    // idempotent: nothing left to expire
+    assert(Forget.expirePartitions(spark, s"$root/t", "day",
+      col("day") >= "2026-02-01").isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("integer partition values and repeated erasure are handled") {
     val root = Files.createTempDirectory("graft_forget3").toString
     Seq.tabulate(20)(i => (i % 4, i.toLong)).toDF("bucket", "id")

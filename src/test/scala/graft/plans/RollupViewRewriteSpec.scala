@@ -220,6 +220,21 @@ class RollupViewRewriteSpec extends SparkSpec {
     }
   }
 
+  test("plain SQL over a temp view is rewritten too") {
+    withBase { (root, base) =>
+      base.createOrReplaceTempView("rvr_base")
+      try {
+        val q = spark.sql(
+          """SELECT k1, COUNT(*) AS c, SUM(x) AS sx, AVG(n) AS an
+            |FROM rvr_base WHERE k2 = 1 GROUP BY k1""".stripMargin)
+        assert(scans(q, s"$root/mv") && !scans(q, s"$root/base"))
+        assert(sortedRows(q) === sortedRows(disabled(spark.sql(
+          """SELECT k1, COUNT(*) AS c, SUM(x) AS sx, AVG(n) AS an
+            |FROM rvr_base WHERE k2 = 1 GROUP BY k1""".stripMargin))))
+      } finally spark.catalog.dropTempView("rvr_base")
+    }
+  }
+
   test("star-schema shape: the fact side of a join collapses to the rollup") {
     withBase { (root, base) =>
       val dim = Seq(("k0", "north"), ("k1", "south"), ("k2", "north"))
