@@ -158,4 +158,39 @@ object Drift {
       .filter(col("__nb") > 0 && col("__na") > 0)
       .drop("__nb", "__na")
   }
+
+  /** X93 — embedding-distribution drift: the vector-space face of this
+    * module (PSI/KS monitor scalars; an embedding column drifts when the
+    * encoder, the upstream corpus mix, or a preprocessing step changes,
+    * and every ANN/semantic-dedup index built on it silently degrades).
+    * Per dimension: mean and sample variance on each side, and the
+    * standardized mean difference |μ_cur − μ_ref| / s_pooled (Cohen's d
+    * with the pooled two-sample standard deviation) — the classic
+    * magnitude-free shift score, comparable across dimensions of
+    * different scales. Plan: ONE partial-aggregated scan per side
+    * (posexplode to (dim, x), hash-agg — the Ivf/Pca training shape),
+    * then a d-row join; nothing row-sized is ever shuffled, so the pass
+    * costs two scans at ANY corpus size. Zero pooled variance (both
+    * sides constant in a dimension) yields NULL smd — callers treat a
+    * constant-to-constant mean jump as its own signal. */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame,
+      vecCol: String = "embedding", roundTo: Int = 4): DataFrame = {
+    def stats(df: DataFrame, side: String): DataFrame =
+      df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(avg(col("x")).as(s"mean_$side"),
+          var_samp(col("x")).as(s"var_$side"),
+          count(lit(1)).as(s"n_$side"))
+    val j = stats(ref, "ref").join(stats(cur, "cur"), "dim")
+    val pooledVar = (
+      (col("n_ref") - 1) * col("var_ref") + (col("n_cur") - 1) * col("var_cur")
+    ) / (col("n_ref") + col("n_cur") - 2)
+    j.select(
+      col("dim"),
+      round(col("mean_ref") + lit(1e-9), roundTo).as("mean_ref"),
+      round(col("mean_cur") + lit(1e-9), roundTo).as("mean_cur"),
+      when(pooledVar > 0,
+        round(abs(col("mean_cur") - col("mean_ref")) / sqrt(pooledVar)
+          + lit(1e-9), roundTo)).as("smd"))
+  }
 }

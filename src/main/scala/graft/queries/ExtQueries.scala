@@ -2410,6 +2410,21 @@ object ExtQueries {
     }
   }
 
+  /** X93 (round 10) — embedding-distribution drift, ORACLE-CHECKED: split
+    * the embeddings corpus into a reference half and a "new batch" half
+    * and emit the per-dimension drift report (means + standardized mean
+    * difference over the pooled two-sample deviation). The whole report
+    * is plain aggregation arithmetic, so DuckDB reproduces it exactly
+    * from an unnest-by-position view of the same vectors. */
+  val x93_embed_drift: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val ref = emb.filter(col("vec_id") < 250)
+    val cur = emb.filter(col("vec_id") >= 250)
+    graft.ext.Drift.embeddingDrift(ref, cur)
+      .withColumn("dim", col("dim").cast("long"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -2526,6 +2541,7 @@ object ExtQueries {
     "x91_mv_rewrite" -> x91_mv_rewrite,
     "x91_mv_star" -> x91_mv_star,
     "x92_forget" -> x92_forget,
+    "x93_embed_drift" -> x93_embed_drift,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,
     "x49_fit" -> x49_fit)
@@ -2643,6 +2659,31 @@ object ExtQueries {
         |  ROUND(AVG(o_totalprice) + 1e-9, 4) AS avg_price
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "x93_embed_drift" ->
+      // identical per-dim mean/variance/pooled-smd arithmetic over an
+      // unnest-by-position view of the same vectors
+      """WITH ref AS (
+        |  SELECT t.i AS dim, e.v[t.i + 1] AS x
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings WHERE vec_id < 250) e,
+        |       range(0, 64) t(i)),
+        | cur AS (
+        |  SELECT t.i AS dim, e.v[t.i + 1] AS x
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings WHERE vec_id >= 250) e,
+        |       range(0, 64) t(i)),
+        | rs AS (SELECT dim, avg(x) AS mr, var_samp(x) AS vr,
+        |               count(*) AS nr FROM ref GROUP BY dim),
+        | cs AS (SELECT dim, avg(x) AS mc, var_samp(x) AS vc,
+        |               count(*) AS nc FROM cur GROUP BY dim)
+        | SELECT rs.dim,
+        |  ROUND(mr + 1e-9, 4) AS mean_ref,
+        |  ROUND(mc + 1e-9, 4) AS mean_cur,
+        |  CASE WHEN ((nr-1)*vr + (nc-1)*vc) / (nr + nc - 2) > 0
+        |    THEN ROUND(abs(mc - mr)
+        |      / sqrt(((nr-1)*vr + (nc-1)*vc) / (nr + nc - 2)) + 1e-9, 4)
+        |  END AS smd
+        | FROM rs JOIN cs USING (dim) ORDER BY dim""",
     "x92_forget" ->
       // the erased store must equal a global filter of the source
       """SELECT lang, COUNT(*) AS n_docs,

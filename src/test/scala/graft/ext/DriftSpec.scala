@@ -81,3 +81,43 @@ class DriftSpec extends SparkSpec {
     assert(byBin(1) + byBin(3) > 0.9 * total)
   }
 }
+
+class EmbeddingDriftSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def vecs(rows: Seq[Seq[Float]]): org.apache.spark.sql.DataFrame =
+    rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+
+  test("a planted mean shift in one dimension yields the hand-computed smd") {
+    // dim 0 shifts by +2 with sd 1 on both sides; dim 1 identical
+    val ref = vecs(Seq(Seq(0f, 5f), Seq(2f, 5f), Seq(0f, 7f), Seq(2f, 7f)))
+    val cur = vecs(Seq(Seq(2f, 5f), Seq(4f, 5f), Seq(2f, 7f), Seq(4f, 7f)))
+    val got = Drift.embeddingDrift(ref, cur)
+      .orderBy($"dim").collect()
+    // dim 0: means 1 -> 3, var = 4/3 both sides, pooled sd = sqrt(4/3),
+    // smd = 2 / 1.1547 = 1.7321 (rounded)
+    val d0 = got(0)
+    assert(d0.getInt(0) === 0 && d0.getDouble(1) === 1.0 &&
+      d0.getDouble(2) === 3.0 && math.abs(d0.getDouble(3) - 1.7321) < 1e-9)
+    // dim 1: no shift -> smd 0
+    val d1 = got(1)
+    assert(d1.getDouble(1) === 6.0 && d1.getDouble(2) === 6.0 &&
+      d1.getDouble(3) === 0.0)
+  }
+
+  test("zero pooled variance yields NULL smd, never Inf") {
+    val ref = vecs(Seq(Seq(1f), Seq(1f)))
+    val cur = vecs(Seq(Seq(3f), Seq(3f)))
+    val r = Drift.embeddingDrift(ref, cur).collect().head
+    assert(r.getDouble(1) === 1.0 && r.getDouble(2) === 3.0 && r.isNullAt(3))
+  }
+
+  test("identical corpora report zero drift in every dimension") {
+    val both = vecs(Seq.tabulate(10)(i => Seq(i.toFloat, (i * i).toFloat)))
+    val r = Drift.embeddingDrift(both, both)
+    assert(r.filter($"smd" =!= 0.0).count() === 0)
+    assert(r.count() === 2)
+  }
+}
