@@ -66,13 +66,19 @@ object Forget {
     //    column-pruned to (partition, key), the delete set broadcast.
     //    The __hit indicator survives the join even for NULL keys (which
     //    match via <=> but carry a NULL __del_key).
-    val stats = table.select(col(partitionCol).as("__p"), col(keyCol))
+    // __ps = Spark's OWN cast-to-string rendering of the partition value
+    // (session timezone for timestamps) — the writer derives directory
+    // names from exactly this string, so dirName below can never drift
+    // from the on-disk layout the way Any.toString can (a
+    // java.sql.Timestamp's toString is JVM-timezone + trailing ".0")
+    val stats = table.select(col(partitionCol).as("__p"),
+        col(partitionCol).cast("string").as("__ps"), col(keyCol))
       .join(delKeys, col(keyCol) <=> col("__del_key"), "left")
       .groupBy(col("__p"))
-      .agg(count(lit(1)).as("__n"),
+      .agg(first(col("__ps")).as("__ps"), count(lit(1)).as("__n"),
         sum(coalesce(col("__hit"), lit(0))).as("__hits"))
       .collect()
-    val affected = stats.filter(_.getLong(2) > 0)
+    val affected = stats.filter(_.getLong(3) > 0)
     if (affected.isEmpty) return Report(Nil)
 
     val affectedVals = affected.map(_.get(0)).toSeq
@@ -80,8 +86,25 @@ object Forget {
       if (v == null) col(partitionCol).isNull
       else col(partitionCol) <=> lit(v)).reduce(_ || _)
 
-    // 2. staged rewrite of affected partitions' survivors
+    // the engine's own rollup rewrite must not keep serving the erased
+    // rows' aggregates: invalidate every registered view over this base
+    // (re-register after rebuilding the rollup from the erased table)
+    val canonBase = {
+      val pth = new org.apache.hadoop.fs.Path(tableDir)
+      pth.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(pth).toString
+    }
+    graft.plans.RollupViewRewrite.registered
+      .filter(_.basePath == canonBase)
+      .foreach(v => graft.plans.RollupViewRewrite.unregister(v.name))
+
+    // 2. staged rewrite of affected partitions' survivors (staging
+    //    cleared first: a crashed prior run's leftovers must never be
+    //    swapped in as if they were this run's output)
     val staging = tableDir.stripSuffix("/") + "__forget_tmp"
+    new org.apache.hadoop.fs.Path(staging).getFileSystem(
+      spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(staging), true)
     table.filter(affectedCol)
       .join(delKeys, col(keyCol) <=> col("__del_key"), "left_anti")
       .write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
@@ -89,16 +112,23 @@ object Forget {
     // 3. per-partition swap; fully-deleted partitions have nothing staged
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // hive-escaped directory names, exactly as Spark's writer renders them
-    // (special characters like space/'='/'%' in string partition values)
-    def dirName(v: Any): String =
-      s"$partitionCol=" + (if (v == null) HiveDefaultPartition
+    // hive-escaped directory names from the CAST string (see __ps above),
+    // exactly as Spark's writer renders them
+    def dirName(castStr: String): String =
+      s"$partitionCol=" + (if (castStr == null) HiveDefaultPartition
       else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(v.toString))
+        .escapePathName(castStr))
     affected.foreach { r =>
-      val d = dirName(r.get(0))
+      val d = dirName(r.getString(1))
       val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$d")
       val src = new org.apache.hadoop.fs.Path(s"$staging/$d")
+      // the hit partition MUST exist on disk — a miss means the rendered
+      // name diverged from the layout, and silently skipping it would
+      // report rows as deleted while leaving them readable
+      require(fs.exists(dst),
+        s"partition directory $d not found under $tableDir " +
+          "(partition-value rendering mismatch) — aborting; partitions " +
+          "swapped before this one are already rewritten")
       fs.delete(dst, true)
       if (fs.exists(src)) {
         require(fs.rename(src, dst), s"partition swap failed for $d")
@@ -107,9 +137,9 @@ object Forget {
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
 
     Report(affected.map { r =>
-      val (n, hits) = (r.getLong(1), r.getLong(2))
+      val (n, hits) = (r.getLong(2), r.getLong(3))
       PartitionDelete(
-        if (r.get(0) == null) HiveDefaultPartition else r.get(0).toString,
+        if (r.getString(1) == null) HiveDefaultPartition else r.getString(1),
         n, hits, n - hits)
     }.sortBy(_.partition).toSeq)
   }
@@ -132,26 +162,42 @@ object Forget {
     val table = spark.read.parquet(tableDir)
     require(table.columns.contains(partitionCol),
       s"$partitionCol is not a column of $tableDir")
-    val expired = table.select(col(partitionCol)).distinct()
-      .filter(!retain).collect().map(_.get(0))
-    if (expired.isEmpty) return Nil
-    val expiredCol = expired.map(v =>
+    // a partition expires unless retain is definitively TRUE: a NULL
+    // predicate result (e.g. a null partition value under a >= bound)
+    // ages out rather than surviving every sweep unreported — malformed
+    // data is exactly what a lifecycle job most needs to retire
+    val expiredRows = table
+      .select(col(partitionCol).as("__p"),
+        col(partitionCol).cast("string").as("__ps"))
+      .distinct()
+      .filter(!coalesce(retain, lit(false)))
+      .collect()
+    if (expiredRows.isEmpty) return Nil
+    val expiredCol = expiredRows.map(_.get(0)).map(v =>
       if (v == null) col(partitionCol).isNull
       else col(partitionCol) <=> lit(v)).reduce(_ || _)
     // footer-only count of what is being dropped (metadata rows)
     val counts = table.filter(expiredCol)
-      .groupBy(col(partitionCol)).agg(count(lit(1)).as("n"))
+      .groupBy(col(partitionCol).cast("string")).agg(count(lit(1)).as("n"))
       .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    expired.foreach { v =>
-      val d = s"$partitionCol=" + (if (v == null) HiveDefaultPartition
+    expiredRows.foreach { r =>
+      // directory names from Spark's own cast-to-string rendering (the
+      // deleteKeys __ps contract)
+      val d = s"$partitionCol=" + (if (r.getString(1) == null) HiveDefaultPartition
       else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(v.toString))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$d"), true)
+        .escapePathName(r.getString(1)))
+      val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$d")
+      require(fs.exists(dst),
+        s"partition directory $d not found under $tableDir " +
+          "(partition-value rendering mismatch)")
+      fs.delete(dst, true)
     }
-    expired.map(v => PartitionExpiry(
-      if (v == null) HiveDefaultPartition else v.toString,
-      counts.getOrElse(String.valueOf(v), 0L))).sortBy(_.partition).toSeq
+    expiredRows.map { r =>
+      val name =
+        if (r.getString(1) == null) HiveDefaultPartition else r.getString(1)
+      PartitionExpiry(name, counts.getOrElse(String.valueOf(r.getString(1)), 0L))
+    }.sortBy(_.partition).toSeq
   }
 }

@@ -34,14 +34,55 @@ object MaterializedRollup {
     base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The merge algebra over the rollup schema — counts/sums add, min/max
+    * take min/max — shared by [[applyDelta]] and
+    * [[graft.streaming.StreamingRollup]] so the two maintenance paths can
+    * never diverge. */
+  def mergeAggs(measures: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    sum(col("cnt")).as("cnt") +: measures.flatMap { c =>
+      Seq(sum(col(s"sum_$c")).as(s"sum_$c"), min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c"), sum(col(s"cnt_$c")).as(s"cnt_$c"))
+    }
+
+  /** Crash-safe directory swap: the PREVIOUS copy is moved aside first,
+    * so a failure at any step leaves either the old or the new rollup
+    * readable — never an empty path (delete-then-rename would destroy
+    * the only copy if the rename failed or the driver died between). */
+  def swapDir(fs: org.apache.hadoop.fs.FileSystem, tmp: String,
+      dst: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val old = new Path(dst + "__old")
+    fs.delete(old, true)
+    val hadOld = fs.exists(new Path(dst))
+    if (hadOld) require(fs.rename(new Path(dst), old),
+      s"swap failed moving the previous copy of $dst aside")
+    if (!fs.rename(new Path(tmp), new Path(dst))) {
+      if (hadOld) fs.rename(old, new Path(dst)) // restore the previous copy
+      throw new IllegalStateException(s"swap failed installing $tmp at $dst")
+    }
+    fs.delete(old, true)
+  }
+
+  private def canonical(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
+  }
+
   /** Build the rollup from the base at `basePath` (loaded through the
     * engine's table loader when `table` is given, else read directly),
     * write it to `mvPath`, and register it for rewriting. Building runs
     * with the rewrite DISABLED for this session so a refresh can never
-    * read a stale registered copy of itself. Returns the view. */
+    * read a stale registered copy of itself (note: the flip is
+    * session-wide for the duration of the KB-sized build — concurrent
+    * queries on the same session briefly lose rewrites, never
+    * correctness). Returns the view. */
   def createAndRegister(spark: SparkSession, name: String, basePath: String,
       mvPath: String, keys: Seq[String], measures: Seq[String],
       base: Option[DataFrame] = None): RollupViewRewrite.View = {
+    // validate BEFORE the destructive overwrite: writing the rollup over
+    // its own base would replace the fact table with KB of partials
+    require(canonical(spark, mvPath) != canonical(spark, basePath),
+      s"rollup path $mvPath must differ from its base $basePath")
     RollupViewRewrite.unregister(name)
     val prev = spark.conf.getOption(RollupViewRewrite.EnabledKey)
     spark.conf.set(RollupViewRewrite.EnabledKey, "false")
@@ -77,10 +118,7 @@ object MaterializedRollup {
       case _ => throw new IllegalArgumentException(s"$name is not file-backed")
     }
     val keyCols = v.keys.map(col)
-    val aggs = sum(col("cnt")).as("cnt") +: v.measures.flatMap { c =>
-      Seq(sum(col(s"sum_$c")).as(s"sum_$c"), min(col(s"min_$c")).as(s"min_$c"),
-        max(col(s"max_$c")).as(s"max_$c"), sum(col(s"cnt_$c")).as(s"cnt_$c"))
-    }
+    val aggs = mergeAggs(v.measures)
     val prev = spark.conf.getOption(RollupViewRewrite.EnabledKey)
     spark.conf.set(RollupViewRewrite.EnabledKey, "false")
     try {
@@ -89,11 +127,9 @@ object MaterializedRollup {
         .groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
       val fs = new Path(mvPath)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      val tmp = new Path(mvPath + "__delta_tmp")
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(new Path(mvPath), true)
-      require(fs.rename(tmp, new Path(mvPath)),
-        s"atomic swap failed for $mvPath")
+      val tmp = mvPath + "__delta_tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      swapDir(fs, tmp, mvPath)
     } finally prev match {
       case Some(p) => spark.conf.set(RollupViewRewrite.EnabledKey, p)
       case None    => spark.conf.unset(RollupViewRewrite.EnabledKey)

@@ -33,25 +33,23 @@ object StreamingRollup {
       measures: Seq[String], partialsDir: String, mvPath: String,
       registerAs: Option[String] = None, basePath: String = ""): Unit = {
     val spark = batch.sparkSession
-    withDynamicOverwrite(spark) {
-      MaterializedRollup.build(batch, keys, measures)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(partialsDir)
-    }
+    // dynamic overwrite scoped to THIS writer (never the session conf:
+    // a session-wide flip would change the semantics of concurrent
+    // overwrite writes on the same session)
+    MaterializedRollup.build(batch, keys, measures)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(partialsDir)
     val keyCols = keys.map(col)
-    val aggs = sum(col("cnt")).as("cnt") +: measures.flatMap { c =>
-      Seq(sum(col(s"sum_$c")).as(s"sum_$c"), min(col(s"min_$c")).as(s"min_$c"),
-        max(col(s"max_$c")).as(s"max_$c"), sum(col(s"cnt_$c")).as(s"cnt_$c"))
-    }
+    val aggs = MaterializedRollup.mergeAggs(measures)
     val merged = spark.read.parquet(partialsDir).drop("batch_id")
       .groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
     val fs = new org.apache.hadoop.fs.Path(mvPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(mvPath + "__stream_tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(new org.apache.hadoop.fs.Path(mvPath), true)
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(mvPath)),
-      s"atomic swap failed for $mvPath")
+    val tmp = mvPath + "__stream_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    MaterializedRollup.swapDir(fs, tmp, mvPath)
     registerAs.foreach { name =>
       MaterializedRollup.register(spark, name, basePath, mvPath, keys, measures)
     }
@@ -71,10 +69,4 @@ object StreamingRollup {
       }
       .start()
 
-  private def withDynamicOverwrite[A](spark: SparkSession)(f: => A): A = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try f finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-  }
 }

@@ -92,6 +92,52 @@ class ForgetSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("timestamp partition values render to the writer's directory names") {
+    val root = Files.createTempDirectory("graft_forget_ts").toString
+    val rows = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 12:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2026-01-01 12:00:00"), 2L),
+      (java.sql.Timestamp.valueOf("2026-02-01 00:30:00"), 3L))
+    rows.toDF("ts", "id").write.partitionBy("ts").parquet(s"$root/t")
+    val report = Forget.deleteKeys(spark, s"$root/t", "ts", "id",
+      Seq(1L).toDF("id"))
+    assert(report.deletedTotal === 1)
+    val left = spark.read.parquet(s"$root/t").select($"id")
+      .as[Long].collect().toSet
+    assert(left === Set(2L, 3L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("erasure invalidates registered rollups over the same base") {
+    val root = Files.createTempDirectory("graft_forget_mv").toString
+    Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 5.0))
+      .toDF("p", "id", "v").write.partitionBy("p").parquet(s"$root/t")
+    MaterializedRollup.createAndRegister(spark, "forget_mv", s"$root/t",
+      s"$root/mv", keys = Seq("p"), measures = Seq("v"))
+    val base = spark.read.parquet(s"$root/t")
+    assert(base.agg(sum($"v")).collect().head.getDouble(0) === 35.0)
+    Forget.deleteKeys(spark, s"$root/t", "p", "id", Seq(2L).toDF("id"))
+    // the rollup would still say 35; erasure must have unregistered it
+    assert(!graft.plans.RollupViewRewrite.registered.exists(_.name == "forget_mv"))
+    assert(spark.read.parquet(s"$root/t")
+      .agg(sum($"v")).collect().head.getDouble(0) === 15.0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("expirePartitions ages out partitions whose retain predicate is NULL") {
+    val root = Files.createTempDirectory("graft_expire_null").toString
+    Seq((Some("2026-01-01"), 1L), (None, 2L), (Some("2026-03-01"), 3L))
+      .toDF("day", "id").write.partitionBy("day").parquet(s"$root/t")
+    // null day: retain evaluates to NULL -> expires rather than lingering
+    val expired = Forget.expirePartitions(spark, s"$root/t", "day",
+      col("day") >= "2026-02-01")
+    assert(expired.map(_.partition).toSet ===
+      Set("2026-01-01", "__HIVE_DEFAULT_PARTITION__"))
+    assert(spark.read.parquet(s"$root/t").select($"id").as[Long]
+      .collect().toSet === Set(3L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("expirePartitions drops failing partitions whole, retains the rest") {
     val root = Files.createTempDirectory("graft_expire").toString
     Seq(("2026-01-01", 1L), ("2026-01-01", 2L), ("2026-02-01", 3L),

@@ -307,6 +307,15 @@ class RollupViewRewriteSpec extends SparkSpec {
         MaterializedRollup.register(spark, "self", s"$root/base",
           s"$root/base", Seq("k"), Seq("d"))
       }
+      // createAndRegister refuses BEFORE the destructive overwrite — the
+      // base table must survive the attempt intact
+      val rowsBefore = spark.read.parquet(s"$root/base").count()
+      intercept[IllegalArgumentException] {
+        MaterializedRollup.createAndRegister(spark, "self2", s"$root/base",
+          s"$root/base", Seq("k"), Seq("d"),
+          base = Some(spark.read.parquet(s"$root/base")))
+      }
+      assert(spark.read.parquet(s"$root/base").count() === rowsBefore)
       MaterializedRollup.createAndRegister(spark, "mv4", s"$root/base",
         s"$root/mv", keys = Seq("k"), measures = Seq("d"))
       val q = spark.read.parquet(s"$root/base").groupBy($"k").agg(sum($"d").as("s"))
