@@ -2425,6 +2425,55 @@ object ExtQueries {
       .orderBy(col("dim"))
   }
 
+  /** X0 linkage flagship (round 10) — record linkage END-TO-END with a
+    * FULL ORACLE (the other x0 flagships are Tier-B compositions; this
+    * one is hash-checked stage-for-stage): normalize → block → score →
+    * cluster → survive. Planted dirty duplicates (case + padding noise,
+    * updated balance, shifted key) of the first 30 customers flow through
+    * lowercase/trim normalization, nation blocking, the codegen'd
+    * Jaro-Winkler scorer (X44, semantics pinned to DuckDB's), X2's
+    * connected components, and X66's golden-record survivorship. The
+    * 0.99 threshold is PROVABLE on this construction: a planted variant
+    * normalizes to its original exactly (jw = 1.0), while any two
+    * distinct customer names in a block differ in ≥ 1 character of the
+    * fixed-width 18-char form, capping jw at (17/18+17/18+1)/3 plus the
+    * 0.4·(1−jaro) Winkler boost = 0.978 < 0.99 — so the edge set is
+    * exactly the planted identity pairs and DuckDB can state the whole
+    * pipeline, including the same jaro_winkler_similarity call. */
+  val x0_linkage: Q = (s, d) => {
+    import graft.functions.ColumnOps.jaroWinklerSim
+    val cust = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+    val planted = cust.unionByName(
+      cust.filter(col("c_custkey") < 30)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit(" "), upper(col("c_name")), lit(" ")).as("c_name"),
+          col("c_nationkey"),
+          (col("c_acctbal") + 100).as("c_acctbal")))
+    val norm = planted.withColumn("nm", lower(trim(col("c_name"))))
+    val a = norm.select(col("c_custkey").as("id_a"), col("nm").as("nm_a"),
+      col("c_nationkey").as("k"))
+    val b = norm.select(col("c_custkey").as("id_b"), col("nm").as("nm_b"),
+      col("c_nationkey").as("k"))
+    val edges = a.join(b, "k")
+      .filter(col("id_a") < col("id_b") &&
+        jaroWinklerSim(col("nm_a"), col("nm_b")) >= 0.99)
+      .select(col("id_a"), col("id_b"))
+    val clusters = graft.ext.Dedup.connectedComponents(edges)
+    val labeled = norm.join(
+        clusters.withColumnRenamed("id", "c_custkey"), Seq("c_custkey"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("c_custkey")))
+    graft.ext.Survivorship.goldenRecord(labeled,
+        keys = Seq("cluster"), orderCol = "c_custkey",
+        fields = Seq("c_name", "c_acctbal"))
+      .filter(col("n_versions") >= 2)
+      .select(col("cluster"), col("n_versions"),
+        col("c_name").as("golden_name"),
+        round(col("c_acctbal") + 1e-9, 2).as("golden_acctbal"),
+        col("last_order").as("last_id"))
+      .orderBy(col("cluster"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "x0_pipeline" -> x0_pipeline,
     "x0_web_pipeline" -> x0_web_pipeline,
@@ -2542,6 +2591,7 @@ object ExtQueries {
     "x91_mv_star" -> x91_mv_star,
     "x92_forget" -> x92_forget,
     "x93_embed_drift" -> x93_embed_drift,
+    "x0_linkage" -> x0_linkage,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,
     "x49_fit" -> x49_fit)
@@ -2659,6 +2709,38 @@ object ExtQueries {
         |  ROUND(AVG(o_totalprice) + 1e-9, 4) AS avg_price
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "x0_linkage" ->
+      // the full linkage pipeline stated in SQL: planted dirty variants,
+      // lower/trim normalization, nation blocking, the SAME Jaro-Winkler
+      // call, pair clusters (the 0.99 threshold provably selects only the
+      // planted identity pairs — see the query scaladoc — so each cluster
+      // is one edge), arg_max survivorship
+      """WITH planted AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, ' ' || upper(c_name) || ' ',
+        |    c_nationkey, c_acctbal + 100
+        |  FROM customer WHERE c_custkey < 30),
+        | norm AS (
+        |  SELECT c_custkey AS id, lower(trim(c_name)) AS nm,
+        |    c_nationkey AS k, c_name, c_acctbal FROM planted),
+        | edges AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM norm a JOIN norm b ON a.k = b.k AND a.id < b.id
+        |  WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.99),
+        | clusters AS (
+        |  SELECT id_a AS cluster, id_b AS id FROM edges
+        |  UNION ALL
+        |  SELECT id_a, id_a FROM edges),
+        | members AS (
+        |  SELECT c.cluster, n.id, n.c_name, n.c_acctbal
+        |  FROM clusters c JOIN norm n ON n.id = c.id)
+        | SELECT cluster, COUNT(*) AS n_versions,
+        |  arg_max(c_name, id) AS golden_name,
+        |  ROUND(arg_max(c_acctbal, id) + 1e-9, 2) AS golden_acctbal,
+        |  MAX(id) AS last_id
+        | FROM members GROUP BY cluster HAVING COUNT(*) >= 2
+        | ORDER BY cluster""",
     "x93_embed_drift" ->
       // identical per-dim mean/variance/pooled-smd arithmetic over an
       // unnest-by-position view of the same vectors
