@@ -227,6 +227,50 @@ object PlanCheck {
     // nested-loop join INSIDE the query itself — the conf must be set at
     // plan time, which only the query closure controls.
 
+    // X91 rollup rewrite: register a real rollup against THIS sfDir's
+    // tables and pin both shapes at the physical level (the x91 faces
+    // gate this at every verify; this pin runs wherever PlanCheck runs —
+    // including the 100× set)
+    {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val root = java.nio.file.Files.createTempDirectory("graft_plancheck_mv").toString
+      try {
+        graft.etl.MaterializedRollup.createAndRegister(
+          spark, "plancheck_mv", s"$sfDir/lineitem.parquet", s"$root/mv",
+          keys = Seq("l_returnflag", "l_linestatus"),
+          measures = Seq("l_quantity"),
+          base = Some(core.Tables.load(spark, sfDir, "lineitem")))
+        val plain = core.Tables.load(spark, sfDir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("c"), sum(col("l_quantity")).as("s"))
+          .queryExecution.executedPlan.toString
+        val ok1 = plain.contains(s"$root/mv") && !plain.contains("lineitem")
+        println(s"PLAN ${if (ok1) "OK  " else "FAIL"} x91_rollup_plain: " +
+          "aggregate scans the rollup, not the fact table")
+        if (!ok1) println(plain.linesIterator.take(40).mkString("\n"))
+        graft.etl.MaterializedRollup.createAndRegister(
+          spark, "plancheck_mv2", s"$sfDir/orders.parquet", s"$root/mv2",
+          keys = Seq("o_custkey"), measures = Seq("o_totalprice"),
+          base = Some(core.Tables.load(spark, sfDir, "orders")))
+        val orders = core.Tables.load(spark, sfDir, "orders")
+        val customer = core.Tables.load(spark, sfDir, "customer")
+        val star = orders.join(customer,
+            orders("o_custkey") === customer("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(sum(col("o_totalprice")).as("s"))
+          .queryExecution.executedPlan.toString
+        val ok2 = star.contains(s"$root/mv2") && !star.contains("orders") &&
+          star.contains("customer")
+        println(s"PLAN ${if (ok2) "OK  " else "FAIL"} x91_rollup_star: " +
+          "join aggregate collapses the fact side, keeps the dim scan")
+        if (!ok2) println(star.linesIterator.take(40).mkString("\n"))
+      } finally {
+        graft.plans.RollupViewRewrite.unregister("plancheck_mv")
+        graft.plans.RollupViewRewrite.unregister("plancheck_mv2")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      }
+    }
+
     // full plans for the record
     Seq("q06_multi_agg", "q07_dim_joins", "q05_window_topk").foreach { n =>
       println(s"\n===== $n =====")
