@@ -390,4 +390,32 @@ class RoundFivePropertySpec extends SparkSpec {
       assert(idx.forall(i => i >= 0 && i < v.frames.length))
     }
   }
+
+  test("PQ: lossless codebooks make ADC self-identifying on random vectors") {
+    val vecsGen: Gen[List[List[Float]]] = Gen.choose(6, 20).flatMap { n =>
+      Gen.listOfN(n, Gen.listOfN(16,
+        Gen.choose(-1000000, 1000000).map(_ / 100000.0f)))
+    }
+    forAllSeeded(vecsGen, n = 5) { vecs =>
+      val distinct = vecs.distinct
+      val corpus = distinct.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val model = graft.ext.Pq.exactModel(corpus, m = 4)
+      // encoding is deterministic
+      val c1 = graft.ext.Pq.encodeCorpus(corpus, model)
+        .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().sortBy(_._1)
+      val c2 = graft.ext.Pq.encodeCorpus(corpus, model)
+        .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().sortBy(_._1)
+      assert(c1.toSeq === c2.toSeq)
+      // under a lossless codebook every vector's nearest ADC neighbor is
+      // itself at distance exactly 0 (ties impossible: vectors distinct)
+      val queries = corpus.select($"vec_id".as("query_id"), $"embedding")
+      val top1 = graft.ext.Pq.adcTopK(
+          graft.ext.Pq.encodeCorpus(corpus, model), queries, model, k = 1)
+        .select($"query_id", $"id", $"dist")
+        .as[(Long, Long, Double)].collect()
+      assert(top1.length === distinct.size)
+      top1.foreach { case (q, id, d) => assert(q === id && d === 0.0) }
+    }
+  }
 }
