@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   *     pruned scan), anti-joined with the delete set, written to a
   *     staging directory (Spark refuses to overwrite a path it is
   *     reading — and staging is what makes step 3 near-atomic anyway);
-  *  3. per-partition swap — each affected partition directory is deleted
-  *     and its staged replacement renamed in (two filesystem metadata
-  *     ops); a partition whose every row was deleted has no staged dir
-  *     and is simply removed. Every unaffected partition's files are
-  *     NEVER touched (byte-identical, spec-pinned).
+  *  3. per-partition swap — each affected partition directory is MOVED
+  *     ASIDE (into the staging area) and its staged replacement renamed
+  *     in (two filesystem metadata ops). The previous copy is never
+  *     deleted while it is the only copy: a crash or rename failure
+  *     between the two renames is recovered by the next run's preamble,
+  *     which restores any moved-aside partition missing from the table
+  *     before clearing staging. A partition whose every row was deleted
+  *     has no staged dir and ends removed. Every unaffected partition's
+  *     files are NEVER touched (byte-identical, spec-pinned).
   *
   * Returns a per-partition report (rows_before, deleted, rows_after) —
   * the erasure audit trail. The delete set is assumed request-sized
@@ -50,10 +54,46 @@ object Forget {
 
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Unregister every [[graft.plans.RollupViewRewrite]] view whose base is
+    * this table: after any erasure (key delete OR retention sweep) a
+    * registered rollup still aggregates the removed rows, so queries on
+    * the base would silently keep serving them. Callers re-register after
+    * rebuilding the rollup from the mutated table. */
+  private def invalidateRollups(spark: SparkSession, tableDir: String): Unit = {
+    val canonBase = {
+      val pth = new org.apache.hadoop.fs.Path(tableDir)
+      pth.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(pth).toString
+    }
+    graft.plans.RollupViewRewrite.registered
+      .filter(_.basePath == canonBase)
+      .foreach(v => graft.plans.RollupViewRewrite.unregister(v.name))
+  }
+
   /** Delete `keys` (any frame carrying `keyCol`) from the parquet table at
     * `tableDir` partitioned by `partitionCol`. */
   def deleteKeys(spark: SparkSession, tableDir: String, partitionCol: String,
       keyCol: String, keys: DataFrame): Report = {
+    // FIRST: recover from a crashed prior swap. Step 3 moves each hit
+    // partition aside to staging/__old/<dir> before installing its
+    // replacement, so a crash between the two renames leaves the
+    // partition missing from the table with its only full copy in
+    // staging — restore any such partition BEFORE the hit scan reads the
+    // table (and before staging is cleared, which would destroy it).
+    val staging = tableDir.stripSuffix("/") + "__forget_tmp"
+    val stagingFs = new org.apache.hadoop.fs.Path(staging).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val oldRoot = new org.apache.hadoop.fs.Path(s"$staging/__old")
+    if (stagingFs.exists(oldRoot)) {
+      stagingFs.listStatus(oldRoot).foreach { st =>
+        val back = new org.apache.hadoop.fs.Path(
+          s"$tableDir/${st.getPath.getName}")
+        if (!stagingFs.exists(back)) {
+          require(stagingFs.rename(st.getPath, back),
+            s"crash recovery failed restoring ${st.getPath} to $back")
+        }
+      }
+    }
     val table = spark.read.parquet(tableDir)
     require(table.columns.contains(partitionCol),
       s"$partitionCol is not a column of $tableDir")
@@ -89,22 +129,13 @@ object Forget {
     // the engine's own rollup rewrite must not keep serving the erased
     // rows' aggregates: invalidate every registered view over this base
     // (re-register after rebuilding the rollup from the erased table)
-    val canonBase = {
-      val pth = new org.apache.hadoop.fs.Path(tableDir)
-      pth.getFileSystem(spark.sessionState.newHadoopConf())
-        .makeQualified(pth).toString
-    }
-    graft.plans.RollupViewRewrite.registered
-      .filter(_.basePath == canonBase)
-      .foreach(v => graft.plans.RollupViewRewrite.unregister(v.name))
+    invalidateRollups(spark, tableDir)
 
     // 2. staged rewrite of affected partitions' survivors (staging
-    //    cleared first: a crashed prior run's leftovers must never be
-    //    swapped in as if they were this run's output)
-    val staging = tableDir.stripSuffix("/") + "__forget_tmp"
-    new org.apache.hadoop.fs.Path(staging).getFileSystem(
-      spark.sessionState.newHadoopConf())
-      .delete(new org.apache.hadoop.fs.Path(staging), true)
+    //    cleared first — recovery above already salvaged anything a
+    //    crashed prior run left as the only copy; what remains is a prior
+    //    run's stale output that must never be swapped in as this run's)
+    stagingFs.delete(new org.apache.hadoop.fs.Path(staging), true)
     table.filter(affectedCol)
       .join(delKeys, col(keyCol) <=> col("__del_key"), "left_anti")
       .write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
@@ -129,9 +160,22 @@ object Forget {
         s"partition directory $d not found under $tableDir " +
           "(partition-value rendering mismatch) — aborting; partitions " +
           "swapped before this one are already rewritten")
-      fs.delete(dst, true)
+      // move-aside swap (the MaterializedRollup.swapDir discipline): the
+      // previous copy is renamed out of the table FIRST — never deleted
+      // while it is the only copy — so a crash or rename failure at any
+      // point leaves the partition either in place or recoverable from
+      // __old (the recovery preamble above restores it on the next run).
+      // The aside location lives under staging, NOT dst+"__old": a
+      // directory named `col=val__old` inside the table would be read
+      // back as a partition value and resurrect the rows.
+      val aside = new org.apache.hadoop.fs.Path(s"$staging/__old/$d")
+      fs.mkdirs(aside.getParent)
+      require(fs.rename(dst, aside), s"partition swap failed moving $d aside")
       if (fs.exists(src)) {
-        require(fs.rename(src, dst), s"partition swap failed for $d")
+        if (!fs.rename(src, dst)) {
+          fs.rename(aside, dst) // restore the previous copy
+          throw new IllegalStateException(s"partition swap failed for $d")
+        }
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
@@ -173,6 +217,10 @@ object Forget {
       .filter(!coalesce(retain, lit(false)))
       .collect()
     if (expiredRows.isEmpty) return Nil
+    // retired partitions' rows must stop being served by rollups too —
+    // the deleteKeys contract, mirrored (a retention sweep that leaves a
+    // registered rollup in place silently serves expired data)
+    invalidateRollups(spark, tableDir)
     val expiredCol = expiredRows.map(_.get(0)).map(v =>
       if (v == null) col(partitionCol).isNull
       else col(partitionCol) <=> lit(v)).reduce(_ || _)

@@ -137,11 +137,52 @@ object MaterializedRollup {
     register(spark, name, v.basePath, mvPath, v.keys, v.measures)
   }
 
+  /** Fingerprint of the base's CURRENT on-disk file listing (qualified
+    * path, length, mtime per data file), mirroring the hidden-file filter
+    * of Spark's own file index — this is what
+    * [[graft.plans.RollupViewRewrite]] compares against the candidate
+    * query's scan listing to refuse stale rollups (X67's manifest idea at
+    * file-metadata granularity: cheap enough to record at registration
+    * and re-check per query for free). */
+  def baseListingFingerprint(spark: SparkSession, basePath: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(basePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def hidden(n: String): Boolean =
+      (n.startsWith("_") && !n.contains("=")) || n.startsWith(".")
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (!hidden(n)) {
+        if (st.isDirectory) walk(st.getPath)
+        else buf += ((st.getPath.toString, st.getLen, st.getModificationTime))
+      }
+    }
+    walk(fs.makeQualified(p))
+    RollupViewRewrite.listingFingerprint(buf.toSeq)
+  }
+
+  /** Does the registered view's base fingerprint still match the disk?
+    * False means the base changed out-of-band since registration — the
+    * rewrite is already refusing it per query; refresh with
+    * [[createAndRegister]]/[[applyDelta]] to re-activate. */
+  def verifyFresh(spark: SparkSession, name: String): Boolean =
+    RollupViewRewrite.registered.find(_.name == name).forall { v =>
+      v.baseFingerprint.forall(
+        _ == baseListingFingerprint(spark, v.basePath))
+    }
+
   /** Register an existing rollup at `mvPath` (e.g. one maintained
-    * incrementally) for the base at `basePath`. */
+    * incrementally) for the base at `basePath`. Records the base's
+    * listing fingerprint (staleness gate) and binds the view to THIS
+    * session (the registry is JVM-global; visibility must not be).
+    * @param sessionScoped false = visible to EVERY session in the
+    *   process — the explicit opt-in for rollups maintained as shared
+    *   artifacts (a streaming maintainer registers from its cloned
+    *   micro-batch session while dashboards query from their own). */
   def register(spark: SparkSession, name: String, basePath: String,
-      mvPath: String, keys: Seq[String],
-      measures: Seq[String]): RollupViewRewrite.View = {
+      mvPath: String, keys: Seq[String], measures: Seq[String],
+      sessionScoped: Boolean = true): RollupViewRewrite.View = {
     val lr = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
     }.getOrElse(throw new IllegalArgumentException(
@@ -151,7 +192,10 @@ object MaterializedRollup {
     val p = new org.apache.hadoop.fs.Path(basePath)
     val canon =
       p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
-    val view = RollupViewRewrite.View(name, canon, keys, measures, lr)
+    val view = RollupViewRewrite.View(name, canon, keys, measures, lr,
+      sessionUuid =
+        if (sessionScoped) Some(RollupViewRewrite.sessionIdOf(spark)) else None,
+      baseFingerprint = Some(baseListingFingerprint(spark, basePath)))
     RollupViewRewrite.register(view)
     view
   }

@@ -63,12 +63,24 @@ object Pq {
       lit(0.0),
       (acc, e) => acc + e)
 
+  /** Errors (rather than silently mis-computing) on any vector whose
+    * length is not the model's dim: a short vector would make zip_with
+    * null-pad, l2sq go NULL for the affected subspaces, and array_min
+    * pick an argmin among the survivors — wrong codes, no signal. The
+    * guard matches the explicit `dim % m` require in training. */
+  private def dimChecked(vec: Column, model: Model): Column =
+    when(vec.isNull || size(vec) === model.dim, vec) // null stays null-in-null-out
+      .otherwise(raise_error(concat(
+        lit(s"PQ vector length mismatch: expected ${model.dim}, got "),
+        size(vec).cast("string"))))
+
   /** PQ codes of a vector column under `model`: array of m ints, each the
     * 0-based argmin-distance centroid of its subspace (first index wins
     * ties, so encoding is deterministic). */
   def encode(vec: Column, model: Model): Column = {
+    val v = dimChecked(vec, model)
     val codes = model.codebooks.zipWithIndex.map { case (cb, j) =>
-      val sl = slice(vec, j * model.sub + 1, model.sub)
+      val sl = slice(v, j * model.sub + 1, model.sub)
       val dists = transform(typedlit(cb), c => l2sq(sl, c))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
@@ -78,8 +90,9 @@ object Pq {
   /** Per-query ADC lookup tables: array (m) of arrays (k) of exact
     * squared-L2 distances from the query's subvector j to centroid c. */
   def luts(qvec: Column, model: Model): Column = {
+    val v = dimChecked(qvec, model)
     val ls = model.codebooks.zipWithIndex.map { case (cb, j) =>
-      val sl = slice(qvec, j * model.sub + 1, model.sub)
+      val sl = slice(v, j * model.sub + 1, model.sub)
       transform(typedlit(cb), c => l2sq(sl, c))
     }
     array(ls: _*)

@@ -44,10 +44,19 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, NumericType}
   * are preserved exactly (aliases carry the original exprIds), so parent
   * operators resolve unchanged; any type mismatch aborts the rewrite.
   *
-  * STALENESS is the registrar's contract, standard for materialized
-  * views: registering asserts the rollup reflects the base; refresh after
-  * base changes ([[graft.etl.MaterializedRollup.createAndRegister]]
-  * re-runs, or maintain it incrementally with X33's IncrementalAgg).
+  * STALENESS: registering asserts the rollup reflects the base; refresh
+  * after base changes ([[graft.etl.MaterializedRollup.createAndRegister]]
+  * re-runs, or maintain it incrementally with X33's IncrementalAgg). The
+  * registrar's word is additionally VERIFIED per query (round 11): the
+  * view records a fingerprint of the base's file listing (names, sizes,
+  * mtimes) at registration, and the rewrite compares it against the
+  * candidate query's OWN scan listing — already materialized on the
+  * driver at plan time, so the check costs zero filesystem calls. An
+  * out-of-band base mutation (ad-hoc overwrite, compaction, append)
+  * changes the listing and the rewrite silently refuses — the query
+  * falls back to the fact scan, which is always correct. Gate:
+  * `spark.graft.rollupViewRewrite.verifyBase` (default ON); views
+  * registered without a fingerprint skip the check (back-compat).
   *
   * Fixed point: the rewritten aggregate scans the rollup's path, which is
   * never a registered BASE path (self-registration is refused), so the
@@ -58,14 +67,51 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, NumericType}
 object RollupViewRewrite extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.rollupViewRewrite"
+  val VerifyBaseKey = "spark.graft.rollupViewRewrite.verifyBase"
 
   /** A registered rollup: `mv` holds keys ++ cnt ++ per-measure partials
     * (sum_c, min_c, max_c, cnt_c) at `mvPath`, one row per distinct key
-    * combination of the base relation rooted at `basePath`. */
+    * combination of the base relation rooted at `basePath`.
+    * @param sessionUuid owning session — the registry JVM-global map is
+    *   shared across SparkSessions in the process, so a view registered
+    *   in one session must not rewrite plans in another; None = visible
+    *   to every session (explicit opt-in for direct registration).
+    * @param baseFingerprint [[listingFingerprint]] of the base's file
+    *   listing at registration time; the rewrite refuses when the
+    *   candidate query's scan listing no longer matches (staleness
+    *   gate). None = unverified (back-compat / tests). */
   final case class View(name: String, basePath: String, keys: Seq[String],
-      measures: Seq[String], mv: LogicalRelation) {
+      measures: Seq[String], mv: LogicalRelation,
+      sessionUuid: Option[String] = None,
+      baseFingerprint: Option[String] = None) {
     require(basePath != "", "empty base path")
   }
+
+  /** Order-independent fingerprint of a file listing: md5 over the
+    * sorted (path, length, mtime) triples. Hidden files (`_`/`.`
+    * prefixes — _SUCCESS, .crc) are the caller's job to exclude, matching
+    * what Spark's own file index lists as data files. */
+  def listingFingerprint(files: Seq[(String, Long, Long)]): String = {
+    val joined = files.map { case (p, len, mtime) => s"$p|$len|$mtime" }
+      .sorted.mkString("\n")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(joined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map("%02x".format(_)).mkString + ":" + files.size
+  }
+
+  /** The fingerprint of a file relation's ALREADY-LISTED driver-side
+    * metadata (no filesystem calls). None when the index exposes no file
+    * statuses. */
+  def relationFingerprint(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+          Some(listingFingerprint(p.allFiles().map(f =>
+            (f.getPath.toString, f.getLen, f.getModificationTime))))
+        case _ => None
+      }
+      case _ => None
+    }
 
   private val views =
     new java.util.concurrent.ConcurrentHashMap[String, View]()
@@ -106,10 +152,25 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def candidates(basePath: String): Seq[View] =
+  /** Stable per-session identity: a UUID minted on first sight, weakly
+    * keyed so dropped sessions don't pin (SparkSession has no public
+    * session UUID; default equality is object identity, which WeakHashMap
+    * uses here). */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+  def sessionIdOf(s: org.apache.spark.sql.SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
+  private def candidates(basePath: String): Seq[View] = {
+    // the registry map is JVM-global; visibility is not — a view bound to
+    // a session only rewrites that session's plans
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(sessionIdOf)
     views.values.asScala.toSeq
       .filter(_.basePath == basePath)
+      .filter(v => v.sessionUuid.isEmpty || v.sessionUuid == active)
       .sortBy(v => (v.keys.size, v.name))
+  }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     // grouping must be plain attributes in either shape
@@ -124,9 +185,10 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
     val (baseRel, filterConds) = unwrap(agg.child, Nil).getOrElse(return None)
     val basePaths = rootPaths(baseRel)
     if (basePaths.size != 1) return None
+    lazy val fp = relationFingerprint(baseRel)
     candidates(basePaths.head).view.flatMap { v =>
       rewriteCore(agg, v, baseRel.outputSet, filterConds,
-        AttributeSet.empty, (factChild, _) => Some(factChild))
+        AttributeSet.empty, fp, (factChild, _) => Some(factChild))
     }.headOption
   }
 
@@ -157,6 +219,7 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
       val basePaths = rootPaths(baseRel)
       if (basePaths.size != 1) return None
       val factAttrs = baseRel.outputSet
+      lazy val fp = relationFingerprint(baseRel)
       candidates(basePaths.head).view.flatMap { v =>
         // the join condition may touch fact KEYS and anything dim-side,
         // and must be deterministic (it re-evaluates per collapsed row)
@@ -165,7 +228,7 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
             !factAttrs.contains(a) || v.keys.contains(a.name)))
         if (!condOk) None
         else rewriteCore(agg, v, factAttrs, factFilters, dimPlan.outputSet,
-          (factChild, toMv) =>
+          fp, (factChild, toMv) =>
             Some(rebuild(factChild, join.condition.map(toMv))))
       }.headOption
     }
@@ -183,8 +246,19 @@ object RollupViewRewrite extends Rule[LogicalPlan] {
     * aggregate child (the rollup itself, or the rebuilt join). */
   private def rewriteCore(agg: Aggregate, v: View, factAttrs: AttributeSet,
       factFilters: Seq[Expression], dimAttrs: AttributeSet,
+      baseRelFingerprint: => Option[String],
       buildChild: (LogicalPlan, Expression => Expression) => Option[LogicalPlan])
       : Option[LogicalPlan] = {
+    // staleness gate: the registered base-listing fingerprint must match
+    // the candidate query's OWN scan listing (already materialized on the
+    // driver — zero filesystem calls). A mutated base (out-of-band
+    // overwrite / append / compaction) silently disqualifies the view and
+    // the query answers from the fact scan — always correct, never stale.
+    if (conf.getConfString(VerifyBaseKey, "true").toBoolean) {
+      v.baseFingerprint.foreach { registered =>
+        if (!baseRelFingerprint.contains(registered)) return None
+      }
+    }
     // fresh MV attribute ids per use (several rewrites may share a view)
     val mvRel = v.mv.newInstance()
     val mvAttr: Map[String, Attribute] = mvRel.output.map(a => a.name -> a).toMap

@@ -157,6 +157,50 @@ class ForgetSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("expirePartitions invalidates registered rollups over the same base") {
+    val root = Files.createTempDirectory("graft_expire_mv").toString
+    Seq(("2026-01-01", 1L, 10.0), ("2026-02-01", 2L, 20.0))
+      .toDF("day", "id", "v").write.partitionBy("day").parquet(s"$root/t")
+    MaterializedRollup.createAndRegister(spark, "expire_mv", s"$root/t",
+      s"$root/mv", keys = Seq("day"), measures = Seq("v"))
+    Forget.expirePartitions(spark, s"$root/t", "day",
+      col("day") >= "2026-02-01")
+    // the rollup still aggregates the retired day; the sweep must have
+    // unregistered it so base queries stop being rerouted there
+    assert(!graft.plans.RollupViewRewrite.registered.exists(_.name == "expire_mv"))
+    assert(spark.read.parquet(s"$root/t")
+      .agg(sum($"v")).collect().head.getDouble(0) === 20.0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("crashed mid-swap run is recovered: moved-aside partition restored") {
+    val root = Files.createTempDirectory("graft_forget_crash").toString
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("p", "id")
+      .write.partitionBy("p").parquet(s"$root/t")
+    // simulate the crash window of a PRIOR run: partition p=a was moved
+    // aside to staging/__old but its replacement never landed — the only
+    // full copy of a's survivors sits in staging, which an unguarded run
+    // would clear first
+    val staging = s"$root/t__forget_tmp"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/__old"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/t/p=a"),
+      new org.apache.hadoop.fs.Path(s"$staging/__old/p=a")))
+    assert(spark.read.parquet(s"$root/t").count() === 1) // a is missing
+
+    // the next run's recovery preamble must restore p=a BEFORE clearing
+    // staging; the delete then proceeds against the recovered table
+    val report = Forget.deleteKeys(spark, s"$root/t", "p", "id",
+      Seq(1L).toDF("id"))
+    assert(report.deletedTotal === 1)
+    val left = spark.read.parquet(s"$root/t")
+      .select($"p", $"id").as[(String, Long)].collect().toSet
+    assert(left === Set(("a", 2L), ("b", 3L)))
+    assert(!new java.io.File(staging).exists())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("integer partition values and repeated erasure are handled") {
     val root = Files.createTempDirectory("graft_forget3").toString
     Seq.tabulate(20)(i => (i % 4, i.toLong)).toDF("bucket", "id")

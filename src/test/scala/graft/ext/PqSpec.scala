@@ -109,4 +109,25 @@ class PqSpec extends SparkSpec {
       Pq.exactModel(emb, m = 8, maxK = 3)
     }
   }
+
+  test("wrong-length vectors error out of encode/luts; nulls stay null") {
+    val model = Pq.train(emb, m = 8, k = 4, iters = 1, seed = 3)
+    // a short vector must raise, not silently emit argmins over the
+    // null-padded subspaces (wrong codes with no signal)
+    val short = Seq((1L, Array.fill(17)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      short.select(Pq.encode($"embedding", model)).collect()
+    }
+    assert(e.getMessage.contains("length mismatch")
+      || e.getCause != null && e.getCause.getMessage.contains("length mismatch"))
+    intercept[Exception] {
+      short.select(Pq.luts($"embedding", model)).collect()
+    }
+    // null vectors do NOT raise (pre-guard behavior preserved: null
+    // propagates through slice/l2sq to null codes)
+    val nulls = Seq((1L, Option.empty[Array[Float]])).toDF("vec_id", "embedding")
+    val codes = nulls.select(Pq.encode($"embedding", model))
+      .collect().head.getSeq[Any](0)
+    assert(codes.forall(_ == null))
+  }
 }

@@ -146,7 +146,11 @@ class RollupViewRewriteSpec extends SparkSpec {
       def total(): Double =
         base.agg(sum($"v")).collect().head.getDouble(0)
       assert(total() === 6.0)
-      // base grows; the registered rollup is STALE by contract...
+      // base grows; the CACHED `base` relation still pins the pre-append
+      // file listing, which matches the registered fingerprint — so the
+      // rewrite fires and agrees with what this stale scan would read
+      // anyway (a FRESH read diverges and is gate-refused: see the
+      // out-of-band mutation test)...
       Seq(("b", 10.0)).toDF("k", "v")
         .write.mode("append").parquet(s"$root/base")
       assert(total() === 6.0)
@@ -158,6 +162,59 @@ class RollupViewRewriteSpec extends SparkSpec {
       RollupViewRewrite.unregister("mv2")
       val direct = spark.read.parquet(s"$root/base").agg(sum($"v"))
       assert(scans(direct, s"$root/base"))
+    } finally {
+      RollupViewRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("out-of-band base mutation disqualifies the rollup until refresh") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_fresh").toString
+    try {
+      Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$root/base")
+      MaterializedRollup.createAndRegister(spark, "mv_fresh", s"$root/base",
+        s"$root/mv", keys = Seq("k"), measures = Seq("v"))
+      val q0 = spark.read.parquet(s"$root/base").agg(sum($"v"))
+      assert(scans(q0, s"$root/mv") && q0.collect().head.getDouble(0) === 3.0)
+      assert(MaterializedRollup.verifyFresh(spark, "mv_fresh"))
+
+      // mutate the base OUT OF BAND (no registrar involvement): an ad-hoc
+      // append — the one silent-wrong-answer hole the fingerprint closes
+      Seq(("b", 10.0)).toDF("k", "v")
+        .write.mode("append").parquet(s"$root/base")
+      val q1 = spark.read.parquet(s"$root/base").agg(sum($"v"))
+      // the rewrite must be INERT: fresh listing ≠ registered fingerprint
+      assert(scans(q1, s"$root/base") && !scans(q1, s"$root/mv"))
+      assert(q1.collect().head.getDouble(0) === 13.0)
+      assert(!MaterializedRollup.verifyFresh(spark, "mv_fresh"))
+
+      // refresh re-fingerprints: active again, with the new total
+      MaterializedRollup.createAndRegister(spark, "mv_fresh", s"$root/base",
+        s"$root/mv", keys = Seq("k"), measures = Seq("v"))
+      val q2 = spark.read.parquet(s"$root/base").agg(sum($"v"))
+      assert(scans(q2, s"$root/mv") && q2.collect().head.getDouble(0) === 13.0)
+      assert(MaterializedRollup.verifyFresh(spark, "mv_fresh"))
+    } finally {
+      RollupViewRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("a view registered in another session does not rewrite this one") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_sess").toString
+    try {
+      Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$root/base")
+      val other = spark.newSession()
+      MaterializedRollup.createAndRegister(other, "mv_sess", s"$root/base",
+        s"$root/mv", keys = Seq("k"), measures = Seq("v"))
+      // the other session reroutes...
+      val qOther = other.read.parquet(s"$root/base").agg(sum(col("v")))
+      assert(scans(qOther, s"$root/mv"))
+      // ...this session does not (JVM-global map, per-session visibility)
+      val qHere = spark.read.parquet(s"$root/base").agg(sum($"v"))
+      assert(scans(qHere, s"$root/base") && !scans(qHere, s"$root/mv"))
     } finally {
       RollupViewRewrite.clear()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))

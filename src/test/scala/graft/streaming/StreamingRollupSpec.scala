@@ -53,6 +53,53 @@ class StreamingRollupSpec extends SparkSpec {
     assert(rollupRows(mv) === wantSuperseded)
   }
 
+  test("compaction bounds the partial history; merges stay exact") {
+    val root = tmp()
+    val (partials, mv) = (s"$root/p", s"$root/mv")
+    val batches = Seq.tabulate(24) { i =>
+      Seq(("k" + (i % 3), i.toLong, (i * 7 % 11).toLong),
+        ("k" + ((i + 1) % 3), -i.toLong, 1L))
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingRollup.processBatch(b.toDF("k", "v", "w"), i.toLong,
+        keys = Seq("k"), measures = Seq("v", "w"), partials, mv,
+        compactEvery = 8)
+    }
+    def partialDirs(): Seq[String] =
+      new java.io.File(partials).listFiles().map(_.getName).toSeq
+        .filter(_.startsWith("batch_id="))
+    def snapshotDirs(): Seq[String] =
+      new java.io.File(partials + "__compacted").listFiles()
+        .map(_.getName).toSeq.filter(_.startsWith("upto="))
+    // history was folded: far fewer partials on disk than batches, one
+    // consolidated snapshot, and the rollup equals a from-scratch build
+    assert(partialDirs().size < 10 && snapshotDirs().size === 1)
+    val want = MaterializedRollup.build(
+      batches.flatten.toDF("k", "v", "w"), Seq("k"), Seq("v", "w"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rollupRows(mv) === want)
+
+    // replay of the LATEST batch stays idempotent after compaction (the
+    // current−2 fold margin keeps every replayable batch out of the fold)
+    StreamingRollup.processBatch(batches.last.toDF("k", "v", "w"), 23L,
+      keys = Seq("k"), measures = Seq("v", "w"), partials, mv,
+      compactEvery = 8)
+    assert(rollupRows(mv) === want)
+
+    // crash garbage is inert: a leftover partial the snapshot already
+    // covers is ignored by the read discipline (batch_id > upto only)
+    MaterializedRollup.build(
+        Seq(("POISON", 1000L, 1000L)).toDF("k", "v", "w"),
+        Seq("k"), Seq("v", "w"))
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").partitionBy("batch_id").parquet(partials)
+    StreamingRollup.processBatch(batches.last.toDF("k", "v", "w"), 23L,
+      keys = Seq("k"), measures = Seq("v", "w"), partials, mv,
+      compactEvery = 8)
+    assert(rollupRows(mv) === want)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("MemoryStream end-to-end: the rewrite answers from the maintained rollup") {
     val root = tmp()
     val (partials, mv, ckpt) = (s"$root/p", s"$root/mv", s"$root/ckpt")
