@@ -44,8 +44,11 @@ object Bench {
     }
 
     // the subset filter governs etl_slice too — a focused run should not
-    // pay 5 ETL parquet writes it didn't ask for
-    val names = (headline :+ "etl_slice").filter(n => only.forall(_.contains(n)))
+    // pay 5 ETL parquet writes it didn't ask for. (etl_slice is now also a
+    // Queries entry for its oracle face; distinct keeps it benched once —
+    // as the WRITE, which the runOnce special case matches first.)
+    val names = (headline :+ "etl_slice").distinct
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>
       try {
         runOnce(n); runOnce(n) // warm-ups: JIT tiering + codegen + listing caches

@@ -1444,6 +1444,23 @@ object Queries {
         col("l_linestatus").asc_nulls_first)
 
   /** name → DataFrame plan. Insertion order preserved for stable reporting. */
+  /** ETL_SLICE — the engine's core transform (S5 + A1/A2) as an
+    * oracle-checked face (round 11): the exact [[graft.etl.HourlyAggregate]]
+    * call Bench times — events 15-min rows → (user_id, hour) groups with
+    * the `_min`/`_mean` rename contract of
+    * `/root/reference/etl/oedi_etl/transform.py:53-120` — rounded and
+    * totally ordered for the hash compare. Bench keeps timing the WRITE
+    * (parquet+snappy, tools/duck_bench.py wraps this SQL in a matching
+    * COPY); this face pins the VALUES that write contains, closing the one
+    * benched item that had no oracle-side check or timing (the reference's
+    * only published number is this workload, README.md:341-344). */
+  val etl_slice: Q = (s, d) =>
+    graft.etl.HourlyAggregate(
+        t(s, d, "events"), timeCol = "ts", idCol = "user_id",
+        measureCols = Seq("value"), byId = true)
+      .withColumn("value_mean", round(col("value_mean") + lit(1e-9), 4))
+      .orderBy(col("user_id_min"), col("ts"))
+
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_filter" -> q01_scan_filter,
     "q02_hourly_agg" -> q02_hourly_agg,
@@ -1530,10 +1547,21 @@ object Queries {
     "q83_pit_lookup" -> q83_pit_lookup,
     "q84_bit_agg" -> q84_bit_agg,
     "q85_struct" -> q85_struct,
-    "q86_rollup_avg" -> q86_rollup_avg)
+    "q86_rollup_avg" -> q86_rollup_avg,
+    "etl_slice" -> etl_slice)
 
   /** name → DuckDB oracle SQL (SURVEY §2.9, validated against DuckDB 1.0). */
   val oracleSql: Map[String, String] = Map(
+    // the engine's core hourly transform at table level: (user_id, hour)
+    // groups, _min/_mean contract; the bench wraps the body in COPY ...
+    // (FORMAT PARQUET, COMPRESSION SNAPPY) so both engines time the write
+    "etl_slice" ->
+      """SELECT date_trunc('hour', ts) AS ts,
+        | MIN(user_id) AS user_id_min,
+        | MIN(ts) AS ts_min,
+        | ROUND(AVG(value) + 1e-9, 4) AS value_mean
+        | FROM events GROUP BY user_id, date_trunc('hour', ts)
+        | ORDER BY user_id_min, ts""",
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         | WHERE l_quantity > 45

@@ -23,11 +23,13 @@ fi
 SPARK_GRAFT_VERIFY_ONLY=q16_case_label SPARK_GRAFT_CPUS=8 \
   java -cp "$CP" graft.Verify "$DST" /tmp/verify_sf10_dump >/dev/null 2>&1
 
-# DuckDB side, headline queries only (q01..q85 — the BENCH entry set)
+# DuckDB side, headline queries only (q01..q86 + etl_slice — the BENCH
+# entry set; etl_slice is timed as the matching COPY-to-parquet write)
 python3 - <<'EOF'
 import json
 oracle = json.load(open("/tmp/verify_sf10_dump/oracle_sql.json"))
-head = {k: v for k, v in oracle.items() if k.startswith("q")}
+head = {k: v for k, v in oracle.items()
+        if k.startswith("q") or k == "etl_slice"}
 json.dump(head, open("/tmp/oracle_headline_sf10.json", "w"))
 EOF
 python3 tools/duck_bench.py "$DST" /tmp/oracle_headline_sf10.json 32 \
