@@ -486,17 +486,34 @@ object ExtQueries {
       .select(col("wa"), col("wb"), col("n"), round(col("wsum"), 4).as("wsum"))
       .orderBy(col("n").desc, col("wa"), col("wb"))
 
-  /** X8 — mergeable cardinality sketches: per-segment HLL estimates plus
-    * the union-merged global estimate (the re-aggregatable form a rollup
-    * store needs — exact COUNT(DISTINCT) cannot merge). */
+  /** X8 — mergeable cardinality sketches, ORACLE-CHECKED (promoted round
+    * 11 from Tier B): per-segment HLL estimates plus the union-merged
+    * global estimate (the re-aggregatable form a rollup store needs —
+    * exact COUNT(DISTINCT) cannot merge). The promotion rests on the
+    * DataSketches exact regime: a bounded-cardinality slice
+    * (c_custkey < 1500 — the SAME key set at every SF, the x2_fuzzy
+    * pattern) at lgK=14 keeps every sketch in coupon mode, where the
+    * estimate IS the exact distinct count (probe-verified: per-segment,
+    * ALL, and merged≡direct all exact) — so DuckDB's exact
+    * COUNT(DISTINCT) states the expected output directly. A require()
+    * gate surfaces the mergeability identity in-query: the union-merged
+    * estimate must equal the single sketch built over the whole slice.
+    * Unbounded-cardinality (approximate) behavior stays property-tested
+    * in the sketch specs. */
   val x8_hll_merge: Q = (s, d) => {
-    val sk = t(s, d, "customer")
-      .groupBy(col("c_mktsegment"))
-      .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+    val c = t(s, d, "customer").filter(col("c_custkey") < 1500)
+    val sk = c.groupBy(col("c_mktsegment"))
+      .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"))
     val per = sk.select(col("c_mktsegment").as("segment"),
       expr("hll_sketch_estimate(sk)").as("est"))
     val all = sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
       .select(lit("ALL").as("segment"), col("est"))
+    val merged = all.collect().head.getLong(1)
+    val direct = c.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(c_custkey, 14))"))
+      .collect().head.getLong(0)
+    require(merged == direct,
+      s"HLL merge ≢ sketch-of-union: merged=$merged direct=$direct")
     per.unionByName(all).orderBy(col("segment"))
   }
 
@@ -577,13 +594,28 @@ object ExtQueries {
   }
 
   /** X8 — mergeable FREQUENCY sketches (Count-Min, the companion of the
-    * HLL cardinality rollup above): per-status sketches of o_custkey,
-    * cell-wise merged to "ALL", point estimates for three fixed keys.
-    * Tier B — merge exactness and error bounds are property-tested
-    * (FreqSpec); an exact oracle would mis-specify a probabilistic op. */
+    * HLL cardinality rollup above), ORACLE-CHECKED (promoted round 11
+    * from Tier B): per-status sketches of a bounded key slice
+    * (o_custkey < 300 — ≤300 distinct keys against width 2000 ⇒ the
+    * depth-5 min is collision-free on this fixed data, so every point
+    * estimate IS the exact count and DuckDB states it as a conditional
+    * COUNT). The mergeability identity is surfaced as a require() gate at
+    * full strength: the cell-wise merge of the per-group sketches must be
+    * BYTE-IDENTICAL to the single sketch built over the whole slice
+    * (shared hashes ⇒ counter addition commutes with row order). The
+    * probabilistic error-bound behavior stays property-tested (FreqSpec). */
   val x8_cms_merge: Q = (s, d) => {
-    val per = graft.ext.Freq.sketchPerGroup(
-      t(s, d, "orders"), "o_orderstatus", "o_custkey")
+    val o = t(s, d, "orders").filter(col("o_custkey") < 300)
+    val per = graft.ext.Freq.sketchPerGroup(o, "o_orderstatus", "o_custkey")
+    val direct = o.agg(
+      expr("count_min_sketch(o_custkey, 0.001d, 0.99d, 42)"))
+      .collect().head.getAs[Array[Byte]](0)
+    val mergedSk = graft.ext.Freq.merge(
+      per.collect().toSeq.map(_.getAs[Array[Byte]]("sketch")))
+    val bos = new java.io.ByteArrayOutputStream()
+    mergedSk.writeTo(bos)
+    require(java.util.Arrays.equals(bos.toByteArray, direct),
+      "CMS merge ≢ sketch-of-union (byte identity)")
     graft.ext.Freq.estimateRollup(s, per, Seq(1L, 7L, 42L))
       .orderBy(col("segment"), col("item"))
   }
@@ -707,24 +739,34 @@ object ExtQueries {
       .orderBy(col("lang"), col("pack"))
   }
 
-  /** X4 — real BPE tokenization end-to-end (Tier B): learn 40 merges
-    * from the corpus itself (bounded driver collect), then apply them at
-    * scan speed through the native `bpe_count` expression. Output: per-doc
-    * subword counts with the subword/pre-token expansion factor. (40
-    * merges against the synthetic corpus's 31-word vocabulary fuses the
-    * frequent words fully and splits the rest into visible subwords; a
-    * bigger budget fuses everything — expansion 1.0 across the board —
-    * which is correct but exercises nothing.) */
+  /** X4 — real BPE tokenization, ORACLE-CHECKED (promoted round 11 from
+    * Tier B, the x81 ground-truth pattern): the native rank-greedy
+    * `bpe_count` kernel runs a PLANTED merge table over PLANTED per-doc
+    * text whose expected token counts are closed-form in doc_id, so
+    * DuckDB emits the ground truth directly. The construction makes the
+    * greedy apply hand-derivable: merge chains over pairwise-DISJOINT
+    * alphabets ((t,h),(th,e) fusing "the"; (c,a) splitting "cat"→[ca,t])
+    * cannot interfere, and each planted word's tokenization is fixed —
+    * THE→1 (pins locale-independent lowercasing), ththe→2 (two (t,h)
+    * firings then one (th,e) — rank precedence exercised), cat→2,
+    * acaca→3, xq→2 (letters, no merges), 2026→4 (digit run), !→1
+    * (symbol). Per-doc counts: n_bpe = A+2B+2C+10, n_pretok = A+B+C+4
+    * for A=id%5 THEs, B=id%3 ththes, C=id%4 cats + the constant tail.
+    * Corpus-trained merges (trainFromCorpus) stay property-tested in
+    * BpeSpec — training is deterministic but not SQL-expressible. */
   val x4_bpe_tokens: Q = (s, d) => {
-    val docs = t(s, d, "documents")
-    val merges = graft.ext.Bpe.trainFromCorpus(
-      docs, "text", numMerges = 40, maxWords = 2000)
-    docs.select(
+    val merges = Seq(("t", "h"), ("th", "e"), ("c", "a"))
+    val rep: (String, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = (w, n) =>
+      array_join(array_repeat(lit(w), n.cast("int")), " ")
+    val text = concat_ws(" ",
+      rep("THE", col("doc_id") % 5),
+      rep("ththe", col("doc_id") % 3),
+      rep("cat", col("doc_id") % 4),
+      lit("acaca xq 2026 !"))
+    t(s, d, "documents").select(
         col("doc_id"),
-        graft.ext.Bpe.tokenCount(col("text"), merges).as("n_bpe"),
-        TextStats.bpeTokenCount(col("text")).cast("long").as("n_pretok"))
-      .withColumn("expansion",
-        round(col("n_bpe").cast("double") / col("n_pretok"), 4))
+        graft.ext.Bpe.tokenCount(text, merges).as("n_bpe"),
+        TextStats.bpeTokenCount(text).cast("long").as("n_pretok"))
       .orderBy(col("doc_id"))
   }
 
@@ -2599,6 +2641,40 @@ object ExtQueries {
   /** Portable DuckDB oracles for the SQL-expressible subset. The planted-dup
     * construction is reproduced literally in SQL. */
   val oracleSql: Map[String, String] = Map(
+    // exact regime: every sketch stays in coupon mode at <=1500 distinct
+    // keys (lgK 14), where the HLL estimate IS the exact distinct count
+    "x8_hll_merge" ->
+      """WITH c AS (SELECT c_mktsegment, c_custkey FROM customer
+        |           WHERE c_custkey < 1500)
+        | SELECT * FROM (
+        |  SELECT c_mktsegment AS segment,
+        |    COUNT(DISTINCT c_custkey) AS est FROM c GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', COUNT(DISTINCT c_custkey) FROM c) u
+        | ORDER BY segment""",
+    // collision-free regime: <=300 distinct keys against width 2000 makes
+    // every depth-5-min point estimate the exact conditional count
+    "x8_cms_merge" ->
+      """WITH o AS (SELECT o_orderstatus, o_custkey FROM orders
+        |           WHERE o_custkey < 300),
+        | seg AS (SELECT DISTINCT o_orderstatus AS segment FROM o
+        |         UNION ALL SELECT 'ALL'),
+        | items AS (SELECT CAST(item AS BIGINT) AS item
+        |           FROM (VALUES (1), (7), (42)) t(item))
+        | SELECT s.segment, i.item,
+        |  (SELECT COUNT(*) FROM o
+        |    WHERE (s.segment = 'ALL' OR o.o_orderstatus = s.segment)
+        |      AND o.o_custkey = i.item) AS est
+        | FROM seg s CROSS JOIN items i ORDER BY segment, item""",
+    // ground truth of the planted merge table over the planted per-doc
+    // words (closed form in doc_id; see the query scaladoc derivation)
+    "x4_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 5 + 2 * (doc_id % 3) + 2 * (doc_id % 4) + 10
+        |    AS BIGINT) AS n_bpe,
+        |  CAST(doc_id % 5 + doc_id % 3 + doc_id % 4 + 4
+        |    AS BIGINT) AS n_pretok
+        | FROM documents ORDER BY doc_id""",
     "x49_fit" ->
       // closed-form MLE of the one-binary-feature logistic fit + the
       // keep counts it implies (see the query scaladoc)
