@@ -1,0 +1,175 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{cosineSim, topCentroids}
+
+/** X94 — incremental ANN index maintenance: the embedding-side analog of
+  * X88's at-ingest media dedup index. A persisted IVF(-PQ) index is
+  * created ONCE (train coarse centroids, optionally PQ codebooks, assign
+  * the corpus, write the inverted lists); every later vector batch is
+  * FOLDED in assign-only — nearest-centroid assignment (+ PQ encoding)
+  * against the FROZEN models, appended to the persisted lists. No
+  * retrain, no re-assignment of history: the production vector-store
+  * ingest pattern (FAISS `add` after `train`).
+  *
+  * On-disk layout under `dir/`:
+  *   `centroids/`  k coarse centroids ([[Ivf.save]], KB-sized)
+  *   `codebooks/`  m×k PQ codebooks ([[Pq.save]]; absent = raw-vector IVF)
+  *   `lists/`      parquet partitioned by (batch_id, list_id):
+  *                 (id, codes|vector) — the searchable index
+  *
+  * Correctness contract (spec-pinned):
+  *  - FOLD ≡ REBUILD: assignment and encoding are deterministic functions
+  *    of the frozen models, so folding batches one at a time yields
+  *    exactly the rows a one-shot assignment of the union would —
+  *    [[IvfIndexSpec]] compares the multisets.
+  *  - REPLAY IDEMPOTENT: a batch writes its own `batch_id=<id>`
+  *    partitions with dynamic overwrite; re-folding (foreachBatch is
+  *    at-least-once) replaces them with identical content.
+  *  - QUERY: [[topK]] probes the query's `nprobe` nearest lists via a
+  *    partition-pruned scan of `lists/` — folded rows are immediately
+  *    searchable (the x94 oracle face pins a provable subcase: lossless
+  *    codebooks + corpus-member queries ⇒ exact distances).
+  *
+  * Staleness is the FROZEN-MODEL tradeoff, watched rather than hidden:
+  * [[retrainGate]] runs X93's embedding-distribution drift between a
+  * reference sample (e.g. what the models trained on) and the incoming
+  * batch; past the SMD threshold the fold should stop and a retrain run
+  * ([[create]]) take over — assignment quality, not correctness, is what
+  * degrades under drift.
+  *
+  * Scale shape: create = one training pass (sampleable) + one map-only
+  * assignment scan; fold = map-only over the BATCH alone (history never
+  * re-read, never re-encoded); query = queries (tiny) equi-joined to
+  * nprobe/k of the lists. Nothing row-sized ever reaches the driver.
+  */
+object AnnIndex {
+
+  /** An opened index: frozen models + the lists directory. */
+  final case class Index(dir: String, coarse: Ivf.Model, pq: Option[Pq.Model]) {
+    def listsDir: String = s"$dir/lists"
+  }
+
+  /** Train models on the corpus and build the initial index (batch 0).
+    * @param pqSubspaces Some(m) = IVF-PQ with an m-subspace codebook
+    *   trained on the corpus (lossy, compact); None = raw-vector IVF. */
+  def create(corpus: DataFrame, dir: String, k: Int, iters: Int = 3,
+      pqSubspaces: Option[(Int, Int)] = None, seed: Long = 42,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      (implicit spark: SparkSession): Index = {
+    val coarse = Ivf.train(corpus, k = k, iters = iters, seed = seed,
+      vecCol = vecCol)
+    val pq = pqSubspaces.map { case (m, kCodes) =>
+      Pq.train(corpus, m = m, k = kCodes, iters = iters, seed = seed,
+        vecCol = vecCol)
+    }
+    createWithModels(corpus, dir, coarse, pq, idCol, vecCol)
+  }
+
+  /** Build the initial index under caller-supplied FROZEN models (e.g.
+    * [[Pq.exactModel]] for the provable subcase, or models trained on a
+    * sample elsewhere). Clears any previous lists. */
+  def createWithModels(corpus: DataFrame, dir: String, coarse: Ivf.Model,
+      pq: Option[Pq.Model], idCol: String = "vec_id",
+      vecCol: String = "embedding")(implicit spark: SparkSession): Index = {
+    Ivf.save(coarse, s"$dir/centroids")
+    pq.foreach(m => Pq.save(m, s"$dir/codebooks"))
+    val lists = new org.apache.hadoop.fs.Path(s"$dir/lists")
+    lists.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(lists, true)
+    val idx = Index(dir, coarse, pq)
+    fold(corpus, idx, batchId = 0L, idCol, vecCol)
+    idx
+  }
+
+  /** Open a persisted index (models load bit-identically — the
+    * Ivf/Pq ModelStore contract). */
+  def open(dir: String)(implicit spark: SparkSession): Index = {
+    val pqPath = new org.apache.hadoop.fs.Path(s"$dir/codebooks")
+    val hasPq = pqPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(pqPath)
+    Index(dir, Ivf.load(s"$dir/centroids"),
+      if (hasPq) Some(Pq.load(s"$dir/codebooks")) else None)
+  }
+
+  /** Fold one batch into the index: assign-only against the frozen
+    * models, one map-only pass over the BATCH. The batch's OWN partition
+    * subtree (`batch_id=<id>`) is dropped before the write — dynamic
+    * overwrite alone would only replace the leaf (batch, list) partitions
+    * the new content touches, leaving orphan lists behind on a
+    * superseding re-fold — so replays are idempotent and a corrected
+    * re-fold replaces the batch wholesale while every other batch's
+    * files stay untouched. */
+  def fold(batch: DataFrame, index: Index, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val sub = new org.apache.hadoop.fs.Path(
+      s"${index.listsDir}/batch_id=$batchId")
+    sub.getFileSystem(spark.sessionState.newHadoopConf()).delete(sub, true)
+    val assigned = Ivf.assign(batch, index.coarse, vecCol)
+    val rows = index.pq match {
+      case Some(m) => assigned.select(col(idCol).as("id"), col("list_id"),
+        Pq.encode(col(vecCol), m).as("codes"))
+      case None => assigned.select(col(idCol).as("id"), col("list_id"),
+        col(vecCol).as("vector"))
+    }
+    rows.withColumn("batch_id", lit(batchId))
+      .write.mode("append")
+      .partitionBy("batch_id", "list_id")
+      .parquet(index.listsDir)
+  }
+
+  /** The persisted inverted lists (id, list_id, codes|vector, batch_id). */
+  def lists(index: Index)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(index.listsDir)
+
+  /** Top-k per query over the persisted index: the query batch explodes
+    * to its `nprobe` nearest lists and equi-joins the (partition-pruned)
+    * lists scan. IVF-PQ indexes score by ADC over the stored codes
+    * (squared L2 ascending, ties by id); raw IVF scores exact cosine
+    * (descending, ties by id) — each matching its batch-mode sibling
+    * ([[Pq.ivfPqTopK]] / [[Ivf.topK]]) so index and ad-hoc paths can
+    * never rank differently. */
+  def topK(index: Index, queries: DataFrame, k: Int, nprobe: Int = 4,
+      qidCol: String = "query_id", vecCol: String = "embedding")
+      (implicit spark: SparkSession): DataFrame = {
+    val probes = explode(topCentroids(col(vecCol), index.coarse.lit,
+      lit(nprobe))).as("list_id")
+    index.pq match {
+      case Some(m) =>
+        val q = queries.select(col(qidCol).as("query_id"),
+          Pq.luts(col(vecCol), m).as("luts"), probes)
+        val scored = lists(index).join(q, "list_id")
+          .select(col("query_id"), col("id"),
+            Pq.adc(col("codes"), col("luts")).as("dist"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("id"))
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      case None =>
+        val q = queries.select(col(qidCol).as("query_id"),
+          col(vecCol).as("qvec"), probes)
+        val scored = lists(index).join(q, "list_id")
+          .select(col("query_id"), col("id"),
+            cosineSim(col("vector"), col("qvec")).as("score"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("id"))
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
+
+  /** X93 drift gate for the frozen models: standardized mean difference
+    * per dimension between `ref` (what the models represent — e.g. the
+    * training sample) and the incoming batch. Returns (drift report,
+    * retrain recommended). Fold correctness never depends on this —
+    * assignment QUALITY does, which is exactly what a silent drift
+    * degrades. */
+  def retrainGate(ref: DataFrame, batch: DataFrame, maxSmd: Double = 0.5,
+      vecCol: String = "embedding"): (DataFrame, Boolean) = {
+    val report = Drift.embeddingDrift(ref, batch, vecCol)
+    val worst = report.agg(max(col("smd"))).collect().head
+    (report, !worst.isNullAt(0) && worst.getDouble(0) > maxSmd)
+  }
+}

@@ -1176,6 +1176,47 @@ object ExtQueries {
       .orderBy("id")
   }
 
+  /** X94 — incremental ANN index maintenance ([[graft.ext.AnnIndex]]),
+    * ORACLE-CHECKED via the provable lossless subcase (the x90_pq_exact +
+    * x3_ann_ivf construction): create a persisted IVF-PQ index over the
+    * embeddings under LOSSLESS codebooks ([[graft.ext.Pq.exactModel]] —
+    * ADC ≡ true squared L2, bit-exact), then FOLD a new batch (planted
+    * copies of the first 20 vectors, re-id'd +1M — copies share every
+    * subvector with the corpus, so encoding stays lossless) and query the
+    * index with exactly those copies. Provable output: each query is at
+    * distance EXACTLY 0.0 from its original and itself, nothing else
+    * reaches 0 (embeddings are pairwise distinct), and both live in the
+    * query's own top-1 coarse list (identical vector ⇒ identical
+    * assignment — fold visibility is ON the hash: rank 2 IS the folded
+    * row). Ties on id ⇒ rank 1 = original, rank 2 = the folded copy.
+    * Trained-codebook recall stays require-gated in x90_pq_topk; fold ≡
+    * rebuild and replay idempotence are spec-pinned (AnnIndexSpec). */
+  val x94_incremental_ann: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_q").toString
+    val emb = t(s, d, "embeddings")
+    val pq = graft.ext.Pq.exactModel(emb, m = 8)
+    val coarse = graft.ext.Ivf.train(emb, k = 16, iters = 2)
+    val idx = graft.ext.AnnIndex.createWithModels(emb, dir, coarse, Some(pq))
+    val batch = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.ext.AnnIndex.fold(batch, idx, batchId = 1)
+    val out = graft.ext.AnnIndex.topK(
+        graft.ext.AnnIndex.open(dir),
+        batch.select(col("vec_id").as("query_id"), col("embedding")),
+        k = 2, nprobe = 2)
+      .select(col("query_id"), col("id"), col("dist"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+    // materialize before removing the temp index (the x9_zorder pattern)
+    val rows = out.collect().toSeq
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      out.schema)
+  }
+
   /** X43 — bigram-LM quality scoring (`ext/NgramLm`): fit an add-k
     * smoothed bigram model on the corpus, score each document's mean
     * −ln P(w2|w1) — the KenLM-style perplexity filter. The oracle
@@ -2633,6 +2674,7 @@ object ExtQueries {
     "x91_mv_star" -> x91_mv_star,
     "x92_forget" -> x92_forget,
     "x93_embed_drift" -> x93_embed_drift,
+    "x94_incremental_ann" -> x94_incremental_ann,
     "x0_linkage" -> x0_linkage,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,
@@ -2666,6 +2708,18 @@ object ExtQueries {
         |    WHERE (s.segment = 'ALL' OR o.o_orderstatus = s.segment)
         |      AND o.o_custkey = i.item) AS est
         | FROM seg s CROSS JOIN items i ORDER BY segment, item""",
+    // provable lossless-IVF-PQ subcase: each folded copy is at distance
+    // exactly 0.0 from its original (rank 1, smaller id) and itself
+    // (rank 2 - the folded row, proving fold visibility on the hash)
+    "x94_incremental_ann" ->
+      """SELECT query_id, id, dist, rank FROM (
+        |  SELECT vec_id + 1000000 AS query_id, vec_id AS id, 0.0 AS dist,
+        |    CAST(1 AS BIGINT) AS rank
+        |  FROM embeddings WHERE vec_id < 20
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, vec_id + 1000000, 0.0, 2
+        |  FROM embeddings WHERE vec_id < 20) u
+        | ORDER BY query_id, rank""",
     // ground truth of the planted merge table over the planted per-doc
     // words (closed form in doc_id; see the query scaladoc derivation)
     "x4_bpe_tokens" ->

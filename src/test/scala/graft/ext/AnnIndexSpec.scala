@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[AnnIndex]] (X94): incremental IVF(-PQ) index maintenance. Pins the
+  * three contract points — fold ≡ one-shot rebuild under frozen models,
+  * replay idempotence (byte-level row content), folded rows immediately
+  * searchable with index ≡ ad-hoc ranking — plus the X93 retrain gate. */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit val s: SparkSession = spark
+
+  private lazy val emb =
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+  private lazy val corpus = emb.filter($"vec_id" >= 20)
+  private lazy val batch1 = emb.filter($"vec_id" < 10)
+  private lazy val batch2 = emb.filter($"vec_id" >= 10 && $"vec_id" < 20)
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_annidx").toString
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("fold == one-shot rebuild under the same frozen models (IVF-PQ)") {
+    val (d1, d2) = (tmp(), tmp())
+    val coarse = Ivf.train(emb, k = 8, iters = 2)
+    val pq = Some(Pq.train(emb, m = 8, k = 8, iters = 2))
+    // incremental: corpus, then two folds
+    val idx = AnnIndex.createWithModels(corpus, d1, coarse, pq)
+    AnnIndex.fold(batch1, idx, batchId = 1)
+    AnnIndex.fold(batch2, idx, batchId = 2)
+    // one-shot: everything at once under the SAME models
+    val all = AnnIndex.createWithModels(emb, d2, coarse, pq)
+    assert(rows(AnnIndex.lists(idx).drop("batch_id"))
+      === rows(AnnIndex.lists(all).drop("batch_id")))
+    Seq(d1, d2).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
+  test("replay idempotence; superseding re-fold replaces the batch") {
+    val d = tmp()
+    val idx = AnnIndex.create(corpus, d, k = 8, iters = 2,
+      pqSubspaces = Some((8, 8)))
+    AnnIndex.fold(batch1, idx, batchId = 1)
+    val before = rows(AnnIndex.lists(idx))
+    val batch0Before = rows(AnnIndex.lists(idx).filter($"batch_id" === 0))
+    AnnIndex.fold(batch1, idx, batchId = 1) // at-least-once replay
+    assert(rows(AnnIndex.lists(idx)) === before)
+    // corrected replay supersedes: only the batch's own partitions move
+    AnnIndex.fold(batch1.limit(3), idx, batchId = 1)
+    val after = AnnIndex.lists(idx)
+    assert(after.filter($"batch_id" === 1).count() === 3)
+    assert(rows(after.filter($"batch_id" === 0)) === batch0Before)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
+  test("folded vectors are searchable; index ranking == ad-hoc ranking") {
+    val d = tmp()
+    val idx = AnnIndex.create(corpus, d, k = 8, iters = 2) // raw IVF
+    AnnIndex.fold(batch1, idx, batchId = 1)
+    val queries = batch1.select($"vec_id".as("query_id"), $"embedding")
+    val viaIndex = AnnIndex.topK(AnnIndex.open(d), queries, k = 3, nprobe = 3)
+    // ad-hoc: the batch-mode operator over the union under the same model
+    val adHoc = Ivf.topK(corpus.unionByName(batch1), queries, idx.coarse,
+      k = 3, nprobe = 3)
+    assert(rows(viaIndex.select($"query_id", $"id", $"rank"))
+      === rows(adHoc.select($"query_id", $"id", $"rank")))
+    // every query is a folded corpus member: top-1 must be itself
+    viaIndex.filter($"rank" === 1).collect().foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
+  test("retrain gate: shifted batch trips, in-distribution batch does not") {
+    // sf0.01 (bigger samples): a 10-vector batch's per-dim means are too
+    // noisy for a stable SMD — the gate is for production batch sizes
+    val big = graft.core.Tables.load(spark, "/root/testdata/sf0.01",
+      "embeddings")
+    val ref = big.filter($"vec_id" >= 100)
+    val batch = big.filter($"vec_id" < 100)
+    val shifted = batch.select($"vec_id",
+      transform($"embedding", x => x + lit(3.0f)).as("embedding"))
+    val (_, retrainShift) = AnnIndex.retrainGate(ref, shifted)
+    val (_, retrainSame) = AnnIndex.retrainGate(ref, batch)
+    assert(retrainShift && !retrainSame)
+  }
+}
