@@ -1217,6 +1217,38 @@ object ExtQueries {
       out.schema)
   }
 
+  /** X59 — FULL Public-Suffix-List registered domain
+    * ([[graft.ext.Urls.registeredDomainPsl]]), ORACLE-CHECKED via planted
+    * ground truth (round 11): hosts synthesized per doc_id exercise every
+    * rule class — plain TLD (com), multi-label suffixes (co.uk beating uk
+    * by label count, com.au, github.io), the wildcard `*.ck`, the
+    * exception `!www.ck` re-opening www.ck, a host that IS a public
+    * suffix (NULL registered domain — the PSL answer), the implicit `*`
+    * default for an unlisted TLD, and case folding (every 11th host
+    * uppercased). Because each branch's answer is fixed by construction,
+    * DuckDB emits the expected domain as a CASE over the same arithmetic
+    * (the x81 ground-truth pattern) — no SQL re-implementation of the
+    * matching algorithm, which UrlsSpec covers rule-by-rule. */
+  val x59_psl_domain: Q = (s, d) => {
+    val rules = graft.ext.Urls.parsePsl(Seq(
+      "// planted test PSL subset", "com", "uk", "co.uk", "au", "com.au",
+      "io", "github.io", "*.ck", "!www.ck"))
+    val id = col("doc_id")
+    val h0 = when(id % 7 === 0, concat(col("source"), lit(".com")))
+      .when(id % 7 === 1, concat(lit("a."), col("source"), lit(".co.uk")))
+      .when(id % 7 === 2, concat(col("source"), lit(".com.au")))
+      .when(id % 7 === 3, concat(col("source"), lit(".github.io")))
+      .when(id % 7 === 4,
+        concat(lit("x.b"), (id % 5).cast("string"), lit(".ck")))
+      .when(id % 7 === 5, lit("www.ck"))
+      .otherwise(lit("co.uk"))
+    val hosts = t(s, d, "documents").select(id,
+      when(id % 11 === 0, upper(h0)).otherwise(h0).as("host"))
+    graft.ext.Urls.registeredDomainPsl(hosts, "host", rules, "rd")
+      .select(col("doc_id"), col("host"), col("rd"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X43 — bigram-LM quality scoring (`ext/NgramLm`): fit an add-k
     * smoothed bigram model on the corpus, score each document's mean
     * −ln P(w2|w1) — the KenLM-style perplexity filter. The oracle
@@ -2675,6 +2707,7 @@ object ExtQueries {
     "x92_forget" -> x92_forget,
     "x93_embed_drift" -> x93_embed_drift,
     "x94_incremental_ann" -> x94_incremental_ann,
+    "x59_psl_domain" -> x59_psl_domain,
     "x0_linkage" -> x0_linkage,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,
@@ -2708,6 +2741,31 @@ object ExtQueries {
         |    WHERE (s.segment = 'ALL' OR o.o_orderstatus = s.segment)
         |      AND o.o_custkey = i.item) AS est
         | FROM seg s CROSS JOIN items i ORDER BY segment, item""",
+    // planted ground truth per rule class (the x81 pattern): the branch
+    // arithmetic fixes each host's registered domain by construction
+    "x59_psl_domain" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CASE CAST(doc_id % 7 AS INT)
+        |      WHEN 0 THEN source || '.com'
+        |      WHEN 1 THEN 'a.' || source || '.co.uk'
+        |      WHEN 2 THEN source || '.com.au'
+        |      WHEN 3 THEN source || '.github.io'
+        |      WHEN 4 THEN 'x.b' || CAST(doc_id % 5 AS VARCHAR) || '.ck'
+        |      WHEN 5 THEN 'www.ck'
+        |      ELSE 'co.uk' END AS h0
+        |  FROM documents)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN upper(h0) ELSE h0 END AS host,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 0 THEN source || '.com'
+        |    WHEN 1 THEN source || '.co.uk'
+        |    WHEN 2 THEN source || '.com.au'
+        |    WHEN 3 THEN source || '.github.io'
+        |    WHEN 4 THEN 'x.b' || CAST(doc_id % 5 AS VARCHAR) || '.ck'
+        |    WHEN 5 THEN 'www.ck'
+        |    ELSE NULL END AS rd
+        | FROM h ORDER BY doc_id""",
     // provable lossless-IVF-PQ subcase: each folded copy is at distance
     // exactly 0.0 from its original (rank 1, smaller id) and itself
     // (rank 2 - the folded row, proving fold visibility on the hash)
