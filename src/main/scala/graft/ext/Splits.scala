@@ -32,6 +32,19 @@ object Splits {
   /** Adds `outCol` with the split name per row, assigned by the md5 of
     * `groupCol` against cumulative weight thresholds.
     * @param splits (name, weight) in order; weights normalize. */
+  /** The cumulative hash-space thresholds as 32-digit hex strings (md5
+    * hex compares lexicographically = numerically for fixed-width
+    * lowercase hex). Public so oracle faces embed EXACTLY the bounds
+    * [[byGroup]] assigns with — same double arithmetic, zero drift. */
+  def boundsHex(splits: Seq[(String, Double)]): Seq[String] = {
+    val z = splits.map(_._2).sum
+    val cums = splits.map(_._2 / z).scanLeft(0.0)(_ + _).tail.init
+    cums.map { c =>
+      val v = (BigDecimal(HexTop) * BigDecimal(c)).toBigInt
+      v.toString(16).reverse.padTo(32, '0').reverse
+    }
+  }
+
   def byGroup(df: DataFrame, groupCol: String,
       splits: Seq[(String, Double)] = Seq(
         "train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
@@ -40,14 +53,7 @@ object Splits {
     require(splits.forall(_._2 > 0), "split weights must be positive")
     require(splits.map(_._1).distinct.size == splits.size,
       "duplicate split name")
-    val z = splits.map(_._2).sum
-    // cumulative thresholds as 32-digit hex strings: md5 hex compares
-    // lexicographically = numerically for fixed-width lowercase hex
-    val cums = splits.map(_._2 / z).scanLeft(0.0)(_ + _).tail.init
-    val bounds = cums.map { c =>
-      val v = (BigDecimal(HexTop) * BigDecimal(c)).toBigInt
-      v.toString(16).reverse.padTo(32, '0').reverse
-    }
+    val bounds = boundsHex(splits)
     val h = md5(col(s"`$groupCol`").cast("string"))
     val assigned = bounds.zip(splits.map(_._1)).foldRight(
       lit(splits.last._1)) { case ((bound, name), rest) =>

@@ -37,6 +37,21 @@ object ExtQueries {
     docs.unionByName(near).unionByName(exact)
   }
 
+  /** The PROVABLE variant for the fully-oracled flagship: the +1M copies
+    * are whitespace-doubled instead of token-appended — identical token
+    * arrays (⇒ identical shingle sets ⇒ identical MinHash signatures, so
+    * threshold-1.0 removal is provable, recall 1 by construction) but
+    * different raw text, so exact dedup keeps them and the near-dup stage
+    * is what demonstrably removes them. */
+  def withPlantedDupsProvable(docs: DataFrame): DataFrame = {
+    val near = docs.filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", regexp_replace(col("text"), " ", "  "))
+    val exact = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    docs.unionByName(near).unionByName(exact)
+  }
+
   // ------------------------------------------------ oracle-checked (SQL)
 
   /** X1 — exact dedup groups: surviving id + copy count per distinct text. */
@@ -466,6 +481,169 @@ object ExtQueries {
   /** The DuckDB face of [[x41_pca_project]], generated from the SAME
     * constants: centered dot = raw dot − (mean·component), the second
     * term folded to a literal. */
+  /** The DuckDB face of the WHOLE [[x0_pipeline]] chain — one 13-stage
+    * CTE replaying every operator (see the query scaladoc). Generated so
+    * the group-split hash bounds come from [[graft.ext.Splits.boundsHex]]
+    * — the exact doubles byGroup assigns with. The planted double-space
+    * mutation is written `' ' || ' '` because the oracle map collapses
+    * whitespace runs, which would fold a two-space literal. */
+  private[queries] def x0PipelineOracleSql: String = {
+    val Seq(b80, b90) = graft.ext.Splits.boundsHex(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).toSeq
+    s"""WITH planted AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, regexp_replace(text, ' ', ' ' || ' ', 'g'),
+      |    source
+      |  FROM documents WHERE doc_id < 25
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text, source FROM documents WHERE doc_id < 10),
+      | s2 AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |    FROM planted) t WHERE rn = 1),
+      | k3 AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+      |         ELSE array_to_string(list_sort(list_distinct(
+      |           list_transform(range(1, len(t) - 1),
+      |             i -> array_to_string(t[i:i+2], chr(1))))), chr(2))
+      |    END AS k
+      |  FROM (SELECT doc_id, text,
+      |      regexp_split_to_array(trim(text), '\\s+') AS t FROM s2) tt),
+      | s3 AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+      |    FROM k3) t WHERE rn = 1),
+      | l4 AS (
+      |  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM s3) t),
+      | h4 AS (SELECT line FROM l4 GROUP BY line HAVING COUNT(*) > 100),
+      | s4 AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      |  FROM l4 WHERE line NOT IN (SELECT line FROM h4) GROUP BY doc_id),
+      | t5 AS (
+      |  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+      |  FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS arr
+      |        FROM s4 WHERE len(trim(text)) > 0) t),
+      | g5 AS (
+      |  SELECT doc_id, pos, tok,
+      |    CASE WHEN lead(tok, 7) OVER w IS NOT NULL THEN
+      |      tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+      |      || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+      |      || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
+      |      || ' ' || lead(tok, 7) OVER w
+      |    END AS gram
+      |  FROM t5 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      | d5 AS (SELECT gram FROM g5 WHERE gram IS NOT NULL
+      |        GROUP BY gram HAVING COUNT(*) > 1),
+      | c5 AS (
+      |  SELECT doc_id, pos, tok,
+      |    max(CASE WHEN gram IN (SELECT gram FROM d5) THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+      |  FROM g5),
+      | s5 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+      |        FROM c5 WHERE c = 0 GROUP BY doc_id),
+      | f6 AS (
+      |  SELECT doc_id, text,
+      |    CAST(length(text) AS DOUBLE) AS lc,
+      |    CASE WHEN len(trim(text)) = 0 THEN 0
+      |         ELSE len(str_split_regex(trim(text), '\\s+')) END AS ntok,
+      |    len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS np,
+      |    len(regexp_extract_all(text,
+      |      '(?i)\\b(the|and|of|to|a|in|is|that|it|for)\\b')) AS hen,
+      |    len(regexp_replace(trim(text), '\\s+', '', 'g')) AS nws,
+      |    list_transform(list_zip(
+      |        str_split_regex(trim(text), '\\s+')[1:-2],
+      |        str_split_regex(trim(text), '\\s+')[2:]),
+      |      p -> p[1] || ' ' || p[2]) AS g2
+      |  FROM s5),
+      | s6 AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      ROUND(least(lc / 400.0, 1.0) * 0.3
+      |        + greatest(0.0, 1.0
+      |            - (CASE WHEN lc = 0 THEN 0.0 ELSE np / lc END) * 5.0) * 0.2
+      |        + (CASE WHEN (CASE WHEN ntok = 0 THEN 0.0
+      |                      ELSE CAST(nws AS DOUBLE) / ntok END)
+      |                BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+      |        + least((CASE WHEN ntok = 0 THEN 0.0
+      |                 ELSE CAST(hen AS DOUBLE) / ntok END) * 4.0, 1.0) * 0.2
+      |        + 1e-9, 4) AS quality,
+      |      CASE WHEN len(g2) = 0 THEN 0.0
+      |           ELSE 1.0 - list_unique(g2) * 1.0 / len(g2) END AS rep2
+      |    FROM f6) t
+      |  WHERE quality >= 0.3 AND rep2 <= 0.2),
+      | s7 AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      list_transform(list_zip(btoks[1:-2], btoks[2:]),
+      |        p -> p[1] || ' ' || p[2]) AS bg2
+      |    FROM (SELECT doc_id, text, list_filter(
+      |        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |        x -> len(x) > 0) AS btoks FROM s6) t) tt
+      |  WHERE NOT (list_contains(bg2, 'forbidden content')
+      |    OR list_contains(bg2, 'do not train')
+      |    OR list_contains(bg2, 'opt out'))),
+      | lt AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |    x -> x <> '') AS ts
+      |  FROM s7),
+      | bi AS (
+      |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      |  FROM lt, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+      |  WHERE len(ts) >= 2),
+      | bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+      | uc AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+      | v AS (SELECT COUNT(DISTINCT w1) AS vv FROM bi),
+      | nl AS (
+      |  SELECT bi.doc_id,
+      |    ROUND(AVG(-ln((c12 + 0.5) / (c1 + 0.5 * vv))), 4) AS nll
+      |  FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+      |  GROUP BY bi.doc_id),
+      | s8 AS (
+      |  SELECT s7.doc_id, s7.text, CAST(length(s7.text) AS BIGINT) AS n_chars,
+      |    p.source, nl.nll
+      |  FROM s7 JOIN planted p ON s7.doc_id = p.doc_id
+      |  JOIN nl ON s7.doc_id = nl.doc_id),
+      | s9 AS (
+      |  SELECT doc_id, text, n_chars, source FROM (
+      |    SELECT s8.*, NTILE(10) OVER (ORDER BY nll, doc_id) AS tile
+      |    FROM s8) t
+      |  WHERE tile <= 9),
+      | s10 AS (
+      |  SELECT doc_id, text, n_chars, source FROM (
+      |    SELECT doc_id, text, n_chars, source,
+      |      ROUND(1.0 / (1.0 + exp(-(-3.0 + 0.9 * ln(1.0 + t)
+      |        + 0.35 * m - 0.25 * ln(1.0 + n_chars)))), 4) AS score
+      |    FROM (SELECT doc_id, text, n_chars, source,
+      |        len(str_split_regex(trim(text), '\\s+')) AS t,
+      |        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+      |          / len(str_split_regex(trim(text), '\\s+')) AS m
+      |      FROM s9) a) b
+      |  WHERE score >= 0.5),
+      | s11 AS (
+      |  SELECT doc_id, text, source FROM (
+      |    SELECT doc_id, text, source,
+      |      ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY n_chars DESC, doc_id) AS rk
+      |    FROM s10) t WHERE rk <= 200)
+      | SELECT split, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+      |       ELSE len(str_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+      |    AS n_tokens
+      | FROM (
+      |  SELECT text,
+      |    CASE WHEN md5(source) < '$b80' THEN 'train'
+      |         WHEN md5(source) < '$b90' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM s11) t
+      | GROUP BY split ORDER BY split"""
+  }
+
   private[queries] def x41OracleSql: String = {
     def lst(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
     val cols = (0 until pcaK).map { j =>
@@ -854,12 +1032,28 @@ object ExtQueries {
     * (X4). This is the "switch your pipeline to this library" face: the
     * composition itself is the feature — one lazy plan end to end, no
     * materialization between stages except the near-dup sketch's own
-    * checkpoint. Tier B (rows-only): the stages are individually
-    * oracle-checked/spec'd; what this adds is their composition. */
+    * checkpoint.
+    *
+    * ORACLE-CHECKED end to end (promoted round 11 from Tier B, the
+    * x0_linkage pattern): every stage is deterministic and
+    * SQL-expressible once the near-dup stage runs the threshold-1.0
+    * provable construction (x2_minhash_dedup) — the planted near copies
+    * are WHITESPACE-DOUBLED (identical token arrays ⇒ identical shingle
+    * sets ⇒ identical signatures and band keys ⇒ guaranteed candidates;
+    * Jaccard exactly 1.0 ⇒ provably removed), while remaining distinct
+    * TEXTS that the exact stage must keep. DuckDB replays the whole
+    * chain — exact dedup window, shingle-set-equality class window, line
+    * and span excision, the 4-component quality score, the bigram-LM
+    * trained on the pipeline's own policed corpus, NTILE decile drop,
+    * the sigmoid quality model, the domain-cap window, and the md5
+    * group split — as one 13-stage CTE, so every stage INTERFACE is on
+    * the hash, not just each stage alone. The sub-1.0 probabilistic
+    * radius stays covered by x2_minhash_neardup (Tier B by design). */
   val x0_pipeline: Q = (s, d) => {
-    val corpus = withPlantedDups(t(s, d, "documents"))
+    val corpus = withPlantedDupsProvable(t(s, d, "documents"))
     val exact = Dedup.exactByContent(corpus, "text", "doc_id")
-    val near = Dedup.dedupNear(exact, "doc_id", "text")
+    val near = Dedup.dedupNear(exact, "doc_id", "text",
+      Dedup.MinHashParams(threshold = 1.0))
     // round 5: the within-text cleaning passes join the flagship — line
     // boilerplate first (coarse), then repeated >=8-token passages (fine)
     val lineClean = graft.ext.LineDedup.dedupLines(near, "doc_id", "text", 100L)
@@ -3565,6 +3759,7 @@ object ExtQueries {
         |  FROM staged)
         | SELECT doc_id, text FROM ranked WHERE rn = 1 ORDER BY doc_id""",
     "x41_pca_project" -> x41OracleSql,
+    "x0_pipeline" -> x0PipelineOracleSql,
     // the token-table self-join formulation — deliberately a DIFFERENT
     // algorithm from the engine's row-local HOF pair generation
     "x42_cooccur" ->
