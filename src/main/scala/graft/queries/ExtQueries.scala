@@ -644,6 +644,95 @@ object ExtQueries {
       | GROUP BY split ORDER BY split"""
   }
 
+  /** The DuckDB face of the WHOLE [[x0_web_pipeline]] chain. Every input
+    * is synthesized from doc_id arithmetic, so each stage's output is
+    * replayable: the page reconstructed verbatim, the x61 strip chain,
+    * mojibake repair as the two planted-sequence replaces (the kernel
+    * itself is pinned by x81), the canonical URL and registered domain
+    * as the closed form the construction fixes, the min-id-per-canon
+    * dedup window, the 4-component quality score, and the per-domain
+    * quality cap. Mojibake bytes are written chr()-wise so the oracle
+    * map's whitespace collapse cannot touch them. */
+  private[queries] def x0WebPipelineOracleSql: String = {
+    val mojiA = "chr(226) || chr(8364) || chr(8482)" // the miscoded U+2019
+    val mojiE = "chr(195) || chr(169)"               // the miscoded U+00E9
+    s"""WITH pages AS (
+      |  SELECT doc_id, source, text,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><style>p{}</style><script>if(1<2){}</script></head><body><p>'
+      |    || text ||
+      |    (CASE WHEN doc_id % 3 = 0
+      |          THEN ' ' || $mojiA || 'brand' || $mojiA || ' caf' || $mojiE
+      |          ELSE '' END) || '</p></body></html>' AS h,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || source ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '.com' ELSE '.co.uk' END) ||
+      |    '/p/' || CAST(doc_id % 150 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?a=1' END) AS canon,
+      |    source ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '.com' ELSE '.co.uk' END) AS rdom
+      |  FROM documents),
+      | stripped AS (
+      |  SELECT doc_id, canon, rdom,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |            '(?s)<!--.*?-->', ' ', 'g'),
+      |          '<[^>]+>', ' ', 'g'),
+      |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      |        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      |      '\\s+', ' ', 'g')) AS clean0,
+      |    CAST(length(h) AS DOUBLE) AS hlen
+      |  FROM pages),
+      | extracted AS (
+      |  SELECT doc_id, canon, rdom,
+      |    replace(replace(clean0, $mojiA, chr(8217)), $mojiE, chr(233)) AS text,
+      |    length(clean0) / hlen AS vr
+      |  FROM stripped),
+      | deduped AS (
+      |  SELECT doc_id, rdom, text, vr FROM (
+      |    SELECT doc_id, rdom, text, vr,
+      |      ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+      |    FROM extracted) t WHERE rn = 1),
+      | scored AS (
+      |  SELECT doc_id, rdom, text, vr,
+      |    ROUND(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.3
+      |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+      |          ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))
+      |            * 1.0 / length(text) END) * 5.0) * 0.2
+      |      + (CASE WHEN (CASE WHEN ntok = 0 THEN 0.0
+      |                    ELSE CAST(nws AS DOUBLE) / ntok END)
+      |              BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+      |      + least((CASE WHEN ntok = 0 THEN 0.0
+      |          ELSE len(regexp_extract_all(text,
+      |            '(?i)\\b(the|and|of|to|a|in|is|that|it|for)\\b'))
+      |            * 1.0 / ntok END) * 4.0, 1.0) * 0.2
+      |      + 1e-9, 4) AS quality
+      |  FROM (SELECT *,
+      |      CASE WHEN len(trim(text)) = 0 THEN 0
+      |           ELSE len(str_split_regex(trim(text), '\\s+')) END AS ntok,
+      |      len(regexp_replace(trim(text), '\\s+', '', 'g')) AS nws
+      |    FROM deduped) t),
+      | screened AS (
+      |  SELECT doc_id, rdom, text, quality FROM scored
+      |  WHERE vr >= 0.05 AND quality >= 0.3),
+      | capped AS (
+      |  SELECT doc_id, rdom, text FROM (
+      |    SELECT doc_id, rdom, text,
+      |      ROW_NUMBER() OVER (PARTITION BY rdom
+      |        ORDER BY quality DESC, doc_id) AS rk
+      |    FROM screened) t WHERE rk <= 100)
+      | SELECT rdom, COUNT(*) AS n_pages,
+      |  CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+      |       ELSE len(str_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+      |    AS n_tokens
+      | FROM capped GROUP BY rdom ORDER BY rdom"""
+  }
+
   private[queries] def x41OracleSql: String = {
     def lst(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
     val cols = (0 until pcaK).map { j =>
@@ -1106,9 +1195,16 @@ object ExtQueries {
     * dedup (X1 on the URL key — the crawl dedup) → visible-ratio and
     * quality screens (X61+X4) → per-registered-domain contribution cap
     * (X51) → per-domain corpus accounting. Every stage map-only or
-    * hash-agg; no joins until the final cap window. Tier B (rows-only):
-    * each constituent is independently oracle-checked (x59, x61, x1,
-    * x51) or ground-truth-checked (x81). */
+    * hash-agg; no joins until the final cap window.
+    *
+    * ORACLE-CHECKED end to end (promoted round 11, the x0_pipeline
+    * pattern): every input is synthesized from doc_id arithmetic, so the
+    * whole chain is replayable in DuckDB — the page reconstructed
+    * verbatim, the x61 strip chain, the mojibake repair as the planted
+    * two-sequence replace (the general kernel stays pinned by x81), the
+    * canonical URL and registered domain as the closed form the
+    * construction fixes, the min-id-per-canon dedup window, the
+    * 4-component quality score, and the per-domain quality cap. */
   val x0_web_pipeline: Q = (s, d) => {
     val id = col("doc_id")
     val pages = t(s, d, "documents").select(
@@ -3760,6 +3856,7 @@ object ExtQueries {
         | SELECT doc_id, text FROM ranked WHERE rn = 1 ORDER BY doc_id""",
     "x41_pca_project" -> x41OracleSql,
     "x0_pipeline" -> x0PipelineOracleSql,
+    "x0_web_pipeline" -> x0WebPipelineOracleSql,
     // the token-table self-join formulation — deliberately a DIFFERENT
     // algorithm from the engine's row-local HOF pair generation
     "x42_cooccur" ->
