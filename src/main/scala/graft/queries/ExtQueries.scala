@@ -1484,7 +1484,11 @@ object ExtQueries {
   val x94_incremental_ann: Q = (s, d) => {
     implicit val spark: SparkSession = s
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_q").toString
-    val emb = t(s, d, "embeddings")
+    // vec_id < 500: the SF-stable original slice (the x8_hll pattern) —
+    // scaled sets replicate vectors verbatim under shifted ids, and a
+    // byte-identical replica would join the dist-0 tie set and displace
+    // the folded copy from rank 2
+    val emb = t(s, d, "embeddings").filter(col("vec_id") < 500)
     val pq = graft.ext.Pq.exactModel(emb, m = 8)
     val coarse = graft.ext.Ivf.train(emb, k = 16, iters = 2)
     val idx = graft.ext.AnnIndex.createWithModels(emb, dir, coarse, Some(pq))
