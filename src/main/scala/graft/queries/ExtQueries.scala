@@ -276,27 +276,42 @@ object ExtQueries {
       .agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("word"))
 
-  /** A3 — approximate distinct (HLL++); Tier B because DuckDB's approx
-    * sketch differs. Exact distinct carried alongside for error eyeballing. */
+  /** A3 — approximate distinct (HLL++), ORACLE-CHECKED (promoted round
+    * 11 from Tier B, the x8_hll_merge exact-regime pattern): a bounded
+    * SF-STABLE key slice (o_custkey < 300 — the same distinct-key SET at
+    * every SF, and HLL depends only on the distinct hash set) at
+    * rsd 0.005 sits in the estimator's exact regime on this fixed data
+    * (SketchProbe: 300 == 300; the hashes are deterministic, so it stays
+    * there), letting DuckDB state the expected estimate as the exact
+    * COUNT(DISTINCT). The default-rsd approximate contract stays covered
+    * by the exact column carried alongside in history + the sketch
+    * property specs. */
   val a3_approx_distinct: Q = (s, d) =>
-    t(s, d, "orders")
+    t(s, d, "orders").filter(col("o_custkey") < 300)
       .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        approx_count_distinct(col("o_custkey"), 0.005).as("approx_custs"),
         countDistinct(col("o_custkey")).as("exact_custs"))
 
-  /** A4 — approximate quantiles (Greenwald-Khanna sketch); Tier B because
-    * DuckDB's approx_quantile uses a different sketch. Exact percentiles
-    * carried alongside: at relativeError=0.001 on this data the approx
-    * values coincide with the exact ones at 2-decimal rounding. */
+  /** A4 — approximate quantiles (Greenwald-Khanna sketch),
+    * ORACLE-CHECKED (promoted round 11 from Tier B): at accuracy 100000
+    * over the SF-stable l_orderkey < 2000 slice (≤ 2700 rows/group at
+    * any SF — ScaleUp shifts orderkeys, so scaled sets add no rows) the
+    * GK rank error n/(2·accuracy) < 0.014 < 1/2, so the sketch returns
+    * the EXACT order statistic; SketchProbe confirms Spark's rank
+    * convention coincides with DuckDB's quantile_disc bit-for-bit on
+    * all six (group, p) cells of this data. The loose-accuracy
+    * approximate contract stays spec-covered; exact interpolated median
+    * carried alongside (q44 +1e-9 rounding guard — price midpoints can
+    * land on a .xx5 boundary). */
   val a4_approx_quantile: Q = (s, d) =>
-    t(s, d, "lineitem")
+    t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
       .groupBy(col("l_returnflag"))
       .agg(
         round(element_at(percentile_approx(col("l_extendedprice"),
-          typedlit(Seq(0.5, 0.95)), lit(1000)), 1), 2).as("approx_p50"),
+          typedlit(Seq(0.5, 0.95)), lit(100000)), 1), 2).as("approx_p50"),
         round(element_at(percentile_approx(col("l_extendedprice"),
-          typedlit(Seq(0.5, 0.95)), lit(1000)), 2), 2).as("approx_p95"),
-        round(median(col("l_extendedprice")), 2).as("exact_p50"))
+          typedlit(Seq(0.5, 0.95)), lit(100000)), 2), 2).as("approx_p95"),
+        round(median(col("l_extendedprice")) + lit(1e-9), 2).as("exact_p50"))
       .orderBy(col("l_returnflag"))
 
   /** X8 — one-pass dataset profile over documents (Tier B: HLL distinct
@@ -3035,6 +3050,21 @@ object ExtQueries {
         |    WHERE (s.segment = 'ALL' OR o.o_orderstatus = s.segment)
         |      AND o.o_custkey = i.item) AS est
         | FROM seg s CROSS JOIN items i ORDER BY segment, item""",
+    // HLL exact regime on the SF-stable slice: the estimate IS the exact
+    // distinct count (see the query scaladoc)
+    "a3_approx_distinct" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS approx_custs,
+        |  COUNT(DISTINCT o_custkey) AS exact_custs
+        | FROM orders WHERE o_custkey < 300""",
+    // GK rank error < 1/2 at this accuracy/n => exact order statistics;
+    // rank convention probe-matched to quantile_disc
+    "a4_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_disc(l_extendedprice, 0.5), 2) AS approx_p50,
+        |  ROUND(quantile_disc(l_extendedprice, 0.95), 2) AS approx_p95,
+        |  ROUND(median(l_extendedprice) + 1e-9, 2) AS exact_p50
+        | FROM lineitem WHERE l_orderkey < 2000
+        | GROUP BY l_returnflag ORDER BY l_returnflag""",
     // planted ground truth per rule class (the x81 pattern): the branch
     // arithmetic fixes each host's registered domain by construction
     "x59_psl_domain" ->
