@@ -271,6 +271,35 @@ object PlanCheck {
       }
     }
 
+    // X94 incremental-ANN index: the persisted-lists scan must read only
+    // the probed lists — Spark's dynamic partition pruning on list_id
+    // (the query side broadcasts its nprobe probe ids into the scan's
+    // partition filters), which is the nprobe/k-of-the-index read story
+    // the operator exists for
+    {
+      import org.apache.spark.sql.functions.col
+      implicit val sp: org.apache.spark.sql.SparkSession = spark
+      val root = java.nio.file.Files.createTempDirectory("graft_plancheck_ann").toString
+      try {
+        val emb = core.Tables.load(spark, sfDir, "embeddings")
+          .filter(col("vec_id") < 500)
+        val idx = graft.ext.AnnIndex.create(emb, s"$root/idx", k = 8, iters = 1)
+        val q = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val plan = graft.ext.AnnIndex.topK(idx, q, k = 3, nprobe = 2)
+          .queryExecution.executedPlan.toString
+        val scanLine = plan.linesIterator
+          .find(l => l.contains("lists") && l.contains("FileScan"))
+          .getOrElse("")
+        val ok = scanLine.contains("dynamicpruningexpression(list_id")
+        println(s"PLAN ${if (ok) "OK  " else "FAIL"} x94_ann_lists_dpp: " +
+          "lists scan partition-prunes on the probed list ids")
+        if (!ok) println(plan.linesIterator.take(40).mkString("\n"))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      }
+    }
+
     // full plans for the record
     Seq("q06_multi_agg", "q07_dim_joins", "q05_window_topk").foreach { n =>
       println(s"\n===== $n =====")

@@ -81,7 +81,9 @@ object AnnIndex {
     lists.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(lists, true)
     val idx = Index(dir, coarse, pq)
-    fold(corpus, idx, batchId = 0L, idCol, vecCol)
+    // the corpus is batch −1: structured-streaming batch ids start at 0,
+    // so a stream folding into this index can never overwrite it
+    fold(corpus, idx, batchId = -1L, idCol, vecCol)
     idx
   }
 

@@ -47,14 +47,15 @@ class AnnIndexSpec extends SparkSpec {
       pqSubspaces = Some((8, 8)))
     AnnIndex.fold(batch1, idx, batchId = 1)
     val before = rows(AnnIndex.lists(idx))
-    val batch0Before = rows(AnnIndex.lists(idx).filter($"batch_id" === 0))
+    val corpusBefore = rows(AnnIndex.lists(idx).filter($"batch_id" === -1))
+    assert(corpusBefore.nonEmpty) // the corpus fold is batch −1
     AnnIndex.fold(batch1, idx, batchId = 1) // at-least-once replay
     assert(rows(AnnIndex.lists(idx)) === before)
     // corrected replay supersedes: only the batch's own partitions move
     AnnIndex.fold(batch1.limit(3), idx, batchId = 1)
     val after = AnnIndex.lists(idx)
     assert(after.filter($"batch_id" === 1).count() === 3)
-    assert(rows(after.filter($"batch_id" === 0)) === batch0Before)
+    assert(rows(after.filter($"batch_id" === -1)) === corpusBefore)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
