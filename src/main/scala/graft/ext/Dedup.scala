@@ -182,7 +182,11 @@ object Dedup {
       .withColumn("jaccard",
         graft.functions.HashFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= p.threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      // +1e-9 before ROUND (the q44 guard): Jaccard is an exact rational
+      // |∩|/|∪| that can land ON a .xxxx5 boundary, where engines'
+      // rounding modes disagree
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
   }
 
   /** Cache the sketch for the duration of `f`'s plan, force the (small) pair

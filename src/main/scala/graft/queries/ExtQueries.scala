@@ -82,9 +82,22 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
-  /** X2 — MinHash+LSH near-dup pairs (verified Jaccard ≥ 0.7). */
+  /** X2 — MinHash+LSH near-dup pairs (verified Jaccard ≥ 0.7),
+    * ORACLE-CHECKED (promoted round 11 from Tier B): over the SF-stable
+    * doc_id<500 slice + plants, DuckDB computes the EXHAUSTIVE
+    * shingle-set Jaccard for all 143k pairs — so the engine's LSH recall
+    * is ON THE HASH, not just its verified precision. The data makes
+    * this sound: every true pair sits at j ≥ 0.90 (banding miss ≤ 1.1%
+    * per pair against the default 8×8 banding — and deterministic: the
+    * hashes and data are fixed, so present recall is permanent) and the
+    * nearest non-pair is at j = 0.067, a 13× margin below the 0.7
+    * threshold. Unbounded-corpus recall stays property-tested (an
+    * exhaustive oracle cannot scale past the slice; that is WHY LSH
+    * exists). */
   val x2_minhash_neardup: Q = (s, d) =>
-    Dedup.nearDupPairs(withPlantedDups(t(s, d, "documents")), "doc_id", "text")
+    Dedup.nearDupPairs(
+        withPlantedDups(t(s, d, "documents").filter(col("doc_id") < 500)),
+        "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
   /** X2 — SimHash near-dup, ORACLE-CHECKED subcase (promoted round 9,
@@ -3050,6 +3063,32 @@ object ExtQueries {
         |    WHERE (s.segment = 'ALL' OR o.o_orderstatus = s.segment)
         |      AND o.o_custkey = i.item) AS est
         | FROM seg s CROSS JOIN items i ORDER BY segment, item""",
+    // exhaustive shingle-set Jaccard over the SF-stable slice: recall of
+    // the LSH banding is on the hash (see the query scaladoc)
+    "x2_minhash_neardup" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' appended' FROM documents
+        |  WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10),
+        | sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> array_to_string(t[i:i+2], ' ')))
+        |    END AS s
+        |  FROM (SELECT doc_id,
+        |      regexp_split_to_array(trim(text), '\s+') AS t
+        |    FROM planted) z)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+        |    len(list_distinct(a.s || b.s)) + 1e-9, 4) AS jaccard
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |   len(list_distinct(a.s || b.s)) >= 0.7
+        | ORDER BY id_a, id_b""",
     // HLL exact regime on the SF-stable slice: the estimate IS the exact
     // distinct count (see the query scaladoc)
     "a3_approx_distinct" ->
