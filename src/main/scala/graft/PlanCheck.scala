@@ -264,6 +264,18 @@ object PlanCheck {
         println(s"PLAN ${if (ok2) "OK  " else "FAIL"} x91_rollup_star: " +
           "join aggregate collapses the fact side, keeps the dim scan")
         if (!ok2) println(star.linesIterator.take(40).mkString("\n"))
+        // grouping-sets collapse: PreAggExpandRewrite turns the CUBE into
+        // merge ∘ Expand ∘ partial-agg, whose inner aggregate this rule
+        // reroutes — the fact scan must disappear under the Expand too
+        val cube = core.Tables.load(spark, sfDir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("c"), sum(col("l_quantity")).as("s"))
+          .queryExecution.executedPlan.toString
+        val ok3 = cube.contains(s"$root/mv") && !cube.contains("lineitem") &&
+          cube.contains("Expand")
+        println(s"PLAN ${if (ok3) "OK  " else "FAIL"} x91_rollup_cube: " +
+          "grouping-sets aggregate collapses to the rollup under Expand")
+        if (!ok3) println(cube.linesIterator.take(40).mkString("\n"))
       } finally {
         graft.plans.RollupViewRewrite.unregister("plancheck_mv")
         graft.plans.RollupViewRewrite.unregister("plancheck_mv2")

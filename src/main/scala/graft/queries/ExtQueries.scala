@@ -2743,6 +2743,58 @@ object ExtQueries {
     }
   }
 
+  /** X91 grouping-sets face (round 11) — CUBE/ROLLUP/GROUPING SETS
+    * collapse onto the materialized rollup, ORACLE-CHECKED. No new rule:
+    * the capability is the COMPOSITION of two existing rewrites —
+    * [[graft.plans.PreAggExpandRewrite]] turns a grouping-sets aggregate
+    * into merge-Aggregate ∘ Expand ∘ partial-Aggregate(full keys), and
+    * that inner partial aggregate is exactly the plain mergeable shape
+    * [[graft.plans.RollupViewRewrite]] reroutes (its grouping IS the
+    * rollup key set; its partials are COUNT/SUM/MIN/MAX) — so a CUBE
+    * over the base table reads |distinct keys| rollup rows instead of
+    * the fact, with the Expand multiplying KB not TB
+    * (tools/ExpandProbe measured the discovery). The require() gate
+    * demands the rollup in the plan and the fact OUT; DuckDB answers
+    * the same CUBE from the base. */
+  val x91_mv_cube: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_cube").toString
+    try {
+      graft.etl.MaterializedRollup.createAndRegister(
+        s, "x91_cube", s"$d/lineitem.parquet", s"$root/mv",
+        keys = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq("l_quantity", "l_extendedprice"),
+        base = Some(t(s, d, "lineitem")))
+      val q = t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(avg(col("l_extendedprice")) + lit(1e-9), 4).as("avg_price"),
+          min(col("l_quantity")).as("min_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+      val paths = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(paths.exists(_.contains(s"$root/mv")) &&
+        !paths.exists(_.contains("lineitem")),
+        s"cube rollup rewrite did not fire: scans $paths")
+      val rows = q.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        q.schema)
+    } finally {
+      graft.plans.RollupViewRewrite.unregister("x91_cube")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   /** X91 star-schema face (round 10) — join-aware rollup rewrite,
     * ORACLE-CHECKED: register an o_custkey-keyed rollup of orders (10×
     * smaller than the fact), then run the classic dashboard join —
@@ -3026,6 +3078,7 @@ object ExtQueries {
     "x90_pq_topk" -> x90_pq_topk,
     "x91_mv_rewrite" -> x91_mv_rewrite,
     "x91_mv_star" -> x91_mv_star,
+    "x91_mv_cube" -> x91_mv_cube,
     "x92_forget" -> x92_forget,
     "x93_embed_drift" -> x93_embed_drift,
     "x94_incremental_ann" -> x94_incremental_ann,
@@ -3063,6 +3116,14 @@ object ExtQueries {
         |    WHERE (s.segment = 'ALL' OR o.o_orderstatus = s.segment)
         |      AND o.o_custkey = i.item) AS est
         | FROM seg s CROSS JOIN items i ORDER BY segment, item""",
+    // CUBE collapsed onto the rollup must reproduce the base-table CUBE
+    "x91_mv_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_price,
+        |  MIN(l_quantity) AS min_qty
+        | FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     // exhaustive shingle-set Jaccard over the SF-stable slice: recall of
     // the LSH banding is on the hash (see the query scaladoc)
     "x2_minhash_neardup" ->

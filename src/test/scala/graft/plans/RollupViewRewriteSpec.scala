@@ -168,6 +168,25 @@ class RollupViewRewriteSpec extends SparkSpec {
     }
   }
 
+  test("CUBE / ROLLUP / GROUPING SETS collapse onto the rollup (via PreAggExpand)") {
+    withBase { (root, base) =>
+      // grouping-sets aggregates become merge ∘ Expand ∘ partial-agg
+      // (PreAggExpandRewrite); the partial agg is the plain mergeable
+      // shape this rule reroutes — composition gives the collapse free
+      def cubed(df: DataFrame): DataFrame = df
+        .cube($"k1", $"k2")
+        .agg(count(lit(1)).as("c"), sum($"x").as("sx"),
+          avg($"x").as("ax"), min($"n").as("mn"), max($"n").as("mx"))
+      val q = cubed(base)
+      assert(scans(q, s"$root/mv") && !scans(q, s"$root/base"))
+      assert(sortedRows(q) === disabled(sortedRows(cubed(base))))
+      val rolled = base.rollup($"k1", $"k2").agg(sum($"n").as("sn"))
+      assert(scans(rolled, s"$root/mv"))
+      assert(sortedRows(rolled) ===
+        disabled(sortedRows(base.rollup($"k1", $"k2").agg(sum($"n").as("sn")))))
+    }
+  }
+
   test("out-of-band base mutation disqualifies the rollup until refresh") {
     val root = java.nio.file.Files.createTempDirectory("graft_mv_fresh").toString
     try {
