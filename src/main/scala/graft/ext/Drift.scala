@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  private def binOf(v: Column, bins: Int, lo: Double, hi: Double): Column =
-    // 0 = underflow, 1..bins = interior, bins+1 = overflow; nulls drop
-    // upstream (a null is absence, not a value)
+  /** Bin id of a value: 0 = underflow, 1..bins = interior, bins+1 =
+    * overflow; nulls drop upstream (a null is absence, not a value).
+    * Public since round 11 so the streaming face
+    * ([[graft.streaming.StreamingDrift]]) bins with EXACTLY this
+    * expression — a drifted bin edge would silently desynchronize the
+    * maintained histogram from the batch statistic. */
+  def binOf(v: Column, bins: Int, lo: Double, hi: Double): Column =
     when(v < lo, lit(0))
       .when(v >= hi, lit(bins + 1))
       .otherwise(floor((v - lo) / ((hi - lo) / bins)).cast("int") + 1)

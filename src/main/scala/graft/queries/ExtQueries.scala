@@ -1289,7 +1289,16 @@ object ExtQueries {
     * min-id survivors). */
   val x0_semdedup_pca: Q = (s, d) => {
     implicit val spark: SparkSession = s
-    val emb = t(s, d, "embeddings")
+    // planted exact copies (round 11 hardening): identical embeddings
+    // give identical PCA projections, identical IVF assignment, cosine
+    // exactly 1.0 ≥ any threshold — so for ANY fitted model a copy's
+    // cluster contains its smaller-id original and the copy can never
+    // survive. The require() gate below turns that model-independent
+    // invariant into a hard in-query check on the otherwise Tier-B
+    // composition.
+    val raw = t(s, d, "embeddings")
+    val emb = raw.unionByName(raw.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 1000000L))
     // train → PERSIST → reload (round 9): the flagship exercises the
     // production train-Monday/score-Tuesday split — both models travel
     // through their parquet save/load faces before any scoring;
@@ -1309,11 +1318,16 @@ object ExtQueries {
     graft.ext.Ivf.save(graft.ext.Ivf.train(reduced, k = k, iters = 2),
       s"$store/ivf")
     val ivf = graft.ext.Ivf.load(s"$store/ivf")
-    graft.ext.SemDedup.dedup(
+    val survivors = graft.ext.SemDedup.dedup(
         reduced, reduced.limit(0), threshold = 0.9,
         assign = Some(graft.ext.SemDedup.assignIvf(ivf)))
       .select(col("vec_id"))
-      .orderBy(col("vec_id"))
+    // the model-independent invariant: no planted copy may survive (its
+    // cluster always contains its smaller-id original at cosine 1.0)
+    val leaked = survivors.filter(col("vec_id") >= 1000000L).count()
+    require(leaked == 0,
+      s"semantic dedup leaked $leaked planted exact copies")
+    survivors.orderBy(col("vec_id"))
   }
 
   /** X34 — the range-join optimizer rule (graft.plans.RangeJoinRewrite) on
