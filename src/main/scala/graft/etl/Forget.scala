@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** X92 — targeted deletion (right-to-be-forgotten / takedown erasure):
@@ -12,23 +12,30 @@ import org.apache.spark.sql.functions._
   * table holds billions of rows across thousands of partitions, and a
   * naive `filter + full overwrite` rewrites everything. This operator
   * makes the rewrite surgical:
-  *  1. hit scan — one column-pruned pass over (partition, key),
+  *  1. hit scan — one column-pruned pass over (partition cols, key),
   *     broadcast-left-joined with the delete set; aggregates to the
-  *     DISTINCT affected partition values + per-partition hit counts
-  *     (a partitions-sized relation, tiny);
+  *     DISTINCT affected partition-value TUPLES + per-partition hit
+  *     counts (a partitions-sized relation, tiny);
   *  2. staged rewrite — rows of AFFECTED partitions only (a partition-
   *     pruned scan), anti-joined with the delete set, written to a
   *     staging directory (Spark refuses to overwrite a path it is
   *     reading — and staging is what makes step 3 near-atomic anyway);
-  *  3. per-partition swap — each affected partition directory is MOVED
-  *     ASIDE (into the staging area) and its staged replacement renamed
-  *     in (two filesystem metadata ops). The previous copy is never
-  *     deleted while it is the only copy: a crash or rename failure
-  *     between the two renames is recovered by the next run's preamble,
-  *     which restores any moved-aside partition missing from the table
-  *     before clearing staging. A partition whose every row was deleted
-  *     has no staged dir and ends removed. Every unaffected partition's
-  *     files are NEVER touched (byte-identical, spec-pinned).
+  *  3. per-partition swap — each affected LEAF partition directory is
+  *     MOVED ASIDE (into the staging area) and its staged replacement
+  *     renamed in (two filesystem metadata ops). The previous copy is
+  *     never deleted while it is the only copy: a crash or rename
+  *     failure between the two renames is recovered by the next run's
+  *     preamble, which restores any moved-aside subtree missing from
+  *     the table before clearing staging. A partition whose every row
+  *     was deleted has no staged dir and ends removed. Every unaffected
+  *     partition's files are NEVER touched (byte-identical,
+  *     spec-pinned).
+  *
+  * MULTI-LEVEL partitioning (round 11): production tables partition by
+  * several columns (`day/hour`, `region/day`); erasure operates on the
+  * LEAF partition directories (`day=…/hour=…`), so a hit rewrites one
+  * leaf, never a whole day. All entry points take `Seq[String]`
+  * partition columns; single-column overloads remain.
   *
   * Returns a per-partition report (rows_before, deleted, rows_after) —
   * the erasure audit trail. The delete set is assumed request-sized
@@ -41,8 +48,9 @@ import org.apache.spark.sql.functions._
   */
 object Forget {
 
-  /** One row per affected partition value (stringified; NULL partition
-    * values report as the hive default-partition name). */
+  /** One row per affected leaf partition (value strings, joined by '/'
+    * for multi-level tables — NULL partition values report as the hive
+    * default-partition name). */
   final case class PartitionDelete(partition: String, rowsBefore: Long,
       deleted: Long, rowsAfter: Long)
 
@@ -70,65 +78,96 @@ object Forget {
       .foreach(v => graft.plans.RollupViewRewrite.unregister(v.name))
   }
 
-  /** Delete `keys` (any frame carrying `keyCol`) from the parquet table at
-    * `tableDir` partitioned by `partitionCol`. */
+  /** One "col=escaped(value)" path segment from Spark's own
+    * cast-to-string rendering (the writer derives directory names from
+    * exactly this string — see the __ps note in deleteKeys). */
+  private def segment(colName: String, castStr: String): String =
+    s"$colName=" + (if (castStr == null) HiveDefaultPartition
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(castStr))
+
+  /** Restore any subtree a crashed prior swap left as the only copy:
+    * step 3 moves each hit leaf aside to staging/__old/<rel> before
+    * installing its replacement — rename back whatever is missing from
+    * the table, at the highest missing level (handles any partition
+    * depth, including leftovers from runs with different columns). */
+  private def recoverMovedAside(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String, staging: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val oldRoot = new Path(s"$staging/__old")
+    if (!fs.exists(oldRoot)) return
+    def restore(rel: String): Unit = {
+      val src = new Path(s"$staging/__old/$rel")
+      val dst = new Path(s"$tableDir/$rel")
+      if (!fs.exists(dst)) {
+        require(fs.rename(src, dst),
+          s"crash recovery failed restoring $src to $dst")
+      } else if (fs.getFileStatus(src).isDirectory) {
+        fs.listStatus(src).foreach(st => restore(s"$rel/${st.getPath.getName}"))
+      }
+    }
+    fs.listStatus(oldRoot).foreach(st => restore(st.getPath.getName))
+  }
+
+  /** Single-column convenience overload. */
   def deleteKeys(spark: SparkSession, tableDir: String, partitionCol: String,
-      keyCol: String, keys: DataFrame): Report = {
-    // FIRST: recover from a crashed prior swap. Step 3 moves each hit
-    // partition aside to staging/__old/<dir> before installing its
-    // replacement, so a crash between the two renames leaves the
-    // partition missing from the table with its only full copy in
-    // staging — restore any such partition BEFORE the hit scan reads the
-    // table (and before staging is cleared, which would destroy it).
+      keyCol: String, keys: DataFrame): Report =
+    deleteKeys(spark, tableDir, Seq(partitionCol), keyCol, keys)
+
+  /** Delete `keys` (any frame carrying `keyCol`) from the parquet table at
+    * `tableDir` partitioned by `partitionCols` (leaf order). */
+  def deleteKeys(spark: SparkSession, tableDir: String,
+      partitionCols: Seq[String], keyCol: String, keys: DataFrame): Report = {
+    require(partitionCols.nonEmpty, "at least one partition column")
+    // FIRST: recover from a crashed prior swap — restore any moved-aside
+    // partition BEFORE the hit scan reads the table (and before staging
+    // is cleared, which would destroy the only copy).
     val staging = tableDir.stripSuffix("/") + "__forget_tmp"
     val stagingFs = new org.apache.hadoop.fs.Path(staging).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val oldRoot = new org.apache.hadoop.fs.Path(s"$staging/__old")
-    if (stagingFs.exists(oldRoot)) {
-      stagingFs.listStatus(oldRoot).foreach { st =>
-        val back = new org.apache.hadoop.fs.Path(
-          s"$tableDir/${st.getPath.getName}")
-        if (!stagingFs.exists(back)) {
-          require(stagingFs.rename(st.getPath, back),
-            s"crash recovery failed restoring ${st.getPath} to $back")
-        }
-      }
-    }
+    recoverMovedAside(stagingFs, tableDir, staging)
+
     val table = spark.read.parquet(tableDir)
-    require(table.columns.contains(partitionCol),
-      s"$partitionCol is not a column of $tableDir")
+    partitionCols.foreach(c => require(table.columns.contains(c),
+      s"$c is not a column of $tableDir"))
     require(table.columns.contains(keyCol),
       s"$keyCol is not a column of $tableDir")
     val delKeys = broadcast(keys.select(col(keyCol).as("__del_key"))
       .distinct().withColumn("__hit", lit(1)))
 
-    // 1. hit scan: per-partition (row count, hit count) in ONE pass —
-    //    column-pruned to (partition, key), the delete set broadcast.
+    val n = partitionCols.size
+    // 1. hit scan: per-leaf-partition (row count, hit count) in ONE pass —
+    //    column-pruned to (partition cols, key), the delete set broadcast.
     //    The __hit indicator survives the join even for NULL keys (which
     //    match via <=> but carry a NULL __del_key).
-    // __ps = Spark's OWN cast-to-string rendering of the partition value
-    // (session timezone for timestamps) — the writer derives directory
-    // names from exactly this string, so dirName below can never drift
-    // from the on-disk layout the way Any.toString can (a
-    // java.sql.Timestamp's toString is JVM-timezone + trailing ".0")
-    val stats = table.select(col(partitionCol).as("__p"),
-        col(partitionCol).cast("string").as("__ps"), col(keyCol))
+    // __ps{i} = Spark's OWN cast-to-string rendering of each partition
+    // value (session timezone for timestamps) — the writer derives
+    // directory names from exactly these strings, so segment() can never
+    // drift from the on-disk layout the way Any.toString can.
+    val pCols = partitionCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(col(c).as(s"__p$i"), col(c).cast("string").as(s"__ps$i"))
+    }
+    val stats = table.select(pCols :+ col(keyCol): _*)
       .join(delKeys, col(keyCol) <=> col("__del_key"), "left")
-      .groupBy(col("__p"))
-      .agg(first(col("__ps")).as("__ps"), count(lit(1)).as("__n"),
-        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+      .groupBy(partitionCols.indices.map(i => col(s"__p$i")): _*)
+      .agg(
+        first(col("__ps0")).as("__ps0"),
+        (partitionCols.indices.drop(1).map(i =>
+          first(col(s"__ps$i")).as(s"__ps$i")) ++ Seq(
+          count(lit(1)).as("__n"),
+          sum(coalesce(col("__hit"), lit(0))).as("__hits"))): _*)
       .collect()
-    val affected = stats.filter(_.getLong(3) > 0)
+    // row layout: [__p0..__p{n-1}, __ps0..__ps{n-1}, __n, __hits]
+    val affected = stats.filter(_.getLong(2 * n + 1) > 0)
     if (affected.isEmpty) return Report(Nil)
 
-    val affectedVals = affected.map(_.get(0)).toSeq
-    val affectedCol = affectedVals.map(v =>
-      if (v == null) col(partitionCol).isNull
-      else col(partitionCol) <=> lit(v)).reduce(_ || _)
+    val affectedCol: Column = affected.map { r =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        if (v == null) col(c).isNull else col(c) <=> lit(v)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
 
-    // the engine's own rollup rewrite must not keep serving the erased
-    // rows' aggregates: invalidate every registered view over this base
-    // (re-register after rebuilding the rollup from the erased table)
     invalidateRollups(spark, tableDir)
 
     // 2. staged rewrite of affected partitions' survivors (staging
@@ -138,81 +177,90 @@ object Forget {
     stagingFs.delete(new org.apache.hadoop.fs.Path(staging), true)
     table.filter(affectedCol)
       .join(delKeys, col(keyCol) <=> col("__del_key"), "left_anti")
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging)
 
-    // 3. per-partition swap; fully-deleted partitions have nothing staged
+    // 3. per-leaf swap; fully-deleted partitions have nothing staged
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // hive-escaped directory names from the CAST string (see __ps above),
-    // exactly as Spark's writer renders them
-    def dirName(castStr: String): String =
-      s"$partitionCol=" + (if (castStr == null) HiveDefaultPartition
-      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(castStr))
+    def relOf(r: org.apache.spark.sql.Row): String =
+      partitionCols.zipWithIndex
+        .map { case (c, i) => segment(c, r.getString(n + i)) }
+        .mkString("/")
     affected.foreach { r =>
-      val d = dirName(r.getString(1))
-      val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$d")
-      val src = new org.apache.hadoop.fs.Path(s"$staging/$d")
+      val rel = relOf(r)
+      val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$rel")
+      val src = new org.apache.hadoop.fs.Path(s"$staging/$rel")
       // the hit partition MUST exist on disk — a miss means the rendered
       // name diverged from the layout, and silently skipping it would
       // report rows as deleted while leaving them readable
       require(fs.exists(dst),
-        s"partition directory $d not found under $tableDir " +
+        s"partition directory $rel not found under $tableDir " +
           "(partition-value rendering mismatch) — aborting; partitions " +
           "swapped before this one are already rewritten")
       // move-aside swap (the MaterializedRollup.swapDir discipline): the
       // previous copy is renamed out of the table FIRST — never deleted
       // while it is the only copy — so a crash or rename failure at any
       // point leaves the partition either in place or recoverable from
-      // __old (the recovery preamble above restores it on the next run).
-      // The aside location lives under staging, NOT dst+"__old": a
-      // directory named `col=val__old` inside the table would be read
-      // back as a partition value and resurrect the rows.
-      val aside = new org.apache.hadoop.fs.Path(s"$staging/__old/$d")
+      // __old (the recovery preamble restores it on the next run). The
+      // aside location lives under staging, NOT dst+"__old": a directory
+      // named `col=val__old` inside the table would be read back as a
+      // partition value and resurrect the rows.
+      val aside = new org.apache.hadoop.fs.Path(s"$staging/__old/$rel")
       fs.mkdirs(aside.getParent)
-      require(fs.rename(dst, aside), s"partition swap failed moving $d aside")
+      require(fs.rename(dst, aside), s"partition swap failed moving $rel aside")
       if (fs.exists(src)) {
         if (!fs.rename(src, dst)) {
           fs.rename(aside, dst) // restore the previous copy
-          throw new IllegalStateException(s"partition swap failed for $d")
+          throw new IllegalStateException(s"partition swap failed for $rel")
         }
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
 
     Report(affected.map { r =>
-      val (n, hits) = (r.getLong(2), r.getLong(3))
-      PartitionDelete(
-        if (r.getString(1) == null) HiveDefaultPartition else r.getString(1),
-        n, hits, n - hits)
+      val (rows, hits) = (r.getLong(2 * n), r.getLong(2 * n + 1))
+      val name =
+        if (n == 1)
+          Option(r.getString(1)).getOrElse(HiveDefaultPartition)
+        else partitionCols.indices
+          .map(i => Option(r.getString(n + i)).getOrElse(HiveDefaultPartition))
+          .mkString("/")
+      PartitionDelete(name, rows, hits, rows - hits)
     }.sortBy(_.partition).toSeq)
   }
 
   /** One row per expired partition. */
   final case class PartitionExpiry(partition: String, rowsDropped: Long)
 
-  /** Retention sweep (TTL): drop every partition whose VALUE fails
+  /** Single-column convenience overload. */
+  def expirePartitions(spark: SparkSession, tableDir: String,
+      partitionCol: String, retain: Column): Seq[PartitionExpiry] =
+    expirePartitions(spark, tableDir, Seq(partitionCol), retain)
+
+  /** Retention sweep (TTL): drop every LEAF partition whose VALUES fail
     * `retain` — e.g. `retain = col("day") >= "2026-01-01"`. No data page
     * is ever read: partition values come from the file index (a metadata
     * listing), the predicate evaluates on a |partitions|-row relation,
-    * and expiry is one directory delete per failing partition; the row
+    * and expiry is one directory delete per failing leaf; the row
     * counts in the report come from parquet FOOTERS of the dropped
     * partitions only. The complement of [[deleteKeys]]: deleteKeys
     * erases rows surgically INSIDE partitions; this retires whole
     * partitions — the daily lifecycle job at 100 TB. */
   def expirePartitions(spark: SparkSession, tableDir: String,
-      partitionCol: String,
-      retain: org.apache.spark.sql.Column): Seq[PartitionExpiry] = {
+      partitionCols: Seq[String], retain: Column): Seq[PartitionExpiry] = {
+    require(partitionCols.nonEmpty, "at least one partition column")
     val table = spark.read.parquet(tableDir)
-    require(table.columns.contains(partitionCol),
-      s"$partitionCol is not a column of $tableDir")
+    partitionCols.foreach(c => require(table.columns.contains(c),
+      s"$c is not a column of $tableDir"))
+    val n = partitionCols.size
     // a partition expires unless retain is definitively TRUE: a NULL
     // predicate result (e.g. a null partition value under a >= bound)
     // ages out rather than surviving every sweep unreported — malformed
     // data is exactly what a lifecycle job most needs to retire
-    val expiredRows = table
-      .select(col(partitionCol).as("__p"),
-        col(partitionCol).cast("string").as("__ps"))
+    val pCols = partitionCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(col(c).as(s"__p$i"), col(c).cast("string").as(s"__ps$i"))
+    }
+    val expiredRows = table.select(pCols: _*)
       .distinct()
       .filter(!coalesce(retain, lit(false)))
       .collect()
@@ -221,31 +269,44 @@ object Forget {
     // the deleteKeys contract, mirrored (a retention sweep that leaves a
     // registered rollup in place silently serves expired data)
     invalidateRollups(spark, tableDir)
-    val expiredCol = expiredRows.map(_.get(0)).map(v =>
-      if (v == null) col(partitionCol).isNull
-      else col(partitionCol) <=> lit(v)).reduce(_ || _)
+    val expiredCol: Column = expiredRows.map { r =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        val v = r.get(2 * i)
+        if (v == null) col(c).isNull else col(c) <=> lit(v)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
     // footer-only count of what is being dropped (metadata rows)
+    def nameOf(r: org.apache.spark.sql.Row): String =
+      if (n == 1) Option(r.getString(1)).getOrElse(HiveDefaultPartition)
+      else partitionCols.indices
+        .map(i => Option(r.getString(2 * i + 1)).getOrElse(HiveDefaultPartition))
+        .mkString("/")
     val counts = table.filter(expiredCol)
-      .groupBy(col(partitionCol).cast("string")).agg(count(lit(1)).as("n"))
-      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+      .groupBy(partitionCols.indices.map(i =>
+        col(partitionCols(i)).cast("string").as(s"__ps$i")): _*)
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val name = partitionCols.indices
+          .map(i => Option(r.getString(i)).getOrElse(HiveDefaultPartition))
+          .mkString("/")
+        name -> r.getLong(n)
+      }.toMap
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     expiredRows.foreach { r =>
-      // directory names from Spark's own cast-to-string rendering (the
-      // deleteKeys __ps contract)
-      val d = s"$partitionCol=" + (if (r.getString(1) == null) HiveDefaultPartition
-      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(r.getString(1)))
-      val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$d")
+      val rel = partitionCols.zipWithIndex
+        .map { case (c, i) => segment(c, r.getString(2 * i + 1)) }
+        .mkString("/")
+      val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$rel")
       require(fs.exists(dst),
-        s"partition directory $d not found under $tableDir " +
+        s"partition directory $rel not found under $tableDir " +
           "(partition-value rendering mismatch)")
       fs.delete(dst, true)
     }
     expiredRows.map { r =>
-      val name =
-        if (r.getString(1) == null) HiveDefaultPartition else r.getString(1)
-      PartitionExpiry(name, counts.getOrElse(String.valueOf(r.getString(1)), 0L))
+      val name = nameOf(r)
+      PartitionExpiry(name, counts.getOrElse(name, 0L))
     }.sortBy(_.partition).toSeq
   }
 }

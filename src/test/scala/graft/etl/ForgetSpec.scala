@@ -201,6 +201,61 @@ class ForgetSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("multi-level partitioning: erasure rewrites only the hit LEAF") {
+    val root = Files.createTempDirectory("graft_forget_ml").toString
+    val rows = Seq(
+      ("2026-01-01", 0, 1L), ("2026-01-01", 0, 2L), ("2026-01-01", 1, 3L),
+      ("2026-01-02", 0, 4L), ("2026-01-02", 1, 5L), ("2026-01-02", 1, 6L))
+    rows.toDF("day", "hour", "id")
+      .write.partitionBy("day", "hour").parquet(s"$root/t")
+    // sibling leaf of the same day must stay byte-identical
+    val sibling = files(s"$root/t/day=2026-01-01/hour=1")
+    val report = Forget.deleteKeys(spark, s"$root/t", Seq("day", "hour"),
+      "id", Seq(1L, 5L, 6L).toDF("id"))
+    assert(report.deletedTotal === 3)
+    assert(report.partitions.map(p =>
+      (p.partition, p.deleted, p.rowsAfter)).toSet ===
+      Set(("2026-01-01/0", 1L, 1L), ("2026-01-02/1", 2L, 0L)))
+    assert(files(s"$root/t/day=2026-01-01/hour=1") === sibling)
+    // fully-deleted leaf gone; the rest of its day intact
+    assert(!new java.io.File(s"$root/t/day=2026-01-02/hour=1").exists())
+    val left = spark.read.parquet(s"$root/t")
+      .select($"day", $"hour", $"id").as[(String, Int, Long)]
+      .collect().toSet
+    assert(left === Set(("2026-01-01", 0, 2L), ("2026-01-01", 1, 3L),
+      ("2026-01-02", 0, 4L)))
+
+    // multi-level expiry: whole leaves by composite predicate
+    val expired = Forget.expirePartitions(spark, s"$root/t",
+      Seq("day", "hour"), !(col("day") === "2026-01-01" && col("hour") === 0))
+    assert(expired.map(e => (e.partition, e.rowsDropped)) ===
+      Seq(("2026-01-01/0", 1L)))
+    assert(spark.read.parquet(s"$root/t").count() === 2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("multi-level crash recovery restores the moved-aside leaf") {
+    val root = Files.createTempDirectory("graft_forget_mlc").toString
+    Seq(("d1", 0, 1L), ("d1", 1, 2L), ("d2", 0, 3L)).toDF("day", "hour", "id")
+      .write.partitionBy("day", "hour").parquet(s"$root/t")
+    val staging = s"$root/t__forget_tmp"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/__old/day=d1"))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$root/t/day=d1/hour=0"),
+      new org.apache.hadoop.fs.Path(s"$staging/__old/day=d1/hour=0")))
+    // next run restores the leaf at the right depth, then erases
+    val report = Forget.deleteKeys(spark, s"$root/t", Seq("day", "hour"),
+      "id", Seq(1L).toDF("id"))
+    assert(report.deletedTotal === 1)
+    val left = spark.read.parquet(s"$root/t")
+      .select($"day", $"hour", $"id").as[(String, Int, Long)]
+      .collect().toSet
+    assert(left === Set(("d1", 1, 2L), ("d2", 0, 3L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("integer partition values and repeated erasure are handled") {
     val root = Files.createTempDirectory("graft_forget3").toString
     Seq.tabulate(20)(i => (i % 4, i.toLong)).toDF("bucket", "id")
