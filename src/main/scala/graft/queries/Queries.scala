@@ -752,12 +752,20 @@ object Queries {
   val q54_exists_subquery: Q = (s, d) => {
     t(s, d, "customer").createOrReplaceTempView("q54_customer")
     t(s, d, "orders").createOrReplaceTempView("q54_orders")
+    // SHUFFLE_HASH inside EACH subquery block (round 11, Q54Probe2: SMJ
+    // 2.3–3.5 s → SHJ 1.9–2.4 s at sf10): the planner's default
+    // SortMergeJoin pays two full sorts of the 6M-row orders relation;
+    // the semi/anti joins need no order and the per-partition hash
+    // builds are a few MB. The hint must sit INSIDE the subquery — an
+    // outer-block hint never reaches relations referenced only from
+    // subquery expressions (they decorrelate to joins after hint
+    // resolution).
     s.sql(
       """SELECT c_custkey, c_acctbal FROM q54_customer c
-        | WHERE EXISTS (SELECT 1 FROM q54_orders o
+        | WHERE EXISTS (SELECT /*+ SHUFFLE_HASH(o) */ 1 FROM q54_orders o
         |   WHERE o.o_custkey = c.c_custkey
         |     AND o.o_totalprice > c.c_acctbal * 10)
-        |   AND NOT EXISTS (SELECT 1 FROM q54_orders o2
+        |   AND NOT EXISTS (SELECT /*+ SHUFFLE_HASH(o2) */ 1 FROM q54_orders o2
         |   WHERE o2.o_custkey = c.c_custkey
         |     AND o2.o_orderstatus = 'F' AND o2.o_totalprice < 5000)
         | ORDER BY c_custkey""".stripMargin)
