@@ -90,12 +90,30 @@ object Forget {
     * step 3 moves each hit leaf aside to staging/__old/<rel> before
     * installing its replacement — rename back whatever is missing from
     * the table, at the highest missing level (handles any partition
-    * depth, including leftovers from runs with different columns). */
+    * depth, including leftovers from runs with different columns).
+    *
+    * When `dst` EXISTS, the aside at that level is never merged into it:
+    * an aside can only coexist with a live destination if the swap that
+    * created it COMPLETED (the replacement rename is the only thing that
+    * re-creates dst after the move-aside) — so its data contains the
+    * erased keys and must be treated as garbage, not salvage. Recursion
+    * therefore descends only through hive-style `col=value` directories
+    * (an aside holding intermediate levels of a deeper layout); the
+    * moment a level holds anything else — parquet part-files, _SUCCESS —
+    * it IS a swapped-out leaf and is deleted whole. Renaming those
+    * part-files into the rewritten leaf (their UUID names never collide
+    * with the new files') would silently resurrect deleted keys and
+    * duplicate every survivor row. */
   private def recoverMovedAside(fs: org.apache.hadoop.fs.FileSystem,
       tableDir: String, staging: String): Unit = {
     import org.apache.hadoop.fs.Path
     val oldRoot = new Path(s"$staging/__old")
     if (!fs.exists(oldRoot)) return
+    // hive partition dirs render as col=escaped(value) and escapePathName
+    // escapes '=' inside values, so one unescaped '=' marks a level dir;
+    // data files (part-*.parquet, _SUCCESS) never contain '='
+    def isLevelDir(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.isDirectory && st.getPath.getName.contains("=")
     def restore(rel: String): Unit = {
       val src = new Path(s"$staging/__old/$rel")
       val dst = new Path(s"$tableDir/$rel")
@@ -103,7 +121,15 @@ object Forget {
         require(fs.rename(src, dst),
           s"crash recovery failed restoring $src to $dst")
       } else if (fs.getFileStatus(src).isDirectory) {
-        fs.listStatus(src).foreach(st => restore(s"$rel/${st.getPath.getName}"))
+        val children = fs.listStatus(src)
+        if (children.forall(isLevelDir)) {
+          children.foreach(st => restore(s"$rel/${st.getPath.getName}"))
+          fs.delete(src, false) // all children resolved; drop the empty level
+        } else {
+          fs.delete(src, true) // completed swap's old leaf — garbage
+        }
+      } else {
+        fs.delete(src, false) // stray file shadowed by a live dst
       }
     }
     fs.listStatus(oldRoot).foreach(st => restore(st.getPath.getName))
@@ -214,6 +240,13 @@ object Forget {
           throw new IllegalStateException(s"partition swap failed for $rel")
         }
       }
+      // this leaf's swap is COMPLETE (replacement installed, or the
+      // partition was fully deleted and stays removed) — drop its aside
+      // NOW rather than at the bulk staging delete, so __old only ever
+      // holds the single in-flight leaf at crash time. Leaving completed
+      // asides around would hand recovery an old copy next to a live
+      // rewritten dst (see recoverMovedAside's garbage rule).
+      fs.delete(aside, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
 
@@ -249,6 +282,15 @@ object Forget {
   def expirePartitions(spark: SparkSession, tableDir: String,
       partitionCols: Seq[String], retain: Column): Seq[PartitionExpiry] = {
     require(partitionCols.nonEmpty, "at least one partition column")
+    // same recovery preamble as deleteKeys: a crashed prior swap may have
+    // left a leaf moved aside, and a sweep that reads the table without
+    // restoring it can neither retain nor retire that leaf — the next
+    // deleteKeys would then resurrect a partition this sweep should have
+    // expired, silently serving expired data until the following sweep
+    val staging = tableDir.stripSuffix("/") + "__forget_tmp"
+    val stagingFs = new org.apache.hadoop.fs.Path(staging).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    recoverMovedAside(stagingFs, tableDir, staging)
     val table = spark.read.parquet(tableDir)
     partitionCols.foreach(c => require(table.columns.contains(c),
       s"$c is not a column of $tableDir"))

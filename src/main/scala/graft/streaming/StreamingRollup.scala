@@ -110,15 +110,24 @@ object StreamingRollup {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("upto").parquet(compactedDir)
       // GC is pure garbage collection: the read discipline below ignores
-      // anything the new snapshot covers, so a crash mid-delete is inert
+      // anything the new snapshot covers, so a crash mid-delete is inert.
+      // Sweep EVERYTHING the new watermark covers — every partial with
+      // batch_id ≤ newUpto (not just this fold's inputs: a crash mid-GC
+      // orphans already-folded partials at ids ≤ the old watermark) and
+      // every snapshot below the new max (not just the single previous
+      // one) — so crash leftovers cannot accumulate across crashes.
       val fs = hadoopFs(spark, partialsDir)
-      foldable.foreach { id =>
+      partialIds(spark, partialsDir).filter(_ <= newUpto).foreach { id =>
         fs.delete(new org.apache.hadoop.fs.Path(
           s"$partialsDir/batch_id=$id"), true)
       }
-      upto0.foreach { u =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$compactedDir/upto=$u"), true)
-      }
+      val cfs = hadoopFs(spark, compactedDir)
+      cfs.listStatus(new org.apache.hadoop.fs.Path(compactedDir))
+        .map(_.getPath.getName).filter(_.startsWith("upto="))
+        .map(_.stripPrefix("upto=").toLong).filter(_ < newUpto)
+        .foreach { u =>
+          cfs.delete(new org.apache.hadoop.fs.Path(s"$compactedDir/upto=$u"), true)
+        }
     }
 
     // queryable rollup: max-upto snapshot + partials beyond it — cost is

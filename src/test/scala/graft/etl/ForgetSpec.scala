@@ -234,6 +234,95 @@ class ForgetSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("completed-swap aside is garbage, not salvage: no resurrection, no duplicates") {
+    // the OTHER crash window: a leaf's swap fully completed (replacement
+    // installed) but its aside was still on disk when the run died. The
+    // aside holds the deleted keys; recovery must DELETE it — renaming its
+    // part-files into the live rewritten leaf would resurrect the erased
+    // keys and duplicate every survivor row.
+    val root = Files.createTempDirectory("graft_forget_postswap").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L)).toDF("p", "id")
+      .write.partitionBy("p").parquet(s"$root/t")
+    val staging = s"$root/t__forget_tmp"
+    // old copy (still containing the erased id=1) sits under __old …
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/__old"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/t/p=a"),
+      new org.apache.hadoop.fs.Path(s"$staging/__old/p=a")))
+    // … while the rewritten leaf (survivors 2,3 — fresh UUID file names)
+    // is already installed in the table
+    Seq(("a", 2L), ("a", 3L)).toDF("p", "id")
+      .write.mode("append").partitionBy("p").parquet(s"$root/t")
+
+    // any next run's preamble must sweep the aside, not merge it
+    val report = Forget.deleteKeys(spark, s"$root/t", "p", "id",
+      Seq(999L).toDF("id")) // no-hit: only recovery runs
+    assert(report.partitions.isEmpty)
+    val left = spark.read.parquet(s"$root/t")
+      .select($"p", $"id").as[(String, Long)].collect().toSeq.sorted
+    assert(left === Seq(("a", 2L), ("a", 3L), ("b", 4L))) // 1 stays erased, 2/3 not duplicated
+    assert(!new java.io.File(s"$staging/__old/p=a").exists())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("multi-level recovery: completed-swap leaf swept, in-flight sibling restored") {
+    val root = Files.createTempDirectory("graft_forget_mixed").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(("d1", 0, 1L), ("d1", 0, 2L), ("d1", 1, 3L), ("d2", 0, 4L))
+      .toDF("day", "hour", "id")
+      .write.partitionBy("day", "hour").parquet(s"$root/t")
+    val staging = s"$root/t__forget_tmp"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/__old/day=d1"))
+    // leaf d1/0: swap COMPLETED — old copy (with erased id=1) aside, new
+    // copy (id=2 only) live
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/t/day=d1/hour=0"),
+      new org.apache.hadoop.fs.Path(s"$staging/__old/day=d1/hour=0")))
+    Seq(("d1", 0, 2L)).toDF("day", "hour", "id")
+      .write.mode("append").partitionBy("day", "hour").parquet(s"$root/t")
+    // leaf d1/1: swap IN FLIGHT — aside is the only copy
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/t/day=d1/hour=1"),
+      new org.apache.hadoop.fs.Path(s"$staging/__old/day=d1/hour=1")))
+
+    val report = Forget.deleteKeys(spark, s"$root/t", Seq("day", "hour"),
+      "id", Seq(999L).toDF("id"))
+    assert(report.partitions.isEmpty)
+    val left = spark.read.parquet(s"$root/t")
+      .select($"day", $"hour", $"id").as[(String, Int, Long)]
+      .collect().toSet
+    // d1/0 kept the rewritten copy only; d1/1 came back whole
+    assert(left === Set(("d1", 0, 2L), ("d1", 1, 3L), ("d2", 0, 4L)))
+    assert(!new java.io.File(s"$staging/__old/day=d1").exists())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("expirePartitions recovers a crashed swap before sweeping") {
+    // a crashed deleteKeys left a leaf moved aside; the sweep must restore
+    // it FIRST so it can be retired — otherwise the next deleteKeys would
+    // resurrect a partition the sweep should have expired
+    val root = Files.createTempDirectory("graft_expire_crash").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(("2026-01-01", 1L), ("2026-02-01", 2L)).toDF("day", "id")
+      .write.partitionBy("day").parquet(s"$root/t")
+    val staging = s"$root/t__forget_tmp"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/__old"))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$root/t/day=2026-01-01"),
+      new org.apache.hadoop.fs.Path(s"$staging/__old/day=2026-01-01")))
+
+    val expired = Forget.expirePartitions(spark, s"$root/t", "day",
+      col("day") >= "2026-02-01")
+    assert(expired.map(e => (e.partition, e.rowsDropped)) ===
+      Seq(("2026-01-01", 1L)))
+    assert(spark.read.parquet(s"$root/t").select($"id").as[Long]
+      .collect().toSet === Set(2L))
+    // nothing left aside for a later deleteKeys to resurrect
+    assert(!new java.io.File(s"$staging/__old/day=2026-01-01").exists())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("multi-level crash recovery restores the moved-aside leaf") {
     val root = Files.createTempDirectory("graft_forget_mlc").toString
     Seq(("d1", 0, 1L), ("d1", 1, 2L), ("d2", 0, 3L)).toDF("day", "hour", "id")

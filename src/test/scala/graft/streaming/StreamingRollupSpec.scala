@@ -100,6 +100,53 @@ class StreamingRollupSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("compaction sweeps crash-orphaned partials and superseded snapshots") {
+    // a crash mid-GC can leave (a) partials at ids ≤ the watermark that an
+    // earlier fold already consumed and (b) snapshots below the max upto.
+    // Both are inert for correctness (read discipline), but the sweep must
+    // remove them at the NEXT compaction or they accumulate across crashes.
+    val root = tmp()
+    val (partials, mv) = (s"$root/p", s"$root/mv")
+    def run(range: Range): Unit = range.foreach { i =>
+      StreamingRollup.processBatch(
+        Seq(("k" + (i % 3), i.toLong, 1L)).toDF("k", "v", "w"), i.toLong,
+        keys = Seq("k"), measures = Seq("v", "w"), partials, mv,
+        compactEvery = 8)
+    }
+    run(0 until 12) // first fold happened; watermark = some upto
+    def dirs(d: String, prefix: String): Set[String] = {
+      val f = new java.io.File(d)
+      if (!f.exists()) Set.empty
+      else f.listFiles().map(_.getName).filter(_.startsWith(prefix)).toSet
+    }
+    // simulate crash leftovers: a consumed partial back at id=0 and a
+    // stale snapshot below the current max
+    MaterializedRollup.build(
+        Seq(("ORPHAN", 99L, 99L)).toDF("k", "v", "w"), Seq("k"), Seq("v", "w"))
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").partitionBy("batch_id").parquet(partials)
+    MaterializedRollup.build(
+        Seq(("STALE", 1L, 1L)).toDF("k", "v", "w"), Seq("k"), Seq("v", "w"))
+      .write.parquet(s"${partials}__compacted/upto=1")
+    assert(dirs(partials, "batch_id=").contains("batch_id=0"))
+    assert(dirs(s"${partials}__compacted", "upto=").size === 2)
+
+    run(12 until 24) // drives the next compaction
+    // swept: no partial at or below the watermark, exactly one snapshot
+    val upto = dirs(s"${partials}__compacted", "upto=")
+      .map(_.stripPrefix("upto=").toLong)
+    assert(upto.size === 1)
+    val ids = dirs(partials, "batch_id=").map(_.stripPrefix("batch_id=").toLong)
+    assert(!ids.exists(_ <= upto.head))
+    // and the rollup still equals a from-scratch build over the real feed
+    val want = MaterializedRollup.build(
+      (0 until 24).map(i => ("k" + (i % 3), i.toLong, 1L))
+        .toDF("k", "v", "w"), Seq("k"), Seq("v", "w"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rollupRows(mv) === want)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("MemoryStream end-to-end: the rewrite answers from the maintained rollup") {
     val root = tmp()
     val (partials, mv, ckpt) = (s"$root/p", s"$root/mv", s"$root/ckpt")
