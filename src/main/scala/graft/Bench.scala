@@ -59,10 +59,37 @@ object Bench {
           n -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The four composed flagships are timed as first-class rows (round 12):
+    // their correctness is oracle/require-gated elsewhere, but only a
+    // wall-time record catches a composition-level plan regression (a lost
+    // broadcast between stages) that each stage's own face cannot see.
+    // Kept OUT of total_median — the headline total is the 87-query set
+    // DuckDB also runs, and the ratio must stay pairable round-over-round.
+    // One warm-up + one timed run: these are multi-second compositions
+    // where the signal is 2x-regression detection, not 5% precision.
+    val flagshipNames = Seq("x0_pipeline", "x0_web_pipeline", "x0_linkage",
+      "x0_media_pipeline").filter(n => only.forall(_.contains(n)))
+    val flagships = flagshipNames.map { n =>
+      try { runOnce(n); n -> runOnce(n) }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $n failed: ${e.getMessage}")
+          n -> -1.0
+      }
+    }
+    def toJson(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total_median","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total_median","value":$total,"unit":"sec","queries":${
+        toJson(results)},"flagships":${toJson(flagships)},"sf":"$sfDir"}"""
+    println(line)
+    // the committed r11 stdout artifact arrived truncated (only the tail
+    // of the queries map survived capture) — ALSO write the full line to a
+    // file so the per-query record is always recoverable
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

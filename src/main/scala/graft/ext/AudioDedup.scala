@@ -195,8 +195,8 @@ object AudioDedup {
     * banding candidates verified by PCM checksum equality. Recall 1 by
     * construction; precision 1 up to 64-bit checksum collision. The
     * oracle-checkable face (x85_audio_dedup). */
-  def exactDupPairs(fp: DataFrame): DataFrame = {
-    val h0 = Hamming.pairs64(fp, "media_id", "sig", maxHamming = 0)
+  def exactDupPairs(fp: DataFrame, maxChunkFreq: Option[Int] = None): DataFrame = {
+    val h0 = Hamming.pairs64(fp, "media_id", "sig", maxHamming = 0, maxChunkFreq)
     val cks = fp.select(col("media_id"), col("checksum"))
     h0.join(cks.as("ca"), col("id_a") === col("ca.media_id"))
       .join(cks.as("cb"), col("id_b") === col("cb.media_id"))

@@ -135,9 +135,12 @@ object ImageDedup {
     * banding candidates verified by decoded-pixel checksum equality.
     * Recall 1 by construction (identical pixels ⇒ identical dhash ⇒ every
     * band chunk agrees); precision 1 up to 64-bit checksum collision.
-    * The oracle-checkable face of the operator. */
-  def exactDupPairs(fp: DataFrame): DataFrame = {
-    val h0 = Hamming.pairs64(fp, "media_id", "dhash", maxHamming = 0)
+    * The oracle-checkable face of the operator. `maxChunkFreq` engages
+    * the production skew cap: at radius 0 the single band IS the full
+    * hash, so a duplicate group larger than the cap contributes zero
+    * pairs (the letterbox/boilerplate rule, closed-form replayable). */
+  def exactDupPairs(fp: DataFrame, maxChunkFreq: Option[Int] = None): DataFrame = {
+    val h0 = Hamming.pairs64(fp, "media_id", "dhash", maxHamming = 0, maxChunkFreq)
     val cks = fp.select(col("media_id"), col("checksum"))
     h0.join(cks.as("ca"), col("id_a") === col("ca.media_id"))
       .join(cks.as("cb"), col("id_b") === col("cb.media_id"))

@@ -55,7 +55,7 @@ object Pq {
   /** Left-to-right squared L2 between two float-array columns (cast to
     * double per element; summation order is part of the ADC exactness
     * contract — see the object doc). */
-  private def l2sq(a: Column, b: Column): Column =
+  private[ext] def l2sq(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double"); d * d

@@ -211,8 +211,8 @@ object VideoDedup {
     * banding candidates verified by frame-checksum-chain equality.
     * Recall 1 by construction; precision 1 up to 64-bit checksum
     * collision. The oracle-checkable face (x87_video_dedup). */
-  def exactDupPairs(fp: DataFrame): DataFrame = {
-    val h0 = Hamming.pairs64(fp, "media_id", "sig", maxHamming = 0)
+  def exactDupPairs(fp: DataFrame, maxChunkFreq: Option[Int] = None): DataFrame = {
+    val h0 = Hamming.pairs64(fp, "media_id", "sig", maxHamming = 0, maxChunkFreq)
     val cks = fp.select(col("media_id"), col("checksum"))
     h0.join(cks.as("ca"), col("id_a") === col("ca.media_id"))
       .join(cks.as("cb"), col("id_b") === col("cb.media_id"))

@@ -1278,33 +1278,43 @@ object ExtQueries {
 
   /** X0 — the EMBEDDING-side flagship composition, mirroring what
     * [[x0_pipeline]] does for text: the SemDeDup paper's own production
-    * recipe — PCA-reduce the embeddings (X41, 64 → 8 dims), train the
-    * IVF coarse quantizer ON the reduced space (X3), then run semantic
-    * dedup (X40) with the production `assignIvf` hook, so the whole
-    * chain is the map-only TopCentroids assignment + cluster-blocked
-    * verification — no crossJoin anywhere (the hooked-plan contract
-    * SemDedupSpec pins). Tier B (rows-only): every stage is
-    * oracle-checked/spec'd individually; this adds their composition.
-    * Deterministic end to end (seeded PCA sample, seeded Lloyd init,
-    * min-id survivors). */
+    * recipe — PCA the embeddings (X41), train the IVF coarse quantizer
+    * ON the projected space (X3), then run semantic dedup (X40) with
+    * the production `assignIvf` hook, so the whole chain is the
+    * map-only TopCentroids assignment + cluster-blocked verification —
+    * no crossJoin anywhere (the hooked-plan contract SemDedupSpec
+    * pins). Both models travel through their parquet save/load faces
+    * before scoring (the train-Monday/score-Tuesday split).
+    *
+    * ORACLE-CHECKED via the provable LOSSLESS subcase (round 12 — the
+    * x90_pq_exact / x94 promotion trick): full-rank PCA (k = 64) is an
+    * orthonormal rotation of the centered corpus, so identical inputs
+    * stay identical and DISTINCT inputs keep their centered angles; the
+    * corpus is the SF-stable pairwise-distinct slice (vec_id < 500)
+    * plus planted exact copies (ids +1M for vec_id < 10, +2M for
+    * vec_id < 5 — 3-member components for the first five, 2-member for
+    * the next five). At threshold 0.9999999, the ONLY edges that can
+    * exist are the identity star edges (copies project identically for
+    * ANY model and collapse at cosine 1.0 by definition; the maximum
+    * centered cosine between distinct vectors in this corpus is
+    * 0.5048 — measured once, deterministic data — so the threshold has
+    * ~0.5 of margin and the oracle's greenness is the standing proof).
+    * Survivors are therefore exactly
+    * the 500 originals, independent of every fitted parameter — PCA
+    * rotation, Lloyd seeds, cluster boundaries — which is what DuckDB
+    * replays. A chain that drops an original (false merge), keeps a
+    * copy (broken collapse / assignment / projection / persistence), or
+    * perturbs ids anywhere fails the hash. */
   val x0_semdedup_pca: Q = (s, d) => {
     implicit val spark: SparkSession = s
-    // planted exact copies (round 11 hardening): identical embeddings
-    // give identical PCA projections, identical IVF assignment, cosine
-    // exactly 1.0 ≥ any threshold — so for ANY fitted model a copy's
-    // cluster contains its smaller-id original and the copy can never
-    // survive. The require() gate below turns that model-independent
-    // invariant into a hard in-query check on the otherwise Tier-B
-    // composition.
-    val raw = t(s, d, "embeddings")
-    val emb = raw.unionByName(raw.filter(col("vec_id") < 10)
-      .withColumn("vec_id", col("vec_id") + 1000000L))
-    // train → PERSIST → reload (round 9): the flagship exercises the
-    // production train-Monday/score-Tuesday split — both models travel
-    // through their parquet save/load faces before any scoring;
-    // ModelStoreSpec proves persisted ≡ in-memory bit-for-bit.
+    val raw = t(s, d, "embeddings").filter(col("vec_id") < 500)
+    val emb = raw
+      .unionByName(raw.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      .unionByName(raw.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 2000000L))
     val store = java.nio.file.Files.createTempDirectory("graft_models").toString
-    val (fitModel, _) = graft.ext.Pca.fit(emb, k = 8)
+    val (fitModel, _) = graft.ext.Pca.fit(emb, k = 64)
     graft.ext.Pca.saveModel(fitModel, s"$store/pca")
     val model = graft.ext.Pca.loadModel(s"$store/pca")
     val reduced = graft.ext.Pca.project(emb, model)
@@ -1318,16 +1328,11 @@ object ExtQueries {
     graft.ext.Ivf.save(graft.ext.Ivf.train(reduced, k = k, iters = 2),
       s"$store/ivf")
     val ivf = graft.ext.Ivf.load(s"$store/ivf")
-    val survivors = graft.ext.SemDedup.dedup(
-        reduced, reduced.limit(0), threshold = 0.9,
+    graft.ext.SemDedup.dedup(
+        reduced, reduced.limit(0), threshold = 0.9999999,
         assign = Some(graft.ext.SemDedup.assignIvf(ivf)))
       .select(col("vec_id"))
-    // the model-independent invariant: no planted copy may survive (its
-    // cluster always contains its smaller-id original at cosine 1.0)
-    val leaked = survivors.filter(col("vec_id") >= 1000000L).count()
-    require(leaked == 0,
-      s"semantic dedup leaked $leaked planted exact copies")
-    survivors.orderBy(col("vec_id"))
+      .orderBy(col("vec_id"))
   }
 
   /** X34 — the range-join optimizer rule (graft.plans.RangeJoinRewrite) on
@@ -2493,69 +2498,62 @@ object ExtQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** X0 (round 10) — the MULTIMODAL flagship composition, doing for the
-    * binary-media operators what [[x0_web_pipeline]] does for text:
-    * synthesize an image corpus (real PNG/JPEG bytes), an audio corpus
-    * (real WAV bytes), and a video corpus (GVID containers of real PNG
-    * frames — X87's fps-doubled and half-resolution re-renders as the
-    * planted variants) with planted near-dup structure — every id
-    * triple shares content (seed = id/3) across a re-encode variant
-    * (JPEG / gain change) and a re-render variant (different resolution
-    * / different sample rate) plus planted corrupt bytes — then run the
-    * full perceptual dedup chain per modality: decode → fingerprint
-    * (X84 dHash / X85 energy-band signature) → Hamming banding with the
-    * production `maxChunkFreq` skew cap engaged → greedy min-id keep
-    * policy → an X72-style savings report (items, decodable, candidate
-    * pairs, redundant, % saved). Tier B (rows-only): every constituent
-    * is oracle-checked or spec-pinned individually; this adds their
-    * composition at corpus scale, where banding-bucket skew (the
-    * letterbox/silence hazard) is the thing the 120-item faces cannot
-    * see. `n_redundant` counts items with a smaller-id near-dup — the
-    * deterministic greedy-survivor accounting, exact for clique groups.
+  /** X0 (round 10; ORACLE-CHECKED since round 12) — the MULTIMODAL
+    * flagship composition, doing for the binary-media operators what
+    * [[x0_web_pipeline]] does for text: synthesize an image corpus (real
+    * PNG bytes), an audio corpus (real WAV bytes), and a video corpus
+    * (GVID containers of real PNG frames) with duplicate structure
+    * planted by doc_id ARITHMETIC, then run the full perceptual dedup
+    * chain per modality — decode → fingerprint (X84 dHash / X85
+    * energy-band / X87 temporal-gradient signature) → Hamming-0 banding
+    * with the production `maxChunkFreq` skew cap ENGAGED → decoded-bytes
+    * checksum verify → an X72-style savings report (items, decodable,
+    * pairs, redundant, % saved).
     *
-    * Expect MORE than the planted 2-of-3 on the image side at full
-    * corpus (3000 items / 1000 seeds): [[graft.ext.ImageDedup
-    * .encodeSmoothPng]] draws from only 9 (fx, fy) frequency classes,
-    * so distinct seeds with nearby phases produce genuinely similar
-    * pictures and the metric correctly pairs them — the templated-asset
-    * self-similarity a real crawl shows, not a false-positive bug
-    * (r10 journal: image 12 100 pairs / 86.5% vs audio 3 345 / 68.4%,
-    * whose continuous per-seed frequencies stay diverse). */
+    * The exact regime (the x84/x85/x87 promotion trick, composed):
+    * duplicate groups are byte-identical (same encoder, same seed), so
+    * recall is 1 by construction and every report number is closed-form
+    * in doc_id arithmetic — which is what lets the WHOLE chain be
+    * hash-checked against DuckDB. The corpus slices to doc_id < 450 (SF-
+    * stable inside sf0.01's 500 documents). Per modality, ids < 360
+    * group as `doc_id % G` (G = 120/90/72 → groups of 3/4/5); ids in
+    * [360, 450) form ONE 90-strong mega-group — a planted letterbox/
+    * silence/test-card asset whose radius-0 bucket (89 decodable
+    * fingerprints) EXCEEDS the 64 cap, so the skew rule must drop it
+    * whole: at radius 0 the single band is the full hash, making the cap
+    * exactly "groups larger than F contribute no pairs" — the corpus-
+    * scale banding-bucket-skew behavior the per-operator faces cannot
+    * see, now oracle-checked rather than Tier B. Planted corrupt bytes
+    * (doc_id % 75 == 74) exercise the NULL-fingerprint accounting.
+    * `n_redundant` counts items with a smaller-id duplicate — greedy
+    * min-id survivorship, exact for clique groups. Cross-seed 64-bit
+    * fingerprint collisions would merge cap buckets and break the
+    * closed form; the corpus is deterministic, so the oracle's
+    * continued greenness IS the no-collision proof. */
   val x0_media_pipeline: Q = (s, d) => {
     import s.implicits._
     val ids = t(s, d, "documents")
-      .filter(col("doc_id") < 3000).select(col("doc_id")).as[Long]
+      .filter(col("doc_id") < 450).select(col("doc_id")).as[Long]
+    // seed arithmetic per modality: regular groups below 360, the
+    // over-cap mega-group above (seed 100000 collides with no i % G)
+    def seedOf(i: Long, g: Long): Long = if (i >= 360) 100000L else i % g
     val images = ids.map { i =>
-      val seed = i / 3
       val data =
-        if (i % 500 == 499) Array[Byte](9, 9, 9) // planted corrupt
-        else (i % 3) match {
-          case 0 => graft.ext.ImageDedup.encodeSmoothPng(64, 48, seed)
-          case 1 => graft.ext.ImageDedup.encodeSmoothJpeg(64, 48, seed)
-          case _ => graft.ext.ImageDedup.encodeSmoothPng(32, 24, seed)
-        }
-      Multimodal.MediaRow(i, s"img/$i", "image/*", data)
+        if (i % 75 == 74) Array[Byte](9, 9, 9) // planted corrupt
+        else graft.ext.ImageDedup.encodeSmoothPng(64, 48, seedOf(i, 120))
+      Multimodal.MediaRow(i, s"img/$i", "image/png", data)
     }
     val audio = ids.map { i =>
-      val seed = i / 3
       val data =
-        if (i % 500 == 499) Array[Byte](9, 9, 9)
-        else (i % 3) match {
-          case 0 => graft.ext.AudioDedup.encodeToneWav(8000, 8000, seed)
-          case 1 => graft.ext.AudioDedup.encodeToneWav(8000, 8000, seed, gain = 0.5)
-          case _ => graft.ext.AudioDedup.encodeToneWav(11025, 11025, seed)
-        }
+        if (i % 75 == 74) Array[Byte](9, 9, 9)
+        else graft.ext.AudioDedup.encodeToneWav(8000, 8000, seedOf(i, 90))
       Multimodal.MediaRow(i, s"wav/$i", "audio/wav", data)
     }
     val videos = ids.map { i =>
-      val seed = i / 3
       val data =
-        if (i % 500 == 499) Array[Byte](9, 9, 9)
-        else (i % 3) match {
-          case 0 => graft.ext.VideoDedup.encodeSyntheticVideo(32, 24, 8.0, 1.5, seed)
-          case 1 => graft.ext.VideoDedup.encodeSyntheticVideo(32, 24, 16.0, 1.5, seed)
-          case _ => graft.ext.VideoDedup.encodeSyntheticVideo(16, 12, 8.0, 1.5, seed)
-        }
+        if (i % 75 == 74) Array[Byte](9, 9, 9)
+        else graft.ext.VideoDedup.encodeSyntheticVideo(
+          32, 24, 8.0, 1.5, seedOf(i, 72))
       Multimodal.MediaRow(i, s"vid/$i", "video/gvid", data)
     }
     def report(modality: String, fp: DataFrame, validCol: String,
@@ -2569,20 +2567,18 @@ object ExtQueries {
       base.crossJoin(p).select(
         lit(modality).as("modality"), col("n_items"), col("n_decodable"),
         col("n_pairs"), col("n_redundant"),
-        round(col("n_redundant") * 100.0 / col("n_items"), 2).as("pct_saved"))
+        round(col("n_redundant") * 100.0 / col("n_items") + lit(1e-9), 2)
+          .as("pct_saved"))
     }
     val imgFp = graft.ext.ImageDedup.fingerprints(images)
     val audFp = graft.ext.AudioDedup.fingerprints(audio)
     val vidFp = graft.ext.VideoDedup.fingerprints(videos)
     report("image", imgFp, "dhash",
-        graft.ext.ImageDedup.nearDupPairs(imgFp, maxHamming = 10,
-          maxChunkFreq = Some(256)))
+        graft.ext.ImageDedup.exactDupPairs(imgFp, maxChunkFreq = Some(64)))
       .unionByName(report("audio", audFp, "sig",
-        graft.ext.AudioDedup.nearDupPairs(audFp, maxHamming = 14,
-          maxChunkFreq = Some(256))))
+        graft.ext.AudioDedup.exactDupPairs(audFp, maxChunkFreq = Some(64))))
       .unionByName(report("video", vidFp, "sig",
-        graft.ext.VideoDedup.nearDupPairs(vidFp, maxHamming = 8,
-          maxChunkFreq = Some(256))))
+        graft.ext.VideoDedup.exactDupPairs(vidFp, maxChunkFreq = Some(64))))
       .orderBy(col("modality"))
   }
 
@@ -3367,6 +3363,14 @@ object ExtQueries {
         |  MAX(id) AS last_id
         | FROM members GROUP BY cluster HAVING COUNT(*) >= 2
         | ORDER BY cluster""",
+    // the lossless subcase makes the survivor set model-independent:
+    // full-rank PCA preserves centered angles, identical copies project
+    // identically for ANY rotation, and no distinct pair of this corpus
+    // approaches the 0.9999999 threshold — so survivors are exactly the
+    // original slice, whatever Lloyd/PCA fit
+    "x0_semdedup_pca" ->
+      """SELECT vec_id FROM embeddings WHERE vec_id < 500
+        | ORDER BY vec_id""",
     "x93_embed_drift" ->
       // identical per-dim mean/variance/pooled-smd arithmetic over an
       // unnest-by-position view of the same vectors
@@ -4005,6 +4009,47 @@ object ExtQueries {
     "x41_pca_project" -> x41OracleSql,
     "x0_pipeline" -> x0PipelineOracleSql,
     "x0_web_pipeline" -> x0WebPipelineOracleSql,
+    // the media flagship replayed from doc_id arithmetic: duplicate
+    // groups are byte-identical by construction (exact regime), so the
+    // whole chain — decode counts, cap-gated radius-0 pairs, greedy
+    // survivorship, savings — reduces to the planted group algebra;
+    // the 89-strong mega-group (grp = -1) fails the 64 cap and must
+    // contribute zero pairs in BOTH engines
+    "x0_media_pipeline" ->
+      """WITH m AS (
+        |  SELECT * FROM (VALUES ('image', 120), ('audio', 90),
+        |    ('video', 72)) v(modality, g)),
+        | items AS (
+        |  SELECT m.modality, d.doc_id AS i,
+        |    (d.doc_id % 75 <> 74) AS ok,
+        |    CASE WHEN d.doc_id >= 360 THEN -1
+        |         ELSE d.doc_id % m.g END AS grp
+        |  FROM documents d CROSS JOIN m WHERE d.doc_id < 450),
+        | freq AS (
+        |  SELECT modality, grp, COUNT(*) AS f FROM items
+        |  WHERE ok GROUP BY modality, grp),
+        | pairs AS (
+        |  SELECT a.modality, a.i AS ia, b.i AS ib
+        |  FROM items a JOIN items b
+        |    ON a.modality = b.modality AND a.grp = b.grp AND a.i < b.i
+        |  JOIN freq f ON f.modality = a.modality AND f.grp = a.grp
+        |  WHERE a.ok AND b.ok AND f.f <= 64),
+        | base AS (
+        |  SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_decodable
+        |  FROM items GROUP BY modality),
+        | p AS (
+        |  SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(COUNT(DISTINCT ib) AS BIGINT) AS n_redundant
+        |  FROM pairs GROUP BY modality)
+        | SELECT base.modality, n_items, n_decodable,
+        |  COALESCE(n_pairs, 0) AS n_pairs,
+        |  COALESCE(n_redundant, 0) AS n_redundant,
+        |  ROUND(COALESCE(n_redundant, 0) * 100.0 / n_items + 1e-9, 2)
+        |    AS pct_saved
+        | FROM base LEFT JOIN p ON base.modality = p.modality
+        | ORDER BY base.modality""",
     // the token-table self-join formulation — deliberately a DIFFERENT
     // algorithm from the engine's row-local HOF pair generation
     "x42_cooccur" ->

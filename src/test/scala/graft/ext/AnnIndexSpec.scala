@@ -77,6 +77,48 @@ class AnnIndexSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("folded IVF-PQ index under TRAINED codebooks holds the recall floor") {
+    // fold ≡ rebuild proves consistency, not quality: this pins QUALITY —
+    // an index that has absorbed two folded batches under lossy trained
+    // codebooks, searched where the folded content is the answer, against
+    // the exact squared-L2 brute force (the x90_pq_topk gate pattern).
+    val d = tmp()
+    val big = graft.core.Tables.load(spark, "/root/testdata/sf0.01",
+      "embeddings").filter($"vec_id" < 500)
+    val base = big.filter($"vec_id" >= 100)
+    val b1 = big.filter($"vec_id" < 50)
+    val b2 = big.filter($"vec_id" >= 50 && $"vec_id" < 100)
+    val idx = AnnIndex.create(base, d, k = 16, iters = 2,
+      pqSubspaces = Some((8, 16)))
+    AnnIndex.fold(b1, idx, batchId = 1)
+    AnnIndex.fold(b2, idx, batchId = 2)
+    // queries from BOTH folded batches: the folded rows are what must rank
+    val queries = big.filter($"vec_id" < 10 ||
+        ($"vec_id" >= 50 && $"vec_id" < 60))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val opened = AnnIndex.open(d)
+    val exact = Pq.exactTopK(big, queries, k = 10)
+      .select($"query_id", $"id")
+    def recallOf(approx: DataFrame): Double =
+      approx.select($"query_id", $"id")
+        .join(exact, Seq("query_id", "id")).count().toDouble / (20 * 10)
+    // raw ADC floor (measured 0.31 — PQ quantization dominates; matches
+    // the PqSpec full-scan raw-ADC 0.31-0.33): a fold that mis-encodes or
+    // mis-assigns folded rows collapses it toward 0
+    val raw = recallOf(AnnIndex.topK(opened, queries, k = 10, nprobe = 4))
+    assert(raw >= 0.25, f"folded IVF-PQ raw-ADC recall@10 $raw%.2f < 0.25")
+    // refined floor: shortlist from the index's codes, exact re-rank
+    // against the primary store — the x90_pq_topk gate applied to an
+    // index that has absorbed two folded batches. nprobe 8/16: coarse
+    // pruning caps what refine can recover (0.54 at nprobe 4)
+    val refined = recallOf(AnnIndex.topKRefined(opened, queries, big,
+      k = 10, shortlist = 100, nprobe = 8))
+    info(f"folded IVF-PQ recall@10: raw ADC $raw%.2f, refined $refined%.2f")
+    assert(refined >= 0.6, f"folded IVF-PQ refined recall@10 $refined%.2f < 0.6")
+    assert(refined >= raw, "refine must not lose recall")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
   test("retrain gate: shifted batch trips, in-distribution batch does not") {
     // sf0.01 (bigger samples): a 10-vector batch's per-dim means are too
     // noisy for a stable SMD — the gate is for production batch sizes
