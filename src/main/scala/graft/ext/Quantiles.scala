@@ -54,19 +54,23 @@ object Quantiles {
 
   /** @param specs (valueCol, p, outputName) triples; p in [0,1].
     * @param bucketBits prefix bits of the sort-ordered value used as the
-    *   bucket id. Fewer bits → coarser buckets → cheaper pass-1 partial
-    *   aggregation (fewer distinct (group, col, bucket) keys) but more
-    *   selection survivors; with the bucket-range prefilter making pass 2
-    *   nearly free, the optimum moved DOWN from the original 20:
-    *   QuantProbe at 10× bench scale measures 14 bits fastest (1.14 s vs
-    *   1.34 s at 20, 1.45 s at 12 where survivor growth takes over).
+    *   bucket id. More bits → narrower buckets → fewer pass-2 selection
+    *   survivors (each target bucket holds ~n/2^bits rows) at the price
+    *   of a larger pass-1 histogram — which is BOUNDED at
+    *   min(2^bits, distinct values) per (group, col) and map-side
+    *   combined, so it stays metadata-sized while pass-2 savings scale
+    *   with the corpus. The optimum moved UP from 14 once the prefilter
+    *   became exact bucket MEMBERSHIP rather than a [min,max] span
+    *   (round 12, Q51Probe2 at the 100× set: a span straddling p25..p90
+    *   admitted most of the corpus into the broadcast probe — 6.2 s;
+    *   isin + 14 bits 4.4 s; isin + 18 bits 2.4 s).
     *   Near-unique continuous columns are what make pass 1 sensitive —
     *   integer-like columns occupy few buckets at any setting.
     * @return one row per group: groupCol plus one double column per spec. */
   def exactQuantiles(
       df: DataFrame, groupCol: String,
       specs: Seq[(String, Double, String)],
-      bucketBits: Int = 14): DataFrame = {
+      bucketBits: Int = 18): DataFrame = {
     require(specs.nonEmpty, "at least one (column, p, name) spec")
     require(specs.forall { case (_, p, _) => p >= 0.0 && p <= 1.0 },
       s"quantile points must be in [0,1]: ${specs.map(_._2)}")
@@ -145,11 +149,17 @@ object Quantiles {
       org.apache.spark.sql.types.StructField("__n", org.apache.spark.sql.types.LongType)))
     import scala.jdk.CollectionConverters._
     val neededLocal = spark.createDataFrame(neededRows.toSeq.asJava, neededSchema)
+    // EXACT bucket membership, not a [min,max] span (round 12, Q51Probe2):
+    // the needed buckets are ≤ 2·|specs| discrete values per tag, but the
+    // quantile points straddle the distribution (p25..p90), so a span
+    // prefilter admits most of the corpus into the broadcast probe —
+    // measured at sf10: 6.2 s → 3.4 s for q51 just by rejecting on the
+    // ≤8-literal isin before the hash probe.
     val prefilter: Column = neededRows.toSeq
       .groupBy(_.getInt(1))
       .map { case (t, rows) =>
-        val bs = rows.map(_.getLong(2))
-        col("__t") === t && col("__b").between(bs.min, bs.max)
+        val bs = rows.map(_.getLong(2)).distinct
+        col("__t") === t && col("__b").isin(bs: _*)
       }
       .reduceOption(_ || _).getOrElse(lit(false))
 
