@@ -2929,35 +2929,57 @@ object ExtQueries {
     * one is hash-checked stage-for-stage): normalize → block → score →
     * cluster → survive. Planted dirty duplicates (case + padding noise,
     * updated balance, shifted key) of the first 30 customers flow through
-    * lowercase/trim normalization, nation blocking, the codegen'd
-    * Jaro-Winkler scorer (X44, semantics pinned to DuckDB's), X2's
-    * connected components, and X66's golden-record survivorship. The
-    * 0.99 threshold is PROVABLE on this construction: a planted variant
-    * normalizes to its original exactly (jw = 1.0), while any two
-    * distinct customer names in a block differ in ≥ 1 character of the
-    * fixed-width 18-char form, capping jw at (17/18+17/18+1)/3 plus the
-    * 0.4·(1−jaro) Winkler boost = 0.978 < 0.99 — so the edge set is
-    * exactly the planted identity pairs and DuckDB can state the whole
-    * pipeline, including the same jaro_winkler_similarity call. */
+    * lowercase/trim normalization, SORTED-NEIGHBORHOOD blocking within
+    * nation, the codegen'd Jaro-Winkler scorer (X44, semantics pinned to
+    * DuckDB's), X2's connected components, and X66's golden-record
+    * survivorship. The 0.99 threshold is PROVABLE on this construction:
+    * a planted variant normalizes to its original exactly (jw = 1.0),
+    * while any two distinct customer names differ in ≥ 1 character of
+    * the fixed-width 18-char form, capping jw at (17/18+17/18+1)/3 plus
+    * the 0.4·(1−jaro) Winkler boost = 0.978 < 0.99.
+    *
+    * BLOCKING (rewritten round 12 — the first flagship bench caught it):
+    * nation-only blocking is an all-pairs join inside each nation —
+    * measured 2.4 s at sf0.1 but 45 s at the 10× set (each block 10×
+    * wider ⇒ 100× the Jaro-Winkler calls) and hours at 100×. The
+    * production shape is sorted-neighborhood: sort each nation block by
+    * normalized name, score each row against its NEXT neighbor only —
+    * O(n log n) sort + O(n) scores. Recall is EXACT here, not
+    * approximate: qualifying pairs have jw ≥ 0.99, which on this
+    * construction means identical normalized names (see the 0.978 cap),
+    * identical names sort adjacent, and a chain of adjacent edges
+    * reaches connected components exactly like a clique (the X40
+    * star-edge argument). So the cluster set is the (nation, name)
+    * equality classes at EVERY scale — including the scaled sets' 10×/
+    * 100× verbatim-name replicas, which the old quadratic face paired
+    * explicitly — and the oracle states them as one window, a genuinely
+    * independent algorithm from the engine's scored-edge components. */
   val x0_linkage: Q = (s, d) => {
     import graft.functions.ColumnOps.jaroWinklerSim
     val cust = t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+    // planted ids at +1e12, NOT +1M: customer keys reach 1.5M at the
+    // 100x set and an additive 1M offset COLLIDED with real replica keys
+    // there (the q63 hazard, rediscovered round 12: duplicate id 1000000
+    // was simultaneously customer 0's planted variant and customer
+    // 10000's replica, making the component label table oscillate). The
+    // huge offset keeps planted ids maximal, so survivorship still picks
+    // the planted row as the latest version.
     val planted = cust.unionByName(
       cust.filter(col("c_custkey") < 30)
-        .select((col("c_custkey") + 1000000).as("c_custkey"),
+        .select((col("c_custkey") + 1000000000000L).as("c_custkey"),
           concat(lit(" "), upper(col("c_name")), lit(" ")).as("c_name"),
           col("c_nationkey"),
           (col("c_acctbal") + 100).as("c_acctbal")))
     val norm = planted.withColumn("nm", lower(trim(col("c_name"))))
-    val a = norm.select(col("c_custkey").as("id_a"), col("nm").as("nm_a"),
-      col("c_nationkey").as("k"))
-    val b = norm.select(col("c_custkey").as("id_b"), col("nm").as("nm_b"),
-      col("c_nationkey").as("k"))
-    val edges = a.join(b, "k")
-      .filter(col("id_a") < col("id_b") &&
-        jaroWinklerSim(col("nm_a"), col("nm_b")) >= 0.99)
-      .select(col("id_a"), col("id_b"))
+    val wNbr = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("nm"), col("c_custkey"))
+    val edges = norm
+      .withColumn("nm_next", lead(col("nm"), 1).over(wNbr))
+      .withColumn("id_next", lead(col("c_custkey"), 1).over(wNbr))
+      .filter(col("nm_next").isNotNull &&
+        jaroWinklerSim(col("nm"), col("nm_next")) >= 0.99)
+      .select(col("c_custkey").as("id_a"), col("id_next").as("id_b"))
     val clusters = graft.ext.Dedup.connectedComponents(edges)
     val labeled = norm.join(
         clusters.withColumnRenamed("id", "c_custkey"), Seq("c_custkey"), "left")
@@ -3332,31 +3354,28 @@ object ExtQueries {
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "x0_linkage" ->
-      // the full linkage pipeline stated in SQL: planted dirty variants,
-      // lower/trim normalization, nation blocking, the SAME Jaro-Winkler
-      // call, pair clusters (the 0.99 threshold provably selects only the
-      // planted identity pairs — see the query scaladoc — so each cluster
-      // is one edge), arg_max survivorship
+      // the full linkage pipeline stated in SQL — by a DIFFERENT
+      // algorithm than the engine's scored-edge components: on this
+      // construction the 0.99 threshold provably admits only identical
+      // normalized names (scaladoc's 0.978 cap), sorted-neighborhood
+      // chains of equal names connect exactly like cliques, so the
+      // cluster set IS the (nation, normalized-name) equality classes —
+      // one window, correct at every SF including verbatim-name
+      // replicas. The Jaro-Winkler kernel itself stays pinned by
+      // x44_jaro_winkler.
       """WITH planted AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, ' ' || upper(c_name) || ' ',
+        |  SELECT c_custkey + 1000000000000, ' ' || upper(c_name) || ' ',
         |    c_nationkey, c_acctbal + 100
         |  FROM customer WHERE c_custkey < 30),
         | norm AS (
         |  SELECT c_custkey AS id, lower(trim(c_name)) AS nm,
         |    c_nationkey AS k, c_name, c_acctbal FROM planted),
-        | edges AS (
-        |  SELECT a.id AS id_a, b.id AS id_b
-        |  FROM norm a JOIN norm b ON a.k = b.k AND a.id < b.id
-        |  WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.99),
-        | clusters AS (
-        |  SELECT id_a AS cluster, id_b AS id FROM edges
-        |  UNION ALL
-        |  SELECT id_a, id_a FROM edges),
         | members AS (
-        |  SELECT c.cluster, n.id, n.c_name, n.c_acctbal
-        |  FROM clusters c JOIN norm n ON n.id = c.id)
+        |  SELECT MIN(id) OVER (PARTITION BY k, nm) AS cluster,
+        |    id, c_name, c_acctbal
+        |  FROM norm)
         | SELECT cluster, COUNT(*) AS n_versions,
         |  arg_max(c_name, id) AS golden_name,
         |  ROUND(arg_max(c_acctbal, id) + 1e-9, 2) AS golden_acctbal,

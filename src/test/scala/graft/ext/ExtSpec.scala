@@ -119,6 +119,26 @@ class DedupSpec extends SparkSpec {
     assert(survivors.contains(1L) && !survivors.contains(2L))
     assert(survivors.contains(4L) && survivors.contains(5L))
   }
+
+  test("distributed components converge on long chains in O(log d) rounds") {
+    // sorted-neighborhood edge sets are CHAINS — the worst case for 1-hop
+    // min-label propagation (O(diameter) rounds); pointer jumping must
+    // label a 200-node chain within the default 10 rounds, where the old
+    // 1-hop loop silently returned split components (round-12 fix)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, driverEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size === 200 && cc.values.forall(_ == 0L))
+    // two chains + a singleton pair keep distinct components
+    val two = ((0L until 50L).map(i => (i, i + 1)) ++
+      (1000L until 1050L).map(i => (i, i + 1)) :+ (5000L, 5001L))
+      .toDF("id_a", "id_b")
+    val cc2 = Dedup.connectedComponents(two, driverEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 50L).forall(cc2(_) == 0L))
+    assert((1000L to 1050L).forall(cc2(_) == 1000L))
+    assert(cc2(5000L) === 5000L && cc2(5001L) === 5000L)
+  }
 }
 
 class SimHashSpec extends SparkSpec {
