@@ -1181,9 +1181,16 @@ object ExtQueries {
       .filter(col("quality") >= 0.3 && col("rep2") <= 0.2)
     // round 8: the policy gate joins the flagship — C4-style phrase
     // blocklist (X74) on token boundaries, scan-cost, before any
-    // model-based stage spends compute on removable docs
+    // model-based stage spends compute on removable docs.
+    // CHECKPOINTED (round 12): everything above is a linear 6-stage
+    // chain, but `policed` fans out 5+ ways below (the LM fit references
+    // it 3x, the score once, the n_chars/source join once) — without a
+    // materialization each reference re-executes the whole dedup chain
+    // (the production pattern: persist the corpus between pipeline
+    // phases). Measured at the 100x set: 47.7 s -> 12.6 s.
     val policed = graft.ext.Blocklist.filterBlocked(screened, "text",
-      Seq("forbidden content", "do not train", "opt out"))
+        Seq("forbidden content", "do not train", "opt out"))
+      .localCheckpoint(true)
     // round 7: the model-based curation stages join the flagship —
     // bigram-LM tail drop (worst-perplexity decile out, X43+X29),
     // linear quality-model cut (X49), per-domain contribution cap (X51)
@@ -2570,9 +2577,15 @@ object ExtQueries {
         round(col("n_redundant") * 100.0 / col("n_items") + lit(1e-9), 2)
           .as("pct_saved"))
     }
-    val imgFp = graft.ext.ImageDedup.fingerprints(images)
-    val audFp = graft.ext.AudioDedup.fingerprints(audio)
-    val vidFp = graft.ext.VideoDedup.fingerprints(videos)
+    // checkpoint each modality's fingerprints: the relation is 450 rows
+    // of longs, but its SUBTREE (documents scan -> synthesize -> decode)
+    // is referenced ~7x downstream (count agg + both banding sides + the
+    // cap subquery + both checksum sides) and the documents scan grows
+    // with SF — measured at the 100x set: 54.8 s uncached -> one
+    // execution per modality checkpointed
+    val imgFp = graft.ext.ImageDedup.fingerprints(images).localCheckpoint(true)
+    val audFp = graft.ext.AudioDedup.fingerprints(audio).localCheckpoint(true)
+    val vidFp = graft.ext.VideoDedup.fingerprints(videos).localCheckpoint(true)
     report("image", imgFp, "dhash",
         graft.ext.ImageDedup.exactDupPairs(imgFp, maxChunkFreq = Some(64)))
       .unionByName(report("audio", audFp, "sig",
