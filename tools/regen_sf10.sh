@@ -35,9 +35,22 @@ EOF
 python3 tools/duck_bench.py "$DST" /tmp/oracle_headline_sf10.json 32 \
   > DUCK_BENCH_sf10.json
 
-# engine side (same entry set plus etl_slice)
+# settle gap (round 12): the DuckDB pass runs 32 threads hot for ~10 min
+# and the engine pass starting immediately after it inherits the
+# contention — measured q02 0.88 s settled vs 1.54 s back-to-back, q54
+# 2.1 s vs 3.6 s. Same quiet-session rule as between regen runs.
+sleep 180
+
+# engine side (same entry set plus etl_slice). Steal-aware (round 12):
+# sample /proc/stat steal around the pass — an external noisy-neighbor
+# window inflates a contiguous block of queries 5-50x (observed: q60-q83
+# at 20x while the rest of the same pass read normal); a pass whose
+# steal%% is above ~3%% is NOT committable, re-run it (SURVEY §6 rule 2).
+read S0 T0 < <(bash tools/steal.sh)
 SPARK_GRAFT_SF_DIR="$DST" java -cp "$CP" graft.Bench \
   | grep '"metric"' > "BENCH_${TAG}_sf10.json"
+read S1 T1 < <(bash tools/steal.sh)
+echo "== engine-pass VM steal: $(( (S1-S0) * 1000 / (T1-T0) )) per-mille =="
 
 echo "== engine/DuckDB ratios at $DST =="
 python3 tools/ratio.py DUCK_BENCH_sf10.json "BENCH_${TAG}_sf10.json"
