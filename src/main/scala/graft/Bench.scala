@@ -88,7 +88,18 @@ object Bench {
     // of the queries map survived capture) — ALSO write the full line to a
     // file so the per-query record is always recoverable
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+    // refuse to clobber a file that is NOT a prior bench output (the
+    // driver's flow reads bench_out.json from CWD, so the default path
+    // must stay — but an unrelated file of that name is someone's data)
+    val outPath = java.nio.file.Paths.get(outFile)
+    if (java.nio.file.Files.exists(outPath)) {
+      val head = new String(java.nio.file.Files.readAllBytes(outPath),
+        java.nio.charset.StandardCharsets.UTF_8).take(64)
+      require(head.startsWith("""{"metric":"""),
+        s"$outFile exists and is not a prior bench output — refusing to " +
+          "overwrite; set SPARK_GRAFT_BENCH_OUT to another path")
+    }
+    java.nio.file.Files.write(outPath,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -24,4 +24,15 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → rows-only check (Tier B). */
   def oracleSql: Map[String, String] =
     Queries.oracleSql ++ ExtQueries.oracleSql
+
+  /** Declared-TERMINAL Tier-B faces (SURVEY §5.3): each measures a lossy
+    * perceptual/trained-model recall no SQL engine can replay, and each
+    * names its oracle-green exact-regime sibling exercising the same
+    * operator code. A `queries` key that is neither in [[oracleSql]] nor
+    * here is a GAP, not a contract — keep this the exhaustive list. */
+  def tierB: Map[String, String] = Map(
+    "x84_image_neardup" -> "x84_image_dedup",
+    "x85_audio_neardup" -> "x85_audio_dedup",
+    "x87_video_neardup" -> "x87_video_dedup",
+    "x90_pq_topk" -> "x90_pq_exact")
 }

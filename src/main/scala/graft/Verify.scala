@@ -37,6 +37,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // declared-terminal Tier-B faces (SURVEY §5.3): face -> its
+    // oracle-green exact-regime sibling. Lets a harness distinguish
+    // "no oracle BY CONTRACT" from "missing oracle".
+    val tierB = SparkEntry.tierB
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/tier_b.json"), tierB)
     spark.stop()
   }
 }

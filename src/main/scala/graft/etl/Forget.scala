@@ -223,30 +223,38 @@ object Forget {
         s"partition directory $rel not found under $tableDir " +
           "(partition-value rendering mismatch) — aborting; partitions " +
           "swapped before this one are already rewritten")
-      // move-aside swap (the MaterializedRollup.swapDir discipline): the
-      // previous copy is renamed out of the table FIRST — never deleted
-      // while it is the only copy — so a crash or rename failure at any
-      // point leaves the partition either in place or recoverable from
-      // __old (the recovery preamble restores it on the next run). The
-      // aside location lives under staging, NOT dst+"__old": a directory
-      // named `col=val__old` inside the table would be read back as a
-      // partition value and resurrect the rows.
-      val aside = new org.apache.hadoop.fs.Path(s"$staging/__old/$rel")
-      fs.mkdirs(aside.getParent)
-      require(fs.rename(dst, aside), s"partition swap failed moving $rel aside")
       if (fs.exists(src)) {
+        // move-aside swap (the MaterializedRollup.swapDir discipline): the
+        // previous copy is renamed out of the table FIRST — never deleted
+        // while it is the only copy — so a crash or rename failure at any
+        // point leaves the partition either in place or recoverable from
+        // __old (the recovery preamble restores it on the next run). The
+        // aside location lives under staging, NOT dst+"__old": a directory
+        // named `col=val__old` inside the table would be read back as a
+        // partition value and resurrect the rows.
+        val aside = new org.apache.hadoop.fs.Path(s"$staging/__old/$rel")
+        fs.mkdirs(aside.getParent)
+        require(fs.rename(dst, aside), s"partition swap failed moving $rel aside")
         if (!fs.rename(src, dst)) {
           fs.rename(aside, dst) // restore the previous copy
           throw new IllegalStateException(s"partition swap failed for $rel")
         }
+        // this leaf's swap is COMPLETE (replacement installed) — drop its
+        // aside NOW rather than at the bulk staging delete, so __old only
+        // ever holds the single in-flight leaf at crash time. Leaving
+        // completed asides around would hand recovery an old copy next to a
+        // live rewritten dst (see recoverMovedAside's garbage rule).
+        fs.delete(aside, true)
+      } else {
+        // fully-deleted partition: every row matched a delete key, so there
+        // is nothing staged to install. Delete dst IN PLACE — no aside. A
+        // move-aside here would open a resurrect-on-recovery window (an
+        // aside with no rewritten dst looks exactly like a crashed
+        // mid-swap leaf, and recovery would restore the erased rows); a
+        // crash mid-delete only leaves FEWER rows for the mandatory rerun
+        // of the same deleteKeys call to re-delete.
+        fs.delete(dst, true)
       }
-      // this leaf's swap is COMPLETE (replacement installed, or the
-      // partition was fully deleted and stays removed) — drop its aside
-      // NOW rather than at the bulk staging delete, so __old only ever
-      // holds the single in-flight leaf at crash time. Leaving completed
-      // asides around would hand recovery an old copy next to a live
-      // rewritten dst (see recoverMovedAside's garbage rule).
-      fs.delete(aside, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
 

@@ -184,12 +184,22 @@ object AnnIndex {
     require(shortlist >= k, s"shortlist $shortlist < k=$k")
     val cand = topK(index, queries, k = shortlist, nprobe, qidCol, vecCol)
       .select(col("query_id"), col("id"))
+    // LEFT join + in-plan guard: a shortlist id missing from the caller's
+    // primary store (stale/partial `vectors`) must FAIL the query, not
+    // silently shrink the result — an inner join here would drop the row
+    // and hand back a plausible-looking top-k over whatever survived.
     val withVec = cand.join(
-      vectors.select(col(idCol).as("id"), col(vecCol).as("cvec")), "id")
+      vectors.select(col(idCol).as("id"), col(vecCol).as("cvec")), Seq("id"),
+      "left")
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = withVec.join(broadcast(q), "query_id")
       .select(col("query_id"), col("id"),
-        Pq.l2sq(col("cvec"), col("qvec")).as("dist"))
+        when(col("cvec").isNotNull, Pq.l2sq(col("cvec"), col("qvec")))
+          .otherwise(raise_error(concat(
+            lit("topKRefined: shortlist id missing from vectors "),
+            lit("(stale or partial primary store): id="),
+            col("id").cast("string"))))
+          .as("dist"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

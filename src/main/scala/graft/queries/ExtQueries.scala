@@ -1101,6 +1101,27 @@ object ExtQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** X10 — Avro sink+source roundtrip ([[graft.sources.Formats.writeAvro]]):
+    * hive-partitioned Avro write of orders (timestamps land as
+    * timestamp-micros logical type), read back through the header-embedded
+    * writer schema + partition discovery, then aggregate. The oracle runs
+    * the same aggregate on the canonical parquet — equality proves the
+    * row-binary roundtrip lost nothing, including the partition column
+    * that only exists as directory names on the Avro side. */
+  val x13_avro_roundtrip: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
+    graft.sources.Formats.writeAvro(t(s, d, "orders"), dir,
+      partitionBy = Seq("o_orderstatus"))
+    graft.sources.Formats.readAvro(s, dir)
+      .filter(col("o_totalprice") > 100000)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")) + 1e-9, 2).as("price_sum"),
+        count_distinct(col("o_custkey")).as("n_cust"),
+        max(col("o_orderdate")).as("date_max"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** X10 — CSV sink+source roundtrip: free-text columns force the
     * quoting/escaping path (texts contain the delimiter space and
     * commas would, in a real corpus); read back with an EXPLICIT schema
@@ -2525,8 +2546,9 @@ object ExtQueries {
     * stable inside sf0.01's 500 documents). Per modality, ids < 360
     * group as `doc_id % G` (G = 120/90/72 → groups of 3/4/5); ids in
     * [360, 450) form ONE 90-strong mega-group — a planted letterbox/
-    * silence/test-card asset whose radius-0 bucket (89 decodable
-    * fingerprints) EXCEEDS the 64 cap, so the skew rule must drop it
+    * silence/test-card asset whose radius-0 bucket (88 decodable
+    * fingerprints — corrupt ids 374 and 449 both lie in [360, 450))
+    * EXCEEDS the 64 cap, so the skew rule must drop it
     * whole: at radius 0 the single band is the full hash, making the cap
     * exactly "groups larger than F contribute no pairs" — the corpus-
     * scale banding-bucket-skew behavior the per-operator faces cannot
@@ -2951,7 +2973,10 @@ object ExtQueries {
     * the fixed-width 18-char form, capping jw at (17/18+17/18+1)/3 plus
     * the 0.4·(1−jaro) Winkler boost = 0.978 < 0.99.
     *
-    * BLOCKING (rewritten round 12 — the first flagship bench caught it):
+    * BLOCKING (rewritten round 12 — the first flagship bench caught it;
+    * extracted round 13 into the reusable [[graft.ext.Blocking]] X95
+    * operator, which also range-splits hot blocks across tasks instead
+    * of this face's old one-window-partition-per-nation):
     * nation-only blocking is an all-pairs join inside each nation —
     * measured 2.4 s at sf0.1 but 45 s at the 10× set (each block 10×
     * wider ⇒ 100× the Jaro-Winkler calls) and hours at 100×. The
@@ -2985,14 +3010,11 @@ object ExtQueries {
           col("c_nationkey"),
           (col("c_acctbal") + 100).as("c_acctbal")))
     val norm = planted.withColumn("nm", lower(trim(col("c_name"))))
-    val wNbr = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("nm"), col("c_custkey"))
-    val edges = norm
-      .withColumn("nm_next", lead(col("nm"), 1).over(wNbr))
-      .withColumn("id_next", lead(col("c_custkey"), 1).over(wNbr))
-      .filter(col("nm_next").isNotNull &&
-        jaroWinklerSim(col("nm"), col("nm_next")) >= 0.99)
-      .select(col("c_custkey").as("id_a"), col("id_next").as("id_b"))
+    val edges = graft.ext.Blocking
+      .sortedNeighborhood(norm, "c_custkey", blockKeys = Seq("c_nationkey"),
+        sortKeys = Seq("nm"), window = 1, carry = Seq("nm"))
+      .filter(jaroWinklerSim(col("nm_a"), col("nm_b")) >= 0.99)
+      .select(col("c_custkey_a").as("id_a"), col("c_custkey_b").as("id_b"))
     val clusters = graft.ext.Dedup.connectedComponents(edges)
     val labeled = norm.join(
         clusters.withColumnRenamed("id", "c_custkey"), Seq("c_custkey"), "left")
@@ -3006,6 +3028,26 @@ object ExtQueries {
         round(col("c_acctbal") + 1e-9, 2).as("golden_acctbal"),
         col("last_order").as("last_id"))
       .orderBy(col("cluster"))
+  }
+
+  /** X95 — sorted-neighborhood blocking ([[graft.ext.Blocking]]): multi-
+    * pass merge/purge candidate pairs over customers blocked by nation,
+    * window 2, pass 1 sorted by lowercase name, pass 2 by its REVERSAL
+    * (the classic second key: a typo early in the name barely moves the
+    * reversed sort position). The oracle restates both passes as window
+    * ranks + a rank-distance join and canonicalizes with LEAST/GREATEST
+    * — a genuinely independent algorithm from the engine's range-
+    * partitioned sliding scan + boundary strips. */
+  val x95_sorted_neighborhood: Q = (s, d) => {
+    val cust = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        lower(col("c_name")).as("nm"))
+      .withColumn("nm_rev", reverse(col("nm")))
+    graft.ext.Blocking.multiPass(cust, "c_custkey",
+        blockKeys = Seq("c_nationkey"),
+        passes = Seq(Seq("nm"), Seq("nm_rev")), window = 2)
+      .select(col("c_custkey_a").as("id_a"), col("c_custkey_b").as("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   val queries: Seq[(String, Q)] = Seq(
@@ -3060,6 +3102,7 @@ object ExtQueries {
     "x2_fuzzy_join" -> x2_fuzzy_join,
     "x4_repetition" -> x4_repetition,
     "x10_orc_roundtrip" -> x10_orc_roundtrip,
+    "x13_avro_roundtrip" -> x13_avro_roundtrip,
     "x11_csv_roundtrip" -> x11_csv_roundtrip,
     "x12_jsonl_roundtrip" -> x12_jsonl_roundtrip,
     "x5_audio" -> x5_audio,
@@ -3127,6 +3170,7 @@ object ExtQueries {
     "x92_forget" -> x92_forget,
     "x93_embed_drift" -> x93_embed_drift,
     "x94_incremental_ann" -> x94_incremental_ann,
+    "x95_sorted_neighborhood" -> x95_sorted_neighborhood,
     "x59_psl_domain" -> x59_psl_domain,
     "x0_linkage" -> x0_linkage,
     "x0_media_pipeline" -> x0_media_pipeline,
@@ -3247,6 +3291,31 @@ object ExtQueries {
         |  SELECT vec_id + 1000000, vec_id + 1000000, 0.0, 2
         |  FROM embeddings WHERE vec_id < 20) u
         | ORDER BY query_id, rank""",
+    // both passes as window ranks + rank-distance joins; LEAST/GREATEST
+    // canonicalization mirrors multiPass's a-side = smaller id
+    "x95_sorted_neighborhood" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, lower(c_name) AS nm,
+        |    reverse(lower(c_name)) AS nm_rev
+        |  FROM customer),
+        | r1 AS (
+        |  SELECT c_custkey, c_nationkey, ROW_NUMBER() OVER (
+        |    PARTITION BY c_nationkey ORDER BY nm, c_custkey) AS rk
+        |  FROM c),
+        | r2 AS (
+        |  SELECT c_custkey, c_nationkey, ROW_NUMBER() OVER (
+        |    PARTITION BY c_nationkey ORDER BY nm_rev, c_custkey) AS rk
+        |  FROM c),
+        | u AS (
+        |  SELECT a.c_custkey AS x, b.c_custkey AS y FROM r1 a JOIN r1 b
+        |   ON a.c_nationkey = b.c_nationkey
+        |   AND b.rk BETWEEN a.rk + 1 AND a.rk + 2
+        |  UNION
+        |  SELECT a.c_custkey AS x, b.c_custkey AS y FROM r2 a JOIN r2 b
+        |   ON a.c_nationkey = b.c_nationkey
+        |   AND b.rk BETWEEN a.rk + 1 AND a.rk + 2)
+        | SELECT DISTINCT LEAST(x, y) AS id_a, GREATEST(x, y) AS id_b
+        | FROM u ORDER BY id_a, id_b""",
     // ground truth of the planted merge table over the planted per-doc
     // words (closed form in doc_id; see the query scaladoc derivation)
     "x4_bpe_tokens" ->
@@ -3800,6 +3869,13 @@ object ExtQueries {
         |  MAX(l_shipdate) AS ship_max
         | FROM lineitem WHERE l_quantity > 40
         | GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "x13_avro_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  ROUND(SUM(o_totalprice) + 1e-9, 2) AS price_sum,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  MAX(o_orderdate) AS date_max
+        | FROM orders WHERE o_totalprice > 100000
+        | GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "x11_csv_roundtrip" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,

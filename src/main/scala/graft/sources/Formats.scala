@@ -115,4 +115,37 @@ object Formats {
     val w = df.write.mode("overwrite").option("compression", compression)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
+
+  /** Avro container files — the row-major interchange format of
+    * Kafka-adjacent ingest dumps, completing X10's format matrix
+    * (columnar: parquet/ORC; text: CSV/JSONL; row-binary: Avro). Spark 4
+    * ships the Avro FileFormat inside spark-sql (it backs the streaming
+    * state encoders) but leaves the short name "avro" unregistered —
+    * resolution by class name reaches the same implementation, with
+    * hive-partitioned layouts, column pruning, and codec options intact.
+    * Row-major means NO predicate pushdown and whole-record decode per
+    * row — Avro is an INGEST format here: land it, convert to parquet,
+    * query the parquet (the same bypass-vs-decode split as the
+    * reference's raw-copy path, `/root/reference/etl/oedi_etl/
+    * fetch.py:143-196`). */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** Schema-explicit Avro read (declared schema, same rule as every
+    * other source: no inference pass over a 100 TB feed). */
+  def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).format(AvroFormat).load(path)
+
+  /** Avro read with writer-embedded schema (engine-owned roundtrips —
+    * every Avro container file carries its schema in the header, so
+    * "inference" is one header read, not a data scan). */
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroFormat).load(path)
+
+  def writeAvro(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      compression: String = "snappy"): Unit = {
+    val w = df.write.mode("overwrite").option("compression", compression)
+      .format(AvroFormat)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(path)
+  }
 }

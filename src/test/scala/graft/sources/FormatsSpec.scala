@@ -83,4 +83,28 @@ class FormatsSpec extends SparkSpec {
     assert(back.filter($"part" === "x").select("id").as[Long]
       .collect().sorted === Array(1L, 3L))
   }
+
+  test("Avro round-trip matches parquet; nulls, timestamps, partitions survive") {
+    val root = Files.createTempDirectory("graft_avro").toString
+    val df = Seq(
+      (1L, Option("a"), Option(1.5), java.sql.Timestamp.valueOf("2026-01-02 03:04:05"), "x"),
+      (2L, Option.empty[String], Option.empty[Double], java.sql.Timestamp.valueOf("2026-02-03 04:05:06"), "y"),
+      (3L, Option("c"), Option(3.5), java.sql.Timestamp.valueOf("2026-03-04 05:06:07"), "x")
+    ).toDF("id", "name", "score", "ts", "part")
+    Formats.writeAvro(df, s"$root/a", partitionBy = Seq("part"))
+    df.write.parquet(s"$root/p")
+    // hive layout on disk (partition pruning keeps working downstream)
+    assert(new java.io.File(s"$root/a/part=x").isDirectory)
+    val viaAvro = Formats.readAvro(spark, s"$root/a")
+      .select("id", "name", "score", "ts", "part")
+      .orderBy("id").collect().toSeq
+    val viaParquet = spark.read.parquet(s"$root/p")
+      .select("id", "name", "score", "ts", "part")
+      .orderBy("id").collect().toSeq
+    assert(viaAvro === viaParquet)
+    // declared-schema read path (data columns only live in the files)
+    val declared = Formats.readAvro(spark, s"$root/a",
+      org.apache.spark.sql.types.StructType(df.schema.filter(_.name != "part")))
+    assert(declared.filter($"part" === "y").count() === 1L)
+  }
 }
