@@ -220,90 +220,164 @@ object Dedup {
       import spark.implicits._
       val edges = cachedPairs.as[(Long, Long)].collect()
       cachedPairs.unpersist()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edges.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      val labels = parent.keys.toSeq.map(id => (id, find(id)))
-      return spark.createDataset(labels).toDF("id", "cluster")
+      return spark.createDataset(unionFindLabels(edges)).toDF("id", "cluster")
     }
+    // Loop tuning (round 13, FlagshipProbe: CC was 30 of x0_linkage's
+    // 35 s at the 100× set, and nearly all of it was per-round Spark
+    // constants, not data):
+    //  - AQE off for the propagation loop: each round is a fixed
+    //    ~6-shuffle plan over |V|-row label tables, and AQE turns every
+    //    exchange into its own job + stats barrier (measured 103 → 19
+    //    jobs at the 100× set). The loop's shapes are uniform by
+    //    construction ((id, label) pairs, hash joins on longs), so
+    //    runtime re-planning has nothing to win.
+    //  - shuffle partitions sized from the measured edge count (~500k
+    //    16-byte rows per partition, floor 4), instead of the session's
+    //    scan-oriented default: a 32-way shuffle of a 1.5M-row label
+    //    table is ~500 tasks/round of pure task-launch constant. On a
+    //    real cluster with billions of edges the cap keeps the session
+    //    default and this clause is inert.
+    // Both restored after; conf reads are per-query at planning time.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val aqeOld = spark.conf.get(aqeKey)
+    val shufOld = spark.conf.get(shufKey)
+    val loopP = math.max(8L, math.min(shufOld.toLong, nEdges / 500000L))
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(shufKey, loopP.toString)
     try distributedComponents(cachedPairs, maxIter)
-    finally cachedPairs.unpersist(false)
+    finally {
+      spark.conf.set(aqeKey, aqeOld)
+      spark.conf.set(shufKey, shufOld)
+      cachedPairs.unpersist(false)
+    }
   }
 
-  /** Distributed min-label propagation with POINTER JUMPING (round 12 —
-    * the first >1M-edge production input, x0_linkage's 100-replica name
-    * chains at the 100× set, exposed two defects in the plain 1-hop
-    * loop):
-    *  - a 1-hop neighbor-min pass needs O(diameter) rounds, and a
-    *    100-node CHAIN (sorted-neighborhood edges are exactly that
-    *    shape) silently exited maxIter=10 with WRONG labels. Each round
-    *    now follows the hop with `cluster := label(cluster)` — pointer
-    *    jumping — so the propagated distance more than doubles per
-    *    round: O(log diameter) rounds, matching this method's contract.
-    *    Non-convergence within maxIter now THROWS instead of returning
-    *    split components.
-    *  - each round's plan referenced the previous round's THREE times,
-    *    tripling the lineage per iteration: caching bounds recompute but
-    *    not plan size, and the driver burned minutes STRINGIFYING the
-    *    tree for the UI (measured: single-core-pinned main thread in
-    *    TreeNode.generateTreeString). Labels are now eagerly
-    *    localCheckpoint'ed every round — the label table is |V| rows of
-    *    two longs, so the materialization is noise and the plan stays
-    *    constant-size. */
+  /** Exact union-find with path compression over a collected edge list;
+    * returns one (node, minReachableNode) row per distinct node. */
+  private def unionFindLabels(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.map(id => (id, find(id)))
+  }
+
+  /** Distributed min-label propagation with POINTER JUMPING.
+    *
+    * Round 12 (the first >1M-edge production input, x0_linkage's
+    * 100-replica name chains at the 100× set, exposed two defects in the
+    * plain 1-hop loop): a 1-hop pass needs O(diameter) rounds and
+    * silently exited maxIter with WRONG labels on 100-node chains — each
+    * round now follows the hop with pointer jumps so propagated distance
+    * grows geometrically, and non-convergence THROWS; labels are eagerly
+    * localCheckpoint'ed every round so the plan stays constant-size (the
+    * old growing lineage pinned the driver stringifying trees).
+    *
+    * Round 13 (FlagshipProbe: CC was 30.4 s of x0_linkage's 35 s at the
+    * 100× set; Cc2Probe decomposition — the cost was per-round
+    * sequential-stage latency, not data):
+    *  - TWO pointer jumps per round: hop+jump reaches ~2d+2 where
+    *    hop+jump² reaches ~4d+4 — 100-node chains converge in 4 rounds
+    *    instead of 8; each extra jump is one self-join of the |V|-row
+    *    label table. maxIter bounds diameter at ≥ 4^maxIter.
+    *  - join-free convergence test: the pre-round label rides through
+    *    the checkpoint as an `old` column, so "anything changed?" is a
+    *    filter-limit-count over the blocks just written, not another
+    *    |V|⋈|V| join.
+    *  - SHUFFLE_HASH hints on every loop join: with AQE off (see
+    *    caller) the planner defaults to SortMergeJoin, and ~6 sorts of
+    *    |V|-row tables per round dominated the round (Cc2Probe). The
+    *    loop's joins are long-key equi-joins whose per-partition builds
+    *    are bounded by the caller's partition sizing, exactly SHJ's
+    *    regime.
+    *  - a contraction variant (relabel edges per round, finish on the
+    *    driver under `driverEdgeLimit`) was BUILT AND REVERTED here:
+    *    against id-ordered chains a d-hop relabel drops only d edges
+    *    per chain per round (measured 1.485M → 1.425M → … at the 100×
+    *    set — linear, hours at 1000×). Don't re-try it; the fixpoint
+    *    loop's cross-round jump composition is what makes convergence
+    *    geometric. */
   private def distributedComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    // Co-partitioning contract (round 13): localCheckpoint preserves the
+    // physical outputPartitioning, so edges are pinned hash(dst, P) ONCE
+    // and every round's label table leaves its checkpoint hash(id, P).
+    // The two |V|⋈|E| joins of each round (neighbor-min and hop) are then
+    // exchange-FREE — EnsureRequirements sees both sides hash-clustered
+    // on the join key — cutting the round's sequential stage chain from
+    // ~20 to ~8 (Cc2Probe; stage latency, not data volume, was the cost).
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .cache()
+      .repartition(p, col("dst"))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct()
       .withColumn("cluster", col("id"))
+      .repartition(p, col("id"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val roundT0 = System.nanoTime()
       // 1-hop: each node adopts min(own, neighbors') label
       val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), "dst")
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nc"))
+          .hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nmin"))
-      val hop = labels.join(neighborMin, Seq("id"), "left")
+      val hop = labels.join(neighborMin.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-      // pointer jump: cluster := label(cluster). Every label is itself a
-      // node id (labels are min node ids), so the self-join always hits;
-      // the left join + coalesce only guards plan-level nullability.
-      val next = hop.select(col("id"), col("cluster").as("mid"))
-        .join(hop.select(col("id").as("mid"), col("cluster").as("root")),
-          Seq("mid"), "left")
-        .select(col("id"), coalesce(col("root"), col("mid")).as("cluster"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).limit(1).count()
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          col("cluster").as("old"))
+      // pointer jump ×2: cluster := label(label(cluster)). Every label is
+      // itself a node id (labels are min node ids), so the self-join
+      // always hits; the left join + coalesce only guards plan-level
+      // nullability. Jumping never leaves the component: cluster(v) is a
+      // node of v's component and min-composition is monotone decreasing.
+      def jump(d: DataFrame): DataFrame =
+        d.select(col("id"), col("cluster").as("mid"), col("old"))
+          .join(d.select(col("id").as("mid"), col("cluster").as("root"))
+            .hint("shuffle_hash"), Seq("mid"), "left")
+          .select(col("id"), coalesce(col("root"), col("mid")).as("cluster"),
+            col("old"))
+      // checkpoint WITH the old column (2 longs + 1 long of bookkeeping),
+      // so the convergence test below is a filter over the blocks just
+      // written; unpersist targets the checkpointed frame itself — a
+      // projection on top would not release the blocks.
+      // re-pin hash(id, p) before the checkpoint so next round's joins
+      // stay exchange-free (the jumps leave the table keyed by `mid`)
+      val next = jump(jump(hop)).repartition(p, col("id")).localCheckpoint(true)
+      val changed =
+        next.filter(col("cluster") =!= col("old")).limit(1).count()
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        println(f"[cc] round=$i changed=${changed > 0} " +
+          f"t=${(System.nanoTime() - roundT0) / 1e6}%.0f ms")
       labels.unpersist(false)
       labels = next
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
+    edges.unpersist(false)
     if (!converged) {
       labels.unpersist(false)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter pointer-jumping " +
-          "rounds (graph diameter > 2^maxIter) — raise maxIter")
+          "rounds (graph diameter > 4^maxIter) — raise maxIter")
     }
-    labels
+    labels.select(col("id"), col("cluster"))
   }
 
   /** Full near-dup dedup: keep the min-id representative of every near-dup

@@ -1,0 +1,155 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core
+import graft.ext.{Dedup, TextStats}
+
+/** Per-stage adjudication for the flagship bench rows (r12 verdict #2):
+  * decompose x0_linkage's wall time (sort/blocking? JW scores? CC rounds?
+  * survivorship?) and x0_pipeline's composition constant (jobs × launch
+  * floor? checkpoint materializations?) the way §6.10 decomposes every
+  * >2× query row.
+  *
+  * Method: cumulative prefixes of the composed chain, each materialized
+  * through the noop sink after one warm-up; the DELTA between successive
+  * prefixes is the stage's marginal cost (the same re-execution the real
+  * composition pays, so deltas sum to the flagship row). A job/task
+  * listener runs per prefix so launch-floor adjudications ("N jobs ×
+  * ~0.15 s") are backed by counts, not guesses.
+  *
+  * Usage: FlagshipProbe [sfDir] [linkage|pipeline|web|media|all]
+  */
+object FlagshipProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf10")
+    val which = if (args.length > 1) args(1) else "all"
+    val spark = core.Sessions.local(appName = "graft-flagshipprobe")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        tasks.addAndGet(s.stageInfo.numTasks)
+    })
+
+    var prev = 0.0
+    def prefix(label: String)(df: => DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      Thread.sleep(100)
+      jobs.set(0); tasks.set(0)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(100)
+      println(f"[flagship] $label%-34s ${s}%7.2f s  (+${s - prev}%6.2f s)  " +
+        f"jobs=${jobs.get}%3d tasks=${tasks.get}%5d")
+      prev = s
+    }
+
+    def t(n: String) = core.Tables.load(spark, sfDir, n)
+
+    if (which == "all" || which == "linkage") {
+      println(s"== x0_linkage @ $sfDir ==")
+      prev = 0.0
+      import graft.functions.ColumnOps.jaroWinklerSim
+      val cust = t("customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+      def planted = cust.unionByName(
+        cust.filter(col("c_custkey") < 30)
+          .select((col("c_custkey") + 1000000000000L).as("c_custkey"),
+            concat(lit(" "), upper(col("c_name")), lit(" ")).as("c_name"),
+            col("c_nationkey"),
+            (col("c_acctbal") + 100).as("c_acctbal")))
+      def norm = planted.withColumn("nm", lower(trim(col("c_name"))))
+      def blocked = graft.ext.Blocking.sortedNeighborhood(
+        norm, "c_custkey", blockKeys = Seq("c_nationkey"),
+        sortKeys = Seq("nm"), window = 1, carry = Seq("nm"))
+      def edges = blocked
+        .filter(jaroWinklerSim(col("nm_a"), col("nm_b")) >= 0.99)
+        .select(col("c_custkey_a").as("id_a"), col("c_custkey_b").as("id_b"))
+      def clusters = Dedup.connectedComponents(edges)
+      def labeled = norm.join(
+          clusters.withColumnRenamed("id", "c_custkey"), Seq("c_custkey"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("c_custkey")))
+      def golden = graft.ext.Survivorship.goldenRecord(labeled,
+          keys = Seq("cluster"), orderCol = "c_custkey",
+          fields = Seq("c_name", "c_acctbal"))
+        .filter(col("n_versions") >= 2)
+        .select(col("cluster"), col("n_versions"),
+          col("c_name").as("golden_name"),
+          round(col("c_acctbal") + 1e-9, 2).as("golden_acctbal"),
+          col("last_order").as("last_id"))
+        .orderBy(col("cluster"))
+      prefix("1 norm (scan+union)")(norm)
+      prefix("2 +blocking (sort+strips)")(blocked)
+      prefix("3 +jw filter -> edges")(edges)
+      prefix("4 +connected components")(clusters)
+      prefix("5 +label join")(labeled)
+      prefix("6 +survivorship+sort (=row)")(golden)
+    }
+
+    if (which == "all" || which == "pipeline") {
+      println(s"== x0_pipeline @ $sfDir ==")
+      prev = 0.0
+      def corpus = graft.queries.ExtQueries.withPlantedDupsProvable(t("documents"))
+      def exact = Dedup.exactByContent(corpus, "text", "doc_id")
+      def near = Dedup.dedupNear(exact, "doc_id", "text",
+        Dedup.MinHashParams(threshold = 1.0))
+      def lineClean = graft.ext.LineDedup.dedupLines(near, "doc_id", "text", 100L)
+      def spanClean = graft.ext.SpanDedup.dedupSpans(lineClean, "doc_id", "text", k = 8)
+      def screened = spanClean
+        .withColumn("quality", TextStats.qualityScore(col("text")))
+        .withColumn("rep2", TextStats.dupNgramFraction(col("text"), 2))
+        .filter(col("quality") >= 0.3 && col("rep2") <= 0.2)
+      def policed = graft.ext.Blocklist.filterBlocked(screened, "text",
+          Seq("forbidden content", "do not train", "opt out"))
+        .localCheckpoint(true)
+      def lmScored(p: DataFrame) = p
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .join(graft.ext.NgramLm.selfScore(p)
+          .select(col("doc_id"), col("nll")), Seq("doc_id"))
+      def rest(p: DataFrame) = {
+        val lmKept = graft.ext.Tiling
+          .ntileByValue(lmScored(p), 10, "nll", "doc_id", "ppl_tile")
+          .filter(col("ppl_tile") <= 9)
+        val modelKept = graft.ext.QualityModel.scoreDocs(lmKept)
+          .filter(col("keep") === 1)
+        val capped = graft.ext.Curation.domainCap(modelKept, n = 200)
+        graft.ext.Splits.byGroup(capped, "source",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextStats.tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .orderBy(col("split"))
+      }
+      prefix("1 corpus+exact dedup")(exact)
+      prefix("2 +near dedup (minhash)")(near)
+      prefix("3 +line dedup")(lineClean)
+      prefix("4 +span dedup")(spanClean)
+      prefix("5 +quality/rep screens")(screened)
+      prefix("6 +blocklist+CHECKPOINT")(policed)
+      // stages below re-reference `policed` (the checkpoint); time them
+      // against ONE materialized checkpoint, as the composition runs
+      val p = policed
+      prefix("7 +lm fit+join")(lmScored(p))
+      prefix("8..11 +ntile+model+cap+split(=row-6)")(rest(p))
+    }
+
+    if (which == "all" || which == "web") {
+      println(s"== x0_web_pipeline @ $sfDir (whole row) ==")
+      prev = 0.0
+      prefix("whole")(graft.queries.ExtQueries.x0_web_pipeline(spark, sfDir))
+    }
+    if (which == "all" || which == "media") {
+      println(s"== x0_media_pipeline @ $sfDir (whole row) ==")
+      prev = 0.0
+      prefix("whole")(graft.queries.ExtQueries.x0_media_pipeline(spark, sfDir))
+    }
+    spark.stop()
+  }
+}
