@@ -29,12 +29,21 @@ import graft.functions.ColumnOps.doubleSortBits
 object Tiling {
 
   /** Append `__rank` (1-based exact global rank by (valueCol, tieCol))
-    * and `tileCol` (NTILE(n) of that rank) to `df`. */
+    * and `tileCol` (NTILE(n) of that rank) to `df`.
+    *
+    * @param totalCol also expose the total row count under this name —
+    *   with the `__rank` column this makes NTILE rank spans closed-form
+    *   arithmetic downstream (base = ⌊N/n⌋, remainder tiles hold one
+    *   extra row), so rank selections (medians, arbitrary order
+    *   statistics per tile) cost a column predicate instead of a
+    *   value-buffering aggregate (the q59 1000×-set fix: Spark's
+    *   `median()` buffers every group value) */
   def ntileByValue(
       df: DataFrame, n: Int,
       valueCol: String, tieCol: String,
       tileCol: String = "tile",
-      bucketBits: Int = 20): DataFrame = {
+      bucketBits: Int = 20,
+      totalCol: Option[String] = None): DataFrame = {
     require(n >= 1, "n must be positive")
     val v = col(s"`$valueCol`").cast("double")
     // null order values sort first: park them in a bucket below every
@@ -74,8 +83,8 @@ object Tiling {
     val tile = when(col("__rank") <= cut,
         floor((col("__rank") - 1) / (base + 1)).cast("long"))
       .otherwise(rem + floor((col("__rank") - 1 - cut) / base).cast("long")) + 1
-    ranked
-      .withColumn(tileCol, tile.cast("long"))
+    val tiled = ranked.withColumn(tileCol, tile.cast("long"))
+    totalCol.fold(tiled)(tc => tiled.withColumn(tc, col("__n")))
       .drop("__b", "__off", "__n")
   }
 }

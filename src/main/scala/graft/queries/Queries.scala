@@ -225,17 +225,31 @@ object Queries {
     // to throw that order away at the final (l_orderkey, l_linenumber)
     // range sort, so the query paid three large sorts. A shuffled hash
     // join builds per-partition maps on orders — the PK side, so no build
-    // skew, and the build stays bounded by orders/numPartitions at any SF
-    // — leaving the output range sort as the only sort in the plan
+    // skew — leaving the output range sort as the only sort in the plan
     // (measured at 100x: 35.3 s SMJ -> 5.3 s SHJ; DuckDB 13.7 s).
-    val oSide =
-      if (o.queryExecution.optimizedPlan.stats.sizeInBytes < (64L << 20))
-        broadcast(o)
-      else o.hint("SHUFFLE_HASH")
-    l.join(oSide, l("l_orderkey") === o("o_orderkey")
-        && l("l_shipdate") > o("o_orderdate"))
-      .select(col("l_orderkey"), col("l_linenumber"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    // The build is bounded by orders/numPartitions, and numPartitions must
+    // therefore SCALE WITH SF: at the 1000x set the session's 32 shuffle
+    // partitions put ~4.7M orders rows in one hash relation and the build
+    // FAILED outright ("Can't acquire 268435456 bytes", round-13 spot
+    // run). Both sides are repartitioned to ~32 MB of estimated build
+    // bytes per partition (floor: the session default), so the hint stays
+    // a hint and never turns into a scale ceiling.
+    val oBytes = o.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (oBytes < (64L << 20)) {
+      l.join(broadcast(o), l("l_orderkey") === o("o_orderkey")
+          && l("l_shipdate") > o("o_orderdate"))
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    } else {
+      val shuf = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = math.max(shuf, (oBytes / (32L << 20)).toInt + 1)
+      val lp = l.repartition(p, col("l_orderkey"))
+      val op = o.repartition(p, col("o_orderkey")).hint("SHUFFLE_HASH")
+      lp.join(op, lp("l_orderkey") === op("o_orderkey")
+          && lp("l_shipdate") > op("o_orderdate"))
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }
   }
 
   /** Q15 — analytic window LAG over a per-user event sequence. */
@@ -832,19 +846,45 @@ object Queries {
     * NOT the window NTILE — that plans a single-partition global sort.
     * [[graft.ext.Tiling.ntileByValue]] computes the identical tile from
     * an exact global rank assembled out of bit-bucket counts + parallel
-    * per-bucket windows, so no stage owns the whole relation. */
+    * per-bucket windows, so no stage owns the whole relation.
+    *
+    * The per-decile median is a RANK SELECTION, not Spark's `median()`
+    * aggregate: `median()` is a value-buffering TypedImperativeAggregate
+    * (every group value held in the agg buffer — 15M doubles per decile
+    * at the 1000× set, where the round-13 spot run measured it as a 70 s
+    * spill-churning stage). The tiling already assigns each row its
+    * exact global rank, and the NTILE contract makes every decile's rank
+    * span closed-form from the total count alone (first N%10 tiles hold
+    * ⌈N/10⌉ rows), so the two middle ranks of each decile are column
+    * arithmetic and the median is two conditional sums in the SAME
+    * single-pass aggregation — nothing is buffered. Ties are safe: a
+    * rank's value is well-defined regardless of tie order, and
+    * odd-count deciles select the same rank twice (sum/2 = the value). */
   val q59_ntile: Q = (s, d) => {
-    graft.ext.Tiling.ntileByValue(
-        t(s, d, "orders").select(col("o_totalprice"), col("o_orderkey")),
-        10, "o_totalprice", "o_orderkey", tileCol = "decile")
+    val tiled = graft.ext.Tiling.ntileByValue(
+      t(s, d, "orders").select(col("o_totalprice"), col("o_orderkey")),
+      10, "o_totalprice", "o_orderkey", tileCol = "decile",
+      totalCol = Some("__total"))
+    val k = col("decile")
+    val base = floor(col("__total") / 10).cast("long")
+    val rem = col("__total") % 10
+    val ck = base + when(k <= rem, lit(1L)).otherwise(lit(0L)) // decile size
+    val rk0 = (k - 1) * base + least(k - 1, rem) + 1 // first rank in decile
+    val half = floor((ck - 1) / 2).cast("long")
+    val posLo = rk0 + half // lower middle rank
+    val posHi = rk0 + (ck - 1) - half // upper middle rank (= posLo if odd)
+    val v = col("o_totalprice")
+    tiled
       .groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n"),
-        round(min(col("o_totalprice")), 2).as("lo"),
-        round(max(col("o_totalprice")), 2).as("hi"),
+        round(min(v), 2).as("lo"),
+        round(max(v), 2).as("hi"),
         // +1e-9: the interpolated median lands exactly on .xx5 ties where
         // Spark (half-up) and DuckDB (half-even) round apart
-        round(expr("median(o_totalprice)") + lit(1e-9), 2).as("med"))
+        round((sum(when(col("__rank") === posLo, v))
+          + sum(when(col("__rank") === posHi, v))) / 2 + lit(1e-9), 2)
+          .as("med"))
       .orderBy(col("decile"))
   }
 
