@@ -46,6 +46,37 @@ class TilingSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("totalCol exposes the row count; rank-median equals median() per tile") {
+    val o = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_totalprice"), col("o_orderkey"))
+    val total = o.count()
+    val tiled = Tiling.ntileByValue(o, 10, "o_totalprice", "o_orderkey",
+      tileCol = "decile", totalCol = Some("__total"))
+    // every row carries the exact total
+    assert(tiled.select(col("__total")).distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(total))
+    // the q59 construction: NTILE rank spans are closed-form from the
+    // total alone, so each decile's median is a 2-rank selection — must
+    // equal Spark's buffering median() aggregate exactly
+    val k = col("decile")
+    val base = floor(col("__total") / 10).cast("long")
+    val rem = col("__total") % 10
+    val ck = base + when(k <= rem, lit(1L)).otherwise(lit(0L))
+    val rk0 = (k - 1) * base + least(k - 1, rem) + 1
+    val half = floor((ck - 1) / 2).cast("long")
+    val posLo = rk0 + half
+    val posHi = rk0 + (ck - 1) - half
+    val got = tiled.groupBy(k)
+      .agg(((sum(when(col("__rank") === posLo, col("o_totalprice")))
+        + sum(when(col("__rank") === posHi, col("o_totalprice")))) / 2)
+        .as("med"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = tiled.groupBy(k)
+      .agg(expr("median(o_totalprice)").as("med"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === expected)
+  }
+
   test("no single-partition row-sized exchange in the plan") {
     val o = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val plan = Tiling.ntileByValue(o, 10, "o_totalprice", "o_orderkey")
