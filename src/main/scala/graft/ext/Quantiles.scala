@@ -238,4 +238,55 @@ object Quantiles {
       .select(col("__groups.__g").as(groupCol) +:
         specs.map { case (_, _, name) => col(s"__quant.`$name`").as(name) }: _*)
   }
+
+  /** Exact value at an integer RANK (1-based, value order, duplicates
+    * counted) of a long-valued column — the order statistic the X96
+    * temporal split needs for its cutoff: rank semantics must return an
+    * EXISTING value with zero float drift, which rules out routing
+    * through [[exactQuantiles]]'s p ∈ [0,1] interpolation (mapping a
+    * rank to p and back through `1 + p(n−1)` reintroduces an ulp that
+    * can smear the selected value across two ranks).
+    *
+    * Same two-pass selection shape as [[exactQuantiles]], all-integer:
+    * a signed long is its own order-preserving bit pattern, so the
+    * bucket id is just an arithmetic right shift. Pass 1 — bucket
+    * counts (map-side combined, ≤ 2^bucketBits rows) collected and
+    * cumulated on the driver to locate the one bucket containing the
+    * rank. Pass 2 — only that bucket's rows survive the scan
+    * (~n/2^bucketBits), grouped by value; the cumulative walk over the
+    * tiny distinct-value list lands on the answer. NULLs are excluded
+    * (SQL order-statistic convention). Throws if rank > non-null count. */
+  def valueAtRankLong(df: DataFrame, valueCol: String, rank: Long,
+      bucketBits: Int = 18): Long = {
+    require(rank >= 1, s"rank must be >= 1, got $rank")
+    require(bucketBits >= 1 && bucketBits <= 63, "bucketBits in [1, 63]")
+    val v = col(s"`$valueCol`").cast("long")
+    val nn = df.filter(v.isNotNull)
+    val counts = nn
+      .select(shiftright(v, 64 - bucketBits).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__b"))
+      .collect()
+    val total = counts.map(_.getLong(1)).sum
+    require(rank <= total,
+      s"rank $rank exceeds non-null count $total of $valueCol")
+    var off = 0L
+    var bi = 0
+    while (off + counts(bi).getLong(1) < rank) {
+      off += counts(bi).getLong(1); bi += 1
+    }
+    val targetBucket = counts(bi).getLong(0)
+    val values = nn
+      .filter(shiftright(v, 64 - bucketBits) === targetBucket)
+      .select(v.as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__v"))
+      .collect()
+    var cum = off
+    var vi = 0
+    while (cum + values(vi).getLong(1) < rank) {
+      cum += values(vi).getLong(1); vi += 1
+    }
+    values(vi).getLong(0)
+  }
 }

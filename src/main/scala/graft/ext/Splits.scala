@@ -64,6 +64,58 @@ object Splits {
     df.withColumn(outCol, assigned)
   }
 
+  /** X96 — temporal train/test split with an EMBARGO gap.
+    *
+    * Random and group splits are both wrong for time-ordered data: a
+    * model trained on Tuesday's rows and tested on Monday's has seen
+    * the future, and even a clean time cutoff leaks through
+    * AUTOCORRELATION — rows just after the cutoff are near-copies of
+    * rows just before it (the same sessions, the same documents
+    * re-crawled), so test metrics read training memorization. The
+    * production contract (standard in forecast/backtest evaluation) is
+    * cutoff + embargo: train takes everything up to the cutoff instant,
+    * the embargo window after it is DROPPED from both sides, test
+    * starts after the embargo.
+    *
+    * Cutoff selection is an exact ORDER STATISTIC, all-integer: rank
+    * ceil(n × trainPermille / 1000) of the epoch-microsecond value
+    * ([[Quantiles.valueAtRankLong]] — two metadata-sized passes, no
+    * global sort, no float interpolation), so the cutoff is an existing
+    * timestamp and both engines compute the identical instant from the
+    * identical integer arithmetic. Boundary semantics: the cutoff
+    * INSTANT belongs wholly to train (an instant cannot be split — rows
+    * tied at the cutoff all land in train even if that overshoots the
+    * requested fraction); the embargo interval is half-open:
+    * `cutoff < ts < cutoff + embargo` → "embargo",
+    * `ts >= cutoff + embargo` → "test". Assignment itself is a row-local
+    * projection against the broadcast cutoff literal — scan-speed at
+    * any SF, the [[byGroup]] scale property.
+    *
+    * @param trainPermille train fraction in 1/1000ths (an integer, so
+    *   the rank is exact: 800 → ceil(0.8 n) with no 0.8-in-binary drift)
+    * @param embargo a Spark interval literal body, e.g. "7 days" */
+  def byTimeEmbargo(df: DataFrame, timeCol: String,
+      trainPermille: Int = 800, embargo: String = "1 day",
+      outCol: String = "split"): DataFrame = {
+    require(trainPermille >= 1 && trainPermille <= 999,
+      s"trainPermille in [1, 999], got $trainPermille")
+    val ts = col(s"`$timeCol`")
+    // NOT ts.cast("long") — that is epoch SECONDS; unix_micros is the
+    // microsecond-exact instant (DuckDB side: epoch_us)
+    val withUs = df.select(unix_micros(ts).as("__us"))
+    val n = withUs.filter(col("__us").isNotNull).count()
+    require(n > 0, s"byTimeEmbargo: no non-null $timeCol rows")
+    val rank = (n * trainPermille + 999L) / 1000L // = ceil(n·p/1000), exact
+    val cutUs = Quantiles.valueAtRankLong(withUs, "__us", rank)
+    val cutoff = timestamp_micros(lit(cutUs))
+    val gapEnd = cutoff + expr(s"INTERVAL $embargo")
+    df.withColumn(outCol,
+      when(ts.isNull, lit(null).cast("string"))
+        .when(ts <= cutoff, "train")
+        .when(ts < gapEnd, "embargo")
+        .otherwise("test"))
+  }
+
   /** Split-integrity audit: per group, how many distinct splits its rows
     * landed in — every row > 1 is a leakage bug. Empty result = clean.
     * (For [[byGroup]] output this is structurally empty; the audit

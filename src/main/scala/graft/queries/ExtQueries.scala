@@ -2257,6 +2257,24 @@ object ExtQueries {
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** X96 — temporal train/test split with an embargo gap
+    * ([[graft.ext.Splits.byTimeEmbargo]]): cutoff at the exact rank
+    * ceil(0.8 n) of the event timestamp (all-integer order statistic —
+    * [[graft.ext.Quantiles.valueAtRankLong]] over epoch micros), the 12
+    * hours after it embargoed out of both sides. The oracle restates the
+    * cutoff as a window row_number selection at the same integer rank
+    * (ties share a value, so the selected INSTANT is tie-order-free) and
+    * replays the same half-open interval comparisons in µs-exact
+    * timestamp arithmetic. */
+  val x96_time_split: Q = (s, d) =>
+    graft.ext.Splits.byTimeEmbargo(t(s, d, "events"), "ts",
+        trainPermille = 800, embargo = "12 hours")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_ev"),
+        max(col("event_id")).as("max_ev"))
+      .orderBy(col("split"))
+
   /** X80 — join-explosion guard (`ext/JoinGuard.fanoutReport`): per-key
     * amplification of a prospective lineitem self-join by part key,
     * screened to fan-out ≥ 40 — the report a pipeline checks BEFORE
@@ -3149,6 +3167,7 @@ object ExtQueries {
     "x77_mutual_knn" -> x77_mutual_knn,
     "x78_salted_join" -> x78_salted_join,
     "x79_group_split" -> x79_group_split,
+    "x96_time_split" -> x96_time_split,
     "x80_join_guard" -> x80_join_guard,
     "x81_fix_mojibake" -> x81_fix_mojibake,
     "x82_trending" -> x82_trending,
@@ -4630,6 +4649,26 @@ object ExtQueries {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         | FROM documents ORDER BY doc_id""",
+    // cutoff = the timestamp at exact integer rank ceil(0.8 n) (ties
+    // share a value, so row_number tie order cannot change the selected
+    // instant); embargo is the half-open (cutoff, cutoff+12h) window
+    "x96_time_split" ->
+      """WITH nn AS (SELECT count(*) AS n FROM events WHERE ts IS NOT NULL),
+        | cut AS (
+        |   SELECT ts AS cut_ts FROM (
+        |     SELECT ts, row_number() OVER (ORDER BY ts) AS rn
+        |     FROM events WHERE ts IS NOT NULL)
+        |   WHERE rn = (SELECT (n * 800 + 999) // 1000 FROM nn)),
+        | lab AS (
+        |   SELECT event_id,
+        |     CASE WHEN ts <= (SELECT cut_ts FROM cut) THEN 'train'
+        |          WHEN ts < (SELECT cut_ts FROM cut) + INTERVAL 12 HOUR
+        |            THEN 'embargo'
+        |          ELSE 'test' END AS split
+        |   FROM events)
+        |SELECT split, count(*) AS n_rows,
+        |  min(event_id) AS min_ev, max(event_id) AS max_ev
+        |FROM lab GROUP BY split ORDER BY split""",
     // exhaustive top-5 both directions (self occupies a rank slot, then
     // drops — mirroring the engine), mutual join, degree with 0 fill
     "x77_mutual_knn" ->

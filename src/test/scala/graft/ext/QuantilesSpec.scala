@@ -73,4 +73,23 @@ class QuantilesSpec extends SparkSpec {
       assert(math.abs(o.getDouble(2) - b.getDouble(2)) < 1e-9)
     }
   }
+
+  test("valueAtRankLong equals sorted indexing: duplicates, negatives, nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals: Seq[Long] = Seq.fill(500)(rnd.nextLong() % 1000L) ++
+      Seq(Long.MinValue / 4, Long.MaxValue / 4, 0L, 0L, -1L)
+    val df = (vals.map(Option(_)) ++ Seq(None, None)).toDF("v")
+    val sorted = vals.sorted
+    for (r <- Seq(1, 2, 17, 250, sorted.length)) {
+      assert(Quantiles.valueAtRankLong(df, "v", r.toLong) === sorted(r - 1),
+        s"rank $r")
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.valueAtRankLong(df, "v", sorted.length + 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.valueAtRankLong(df, "v", 0L)
+    }
+  }
 }

@@ -86,4 +86,57 @@ class SplitsSpec extends SparkSpec {
       Splits.byGroup(docs, "author", Seq("a" -> 1.0, "a" -> 1.0))
     }
   }
+
+  test("byTimeEmbargo: cutoff at exact rank, embargo half-open, ties to train") {
+    // 10 rows, one per hour; trainPermille 600 → rank 6 → cutoff = hour 6
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600L * 1000)
+    val ev = (1 to 10).map(h => (h.toLong, at(h))).toDF("id", "ts")
+    val got = Splits.byTimeEmbargo(ev, "ts", trainPermille = 600,
+        embargo = "2 hours")
+      .select(col("id"), col("split")).as[(Long, String)].collect().toMap
+    // train: hours 1..6 (cutoff instant in train); embargo: (6, 8) → 7;
+    // test: >= 8
+    assert((1L to 6L).forall(got(_) == "train"))
+    assert(got(7L) === "embargo")
+    assert((8L to 10L).forall(got(_) == "test"))
+  }
+
+  test("byTimeEmbargo: all rows tied at the cutoff instant go to train") {
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-02 12:00:00")
+    // rank ceil(0.5·6)=3 lands inside the t0 tie block → every t0 row is
+    // train even though that overshoots 50%
+    val ev = Seq((1L, t0), (2L, t0), (3L, t0), (4L, t0), (5L, t1), (6L, t1))
+      .toDF("id", "ts")
+    val got = Splits.byTimeEmbargo(ev, "ts", trainPermille = 500,
+        embargo = "1 hour")
+      .select(col("id"), col("split")).as[(Long, String)].collect().toMap
+    assert((1L to 4L).forall(got(_) == "train"))
+    assert(got(5L) === "test" && got(6L) === "test")
+  }
+
+  test("byTimeEmbargo on real events: partition is exhaustive and ordered") {
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val lab = Splits.byTimeEmbargo(ev, "ts", trainPermille = 800,
+      embargo = "12 hours")
+    val spans = lab.groupBy(col("split"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toMap
+    val n = ev.count()
+    // non-overlapping, ordered spans covering every row
+    assert(spans.values.map(_._3).sum === n)
+    assert(spans("train")._3 >= (n * 800 + 999) / 1000)
+    if (spans.contains("embargo"))
+      assert(spans("train")._2.before(spans("embargo")._1))
+    if (spans.contains("test") && spans.contains("embargo"))
+      assert(spans("embargo")._2.before(spans("test")._1))
+    // rerun reproduces bit-for-bit
+    val again = Splits.byTimeEmbargo(ev, "ts", trainPermille = 800,
+      embargo = "12 hours")
+    assert(lab.select("event_id", "split").exceptAll(
+      again.select("event_id", "split")).isEmpty)
+  }
 }
