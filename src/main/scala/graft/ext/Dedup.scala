@@ -232,7 +232,9 @@ object Dedup {
     //    construction ((id, label) pairs, hash joins on longs), so
     //    runtime re-planning has nothing to win.
     //  - shuffle partitions sized from the measured edge count (~500k
-    //    16-byte rows per partition, floor 4), instead of the session's
+    //    16-byte rows per partition, floor 8 — so the term only bites
+    //    past 4M edges; below that the floor IS the sizing, which is the
+    //    measured intent for the 1–4M band), instead of the session's
     //    scan-oriented default: a 32-way shuffle of a 1.5M-row label
     //    table is ~500 tasks/round of pure task-launch constant. On a
     //    real cluster with billions of edges the cap keeps the session

@@ -247,37 +247,95 @@ object Quantiles {
     * rank to p and back through `1 + p(n−1)` reintroduces an ulp that
     * can smear the selected value across two ranks).
     *
-    * Same two-pass selection shape as [[exactQuantiles]], all-integer:
-    * a signed long is its own order-preserving bit pattern, so the
-    * bucket id is just an arithmetic right shift. Pass 1 — bucket
-    * counts (map-side combined, ≤ 2^bucketBits rows) collected and
-    * cumulated on the driver to locate the one bucket containing the
-    * rank. Pass 2 — only that bucket's rows survive the scan
-    * (~n/2^bucketBits), grouped by value; the cumulative walk over the
-    * tiny distinct-value list lands on the answer. NULLs are excluded
-    * (SQL order-statistic convention). Throws if rank > non-null count. */
+    * Same selection shape as [[exactQuantiles]], all-integer, with
+    * RECURSIVE NARROWING: a signed long is its own order-preserving bit
+    * pattern, so the level-0 bucket id is just an arithmetic right shift
+    * (overflow-safe across the full signed range, where `v − min` is
+    * not). Level 0 — bucket counts (map-side combined, ≤ 2^bucketBits
+    * rows) collected and cumulated on the driver to locate the one
+    * bucket containing the rank. The raw high-bit prefix degenerates
+    * when the data occupies a narrow value band — epoch-microsecond
+    * timestamps span ~2^40 of the 2^64 range, so at the default 18 bits
+    * every row lands in ONE bucket (the round-13 advisory finding, the
+    * same driver-OOM class as the q14 build-partition defect) — so
+    * while the located bucket still holds more than `maxCollect` rows,
+    * it is RE-BUCKETED on its own observed span (`(v − lo) >> k` with k
+    * sized from the span — exact integer arithmetic, no float), each
+    * level one cheap scan + metadata-sized collect that narrows the
+    * span by 2^bucketBits. The final pass groups the surviving sliver
+    * by value (≤ 2^bucketBits distinct values by construction); the
+    * cumulative walk over that tiny list lands on the answer. Level
+    * count is ⌈(64 − bucketBits) / bucketBits⌉ at worst (3 scans past
+    * level 0 at the default 18 bits), data-independent. NULLs are
+    * excluded (SQL order-statistic convention). Throws if rank >
+    * non-null count.
+    * @param maxCollect largest per-level driver collect tolerated
+    *   before another narrowing level is spent (rows in the located
+    *   bucket, an upper bound on its distinct values) */
   def valueAtRankLong(df: DataFrame, valueCol: String, rank: Long,
-      bucketBits: Int = 18): Long = {
+      bucketBits: Int = 18, maxCollect: Long = 1L << 17): Long = {
     require(rank >= 1, s"rank must be >= 1, got $rank")
-    require(bucketBits >= 1 && bucketBits <= 63, "bucketBits in [1, 63]")
+    require(bucketBits >= 1 && bucketBits <= 62, "bucketBits in [1, 62]")
+    require(maxCollect >= 1, "maxCollect must be >= 1")
     val v = col(s"`$valueCol`").cast("long")
     val nn = df.filter(v.isNotNull)
-    val counts = nn
+
+    // walk a sorted (bucket, count) list to the bucket containing `rank`
+    // given `off` ranks precede it; returns (bucket, its count, new off)
+    def locate(counts: Array[org.apache.spark.sql.Row], off0: Long)
+        : (Long, Long, Long) = {
+      var off = off0
+      var i = 0
+      while (off + counts(i).getLong(1) < rank) {
+        off += counts(i).getLong(1); i += 1
+      }
+      (counts(i).getLong(0), counts(i).getLong(1), off)
+    }
+
+    // level 0: top-bit prefix buckets over the full signed range
+    val counts0 = nn
       .select(shiftright(v, 64 - bucketBits).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__b"))
       .collect()
-    val total = counts.map(_.getLong(1)).sum
+    val total = counts0.map(_.getLong(1)).sum
     require(rank <= total,
       s"rank $rank exceeds non-null count $total of $valueCol")
-    var off = 0L
-    var bi = 0
-    while (off + counts(bi).getLong(1) < rank) {
-      off += counts(bi).getLong(1); bi += 1
+    val (b0, c0, off0) = locate(counts0, 0L)
+    // value bounds of the located level-0 bucket (inclusive); span − 1 =
+    // 2^(64−bucketBits) − 1 fits a long for bucketBits ≥ 1
+    var lo = b0 << (64 - bucketBits)
+    var hi = lo + ((1L << (64 - bucketBits)) - 1)
+    var cnt = c0
+    var off = off0
+
+    // narrowing levels: re-bucket the located bucket on its own span
+    while (cnt > maxCollect) {
+      val spanM1 = hi - lo // ≥ 0, fits (level-0 bound above)
+      // smallest k with 2^(k + bucketBits) ≥ span: sub-bucket width 2^k
+      val k = math.max(0,
+        (64 - java.lang.Long.numberOfLeadingZeros(spanM1)) - bucketBits)
+      if (k == 0) {
+        // sub-buckets would be single values — the final pass's groupBy
+        // by value collects ≤ 2^bucketBits rows regardless of cnt
+        cnt = 0L
+      } else {
+        val counts = nn.filter(v.between(lo, hi))
+          .select(shiftright(v - lit(lo), k).as("__b"))
+          .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+          .orderBy(col("__b"))
+          .collect()
+        val (b, c, o) = locate(counts, off)
+        lo = lo + (b << k)
+        hi = lo + ((1L << k) - 1)
+        cnt = c
+        off = o
+      }
     }
-    val targetBucket = counts(bi).getLong(0)
+
+    // final pass: the surviving sliver, grouped by value
     val values = nn
-      .filter(shiftright(v, 64 - bucketBits) === targetBucket)
+      .filter(v.between(lo, hi))
       .select(v.as("__v"))
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__v"))

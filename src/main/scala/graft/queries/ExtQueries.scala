@@ -4651,7 +4651,10 @@ object ExtQueries {
         | FROM documents ORDER BY doc_id""",
     // cutoff = the timestamp at exact integer rank ceil(0.8 n) (ties
     // share a value, so row_number tie order cannot change the selected
-    // instant); embargo is the half-open (cutoff, cutoff+12h) window
+    // instant); embargo is the half-open (cutoff, cutoff+12h) window.
+    // NULL ts → NULL split is pinned explicitly (the engine labels NULL
+    // timestamps NULL; without the leading WHEN the CASE would fall
+    // through to 'test' — latent divergence, round-13 advisory)
     "x96_time_split" ->
       """WITH nn AS (SELECT count(*) AS n FROM events WHERE ts IS NOT NULL),
         | cut AS (
@@ -4661,7 +4664,8 @@ object ExtQueries {
         |   WHERE rn = (SELECT (n * 800 + 999) // 1000 FROM nn)),
         | lab AS (
         |   SELECT event_id,
-        |     CASE WHEN ts <= (SELECT cut_ts FROM cut) THEN 'train'
+        |     CASE WHEN ts IS NULL THEN NULL
+        |          WHEN ts <= (SELECT cut_ts FROM cut) THEN 'train'
         |          WHEN ts < (SELECT cut_ts FROM cut) + INTERVAL 12 HOUR
         |            THEN 'embargo'
         |          ELSE 'test' END AS split

@@ -242,7 +242,11 @@ object Queries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     } else {
       val shuf = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val p = math.max(shuf, (oBytes / (32L << 20)).toInt + 1)
+      // clamp BEFORE BigInt→Int: a conservative optimizer estimate (join
+      // defaults near Long.MaxValue) would otherwise truncate to garbage
+      // low bits — possibly a huge or negative partition count
+      val p = math.max(shuf,
+        ((oBytes / (32L << 20)) min BigInt(10000)).toInt + 1)
       val lp = l.repartition(p, col("l_orderkey"))
       val op = o.repartition(p, col("o_orderkey")).hint("SHUFFLE_HASH")
       lp.join(op, lp("l_orderkey") === op("o_orderkey")

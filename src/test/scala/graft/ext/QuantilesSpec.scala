@@ -92,4 +92,27 @@ class QuantilesSpec extends SparkSpec {
       Quantiles.valueAtRankLong(df, "v", 0L)
     }
   }
+
+  test("valueAtRankLong narrows recursively on a narrow value band") {
+    import spark.implicits._
+    // epoch-microsecond-like band: all values inside one default-width
+    // level-0 bucket (the round-13 advisory degeneracy) — a tiny
+    // maxCollect forces several narrowing levels, and the answer must
+    // still be exact sorted indexing at every probed rank
+    val base = 1704067200000000L // 2024-01-01 in epoch micros
+    val rnd = new scala.util.Random(13)
+    val vals: Seq[Long] =
+      Seq.fill(2000)(base + (rnd.nextLong() % 86400000000L).abs) ++
+        Seq.fill(50)(base + 1234L) // a duplicate pile inside the band
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    for (r <- Seq(1, 100, 1025, 1640, sorted.length)) {
+      assert(Quantiles.valueAtRankLong(df, "v", r.toLong,
+          bucketBits = 4, maxCollect = 8L) === sorted(r - 1),
+        s"rank $r (narrowed)")
+      // and the default knobs agree
+      assert(Quantiles.valueAtRankLong(df, "v", r.toLong) === sorted(r - 1),
+        s"rank $r (default)")
+    }
+  }
 }
