@@ -15,13 +15,25 @@ import graft.etl.Upsert
   * latest-per-key dedup within the batch, [[graft.etl.Upsert]] against
   * the previous snapshot, versioned write + pointer swap.
   *
-  * Consistency contract (object-store safe, no rename):
+  * Consistency contract (object-store safe, no in-place mutation):
   *  - each batch writes a COMPLETE new snapshot under `dir/v=<batchId>`
   *    (write-once; a replayed batch after restart overwrites the same
   *    version directory, so reprocessing is idempotent);
-  *  - `dir/_CURRENT` is a one-line pointer updated AFTER the write
-  *    commits; readers resolve it then read an immutable directory —
-  *    they never observe a half-written snapshot;
+  *  - publish goes through the epoch-fenced [[CommitLog]] (round 14):
+  *    the pointer is the HEAD of `dir/_commits/`, each commit an
+  *    immutable fully-written-then-atomically-linked file, so readers
+  *    resolve a complete pointer then read an immutable directory —
+  *    never a half-written snapshot, never a torn pointer;
+  *  - CONCURRENT WRITERS are safe: a fold computed from epoch E only
+  *    publishes if it wins the exclusive-create of epoch E+1; the loser
+  *    detects the conflict, re-reads the winner's snapshot, re-folds
+  *    its batch on top and retries (up to `maxRetries`, then aborts
+  *    with the conflict surfaced). Writers running concurrently MUST
+  *    use distinct `writerTag`s so their version directories cannot
+  *    collide — same contract as Delta's per-app txn identity. Legacy
+  *    stores published via the pre-round-14 `_CURRENT` pointer are read
+  *    transparently (the pointer becomes epoch 0) and migrate to the
+  *    log on their next publish;
   *  - old versions stay until [[vacuum]] — time travel for free, exactly
   *    the manifest-pointer scheme table formats use, scaled down.
   *
@@ -55,16 +67,31 @@ object StreamingUpsert {
   }
 
   /** One micro-batch: dedupe to latest-per-key, upsert into the current
-    * snapshot, publish as `v=<batchId>`. Public for batch-mode reuse and
-    * deterministic testing. */
+    * snapshot, publish as `v=<batchId>` (untagged) or
+    * `v=<writerTag>-<batchId>` through the epoch-fenced [[CommitLog]].
+    * Public for batch-mode reuse and deterministic testing.
+    *
+    * @param writerTag identity of this writer, `[A-Za-z0-9_]+` or empty
+    *   (the single-writer streaming default — keeps the `v=<batchId>`
+    *   layout and [[snapshotAt]] addressing). Concurrent writers into
+    *   one store MUST use distinct tags: the tag namespaces the version
+    *   directory, and the replay guard tracks each writer's own batch
+    *   sequence through the log.
+    * @param maxRetries publish-race retries before aborting with
+    *   `ConcurrentModificationException` — each retry re-reads the
+    *   winner's snapshot and re-folds, so a retry is never a lost
+    *   update, only repeated work under contention. */
   def applyBatch(spark: SparkSession, batch: Dataset[Row], batchId: Long,
-      keys: Seq[String], versionCol: String, dir: String): Unit = {
-    // the pointer IS the commit marker: if it already names this batch
-    // (or a later one), the batch committed before the restart — a replay
-    // must be a no-op, not a self-referential rewrite of the directory it
-    // would simultaneously be reading
-    if (currentVersion(spark, dir)
-        .exists(_.stripPrefix("v=").toLong >= batchId)) return
+      keys: Seq[String], versionCol: String, dir: String,
+      writerTag: String = "", maxRetries: Int = 5): Unit = {
+    require(writerTag.isEmpty || writerTag.matches("[A-Za-z0-9_]+"),
+      s"writerTag must match [A-Za-z0-9_]+ or be empty, got '$writerTag'")
+    val ver = if (writerTag.isEmpty) s"v=$batchId" else s"v=$writerTag-$batchId"
+    // the log IS the commit marker: if this writer already committed this
+    // batch (or a later one), the batch landed before the restart — a
+    // replay must be a no-op, not a self-referential rewrite of the
+    // directory it would simultaneously be reading
+    if (lastCommittedBatch(spark, dir, writerTag).exists(_ >= batchId)) return
     if (batch.isEmpty) return
     val w = Window.partitionBy(keys.map(k => col(s"`$k`")): _*)
       .orderBy(col(s"`$versionCol`").desc)
@@ -72,13 +99,48 @@ object StreamingUpsert {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val next = currentSnapshot(spark, dir) match {
-      case Some(cur) => Upsert.upsertVersioned(cur, latest, keys, versionCol)
-      case None => latest
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val head = headCommit(spark, dir)
+      val next = head match {
+        case Some(c) =>
+          Upsert.upsertVersioned(
+            spark.read.parquet(s"$dir/${c.version}"), latest, keys, versionCol)
+        case None => latest
+      }
+      // the writer's OWN (tag, batch) directory: nobody else writes it,
+      // so a post-race rewrite can never clobber a committed version
+      next.write.mode("overwrite").option("compression", "snappy")
+        .parquet(s"$dir/$ver")
+      committed = CommitLog.tryCommit(spark, dir,
+        head.map(_.epoch).getOrElse(0L), ver)
+      if (!committed) {
+        attempt += 1
+        if (attempt > maxRetries) {
+          val now = headCommit(spark, dir).map(_.version).getOrElse("none")
+          throw new java.util.ConcurrentModificationException(
+            s"lost the publish race at $dir $maxRetries times " +
+              s"(another writer keeps advancing the log; head is now $now) " +
+              "— batch NOT published; re-run when contention clears or " +
+              "raise maxRetries")
+        }
+      }
     }
-    val vdir = s"$dir/v=$batchId"
-    next.write.mode("overwrite").option("compression", "snappy").parquet(vdir)
-    publish(spark, dir, s"v=$batchId")
+  }
+
+  /** This writer's newest committed batch id, scanning the log head-first
+    * (plus the legacy pointer for untagged writers). */
+  private def lastCommittedBatch(spark: SparkSession, dir: String,
+      writerTag: String): Option[Long] = {
+    val pat = if (writerTag.isEmpty) "v=(\\d+)".r
+      else s"v=${writerTag}-(\\d+)".r
+    val fromLog = CommitLog.commits(spark, dir).reverseIterator
+      .map(_.version).collectFirst { case pat(n) => n.toLong }
+    fromLog.orElse(
+      if (writerTag.isEmpty)
+        legacyPointer(spark, dir).map(_.stripPrefix("v=").toLong)
+      else None)
   }
 
   /** The current snapshot, or None before the first publish. */
@@ -88,7 +150,20 @@ object StreamingUpsert {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def currentVersion(spark: SparkSession, dir: String): Option[String] = {
+  /** Head of the commit log; a legacy pre-round-14 `_CURRENT` pointer
+    * reads as epoch 0, so old stores resolve transparently and their
+    * next publish (expected epoch 0 → commit 1) migrates them. */
+  private def headCommit(spark: SparkSession, dir: String)
+      : Option[CommitLog.Commit] =
+    CommitLog.current(spark, dir)
+      .orElse(legacyPointer(spark, dir).map(CommitLog.Commit(0L, _)))
+
+  private def currentVersion(spark: SparkSession, dir: String): Option[String] =
+    headCommit(spark, dir).map(_.version)
+
+  /** The pre-round-14 single-writer pointer, read for migration only —
+    * never written anymore, and ignored once a commit log exists. */
+  private def legacyPointer(spark: SparkSession, dir: String): Option[String] = {
     val f = fs(spark, dir)
     val p = new Path(s"$dir/_CURRENT")
     if (!f.exists(p)) None
@@ -99,22 +174,6 @@ object StreamingUpsert {
         s"corrupt snapshot pointer at $p: '$v' — restore it to the last good 'v=<n>'")
       Some(v)
     }
-  }
-
-  /** Publish via temp-write + OVERWRITE rename: a reader never observes
-    * a truncated or empty pointer (FileContext rename with OVERWRITE is
-    * the atomic pointer swap on posix/HDFS; on object stores the pointer
-    * is one small object and its PUT is already atomic — there the
-    * temp+rename degrades to copy+delete, equally safe for readers). */
-  private def publish(spark: SparkSession, dir: String, version: String): Unit = {
-    val f = fs(spark, dir)
-    val tmp = new Path(s"$dir/_CURRENT.tmp")
-    val dst = new Path(s"$dir/_CURRENT")
-    val out = f.create(tmp, true)
-    try out.write(version.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      dst.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Retention vacuum: delete versions STRICTLY OLDER than the published
@@ -128,7 +187,16 @@ object StreamingUpsert {
     * a retained directory. */
   def vacuum(spark: SparkSession, dir: String, keep: Int = 1): Unit = {
     require(keep >= 1, "keep must be >= 1 (the current version always stays)")
-    currentVersion(spark, dir).foreach { cur =>
+    val log = CommitLog.commits(spark, dir)
+    if (log.nonEmpty) {
+      // commit-log order is publish order across ALL writers (tagged or
+      // not); uncommitted in-flight directories are not in the log and
+      // are never touched
+      val f = fs(spark, dir)
+      log.map(_.version).distinct.dropRight(1) // head always stays
+        .dropRight(keep - 1)
+        .foreach(v => f.delete(new Path(s"$dir/$v"), true))
+    } else legacyPointer(spark, dir).foreach { cur =>
       val curN = cur.stripPrefix("v=").toLong
       val f = fs(spark, dir)
       val older = f.listStatus(new Path(dir))
@@ -161,11 +229,18 @@ object StreamingUpsert {
     * available versions listed when `batchId` was vacuumed or never
     * published. */
   def snapshotAt(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
-    // only PUBLISHED versions are readable: a directory newer than the
-    // pointer may be a half-written in-flight batch
-    val curN = currentVersion(spark, dir).map(_.stripPrefix("v=").toLong)
-    require(curN.exists(batchId <= _),
-      s"version v=$batchId is not published yet (current: ${curN.fold("none")(n => s"v=$n")})")
+    // only PUBLISHED versions are readable: a directory absent from the
+    // commit log may be a half-written in-flight batch. Addresses the
+    // untagged `v=<batchId>` namespace; tagged writers' versions are
+    // reachable through [[CommitLog.commits]] directly. Legacy stores:
+    // every batch at or below the old pointer was published.
+    val published =
+      CommitLog.commits(spark, dir).exists(_.version == s"v=$batchId") ||
+        legacyPointer(spark, dir)
+          .exists(_.stripPrefix("v=").toLong >= batchId)
+    require(published,
+      s"version v=$batchId is not published yet (head: ${
+        currentVersion(spark, dir).getOrElse("none")})")
     val f = fs(spark, dir)
     val p = new Path(s"$dir/v=$batchId")
     if (!f.exists(p)) {
