@@ -312,6 +312,38 @@ object PlanCheck {
       }
     }
 
+    // X97 filtered ANN: the attribute predicate must land IN the lists
+    // parquet scan (PushedFilters) — a side-table join would shuffle the
+    // whole index against the attribute table; the carried-attribute
+    // design prunes in the probe read itself
+    {
+      import org.apache.spark.sql.functions.col
+      implicit val sp: org.apache.spark.sql.SparkSession = spark
+      val root = java.nio.file.Files.createTempDirectory("graft_plancheck_fann").toString
+      try {
+        val emb = core.Tables.load(spark, sfDir, "embeddings")
+          .filter(col("vec_id") < 500)
+          .withColumn("grp", col("vec_id") % 10)
+        val idx = graft.ext.AnnIndex.create(emb, s"$root/idx", k = 8,
+          iters = 1, attrCols = Seq("grp"))
+        val q = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val plan = graft.ext.AnnIndex.topKFiltered(idx, q,
+            col("grp") === 7, k = 3, nprobe0 = 8)
+          .queryExecution.executedPlan.toString
+        val scanLine = plan.linesIterator
+          .find(l => l.contains("lists") && l.contains("FileScan"))
+          .getOrElse("")
+        val ok = scanLine.contains("PushedFilters: [") &&
+          scanLine.contains("EqualTo(grp,7)")
+        println(s"PLAN ${if (ok) "OK  " else "FAIL"} x97_filtered_pushdown: " +
+          "attribute predicate pushed into the lists parquet scan")
+        if (!ok) println(plan.linesIterator.take(40).mkString("\n"))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      }
+    }
+
     // full plans for the record
     Seq("q06_multi_agg", "q07_dim_joins", "q05_window_topk").foreach { n =>
       println(s"\n===== $n =====")

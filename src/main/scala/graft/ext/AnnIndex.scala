@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,10 +55,15 @@ object AnnIndex {
 
   /** Train models on the corpus and build the initial index (batch 0).
     * @param pqSubspaces Some(m) = IVF-PQ with an m-subspace codebook
-    *   trained on the corpus (lossy, compact); None = raw-vector IVF. */
+    *   trained on the corpus (lossy, compact); None = raw-vector IVF.
+    * @param attrCols scalar attribute columns of the corpus carried INTO
+    *   the inverted lists (the Milvus/FAISS-IDSelector scalar-field
+    *   pattern) so [[topKFiltered]] can push its predicate into the
+    *   list-probe parquet scan instead of joining a side table. */
   def create(corpus: DataFrame, dir: String, k: Int, iters: Int = 3,
       pqSubspaces: Option[(Int, Int)] = None, seed: Long = 42,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      attrCols: Seq[String] = Nil)
       (implicit spark: SparkSession): Index = {
     val coarse = Ivf.train(corpus, k = k, iters = iters, seed = seed,
       vecCol = vecCol)
@@ -66,7 +71,7 @@ object AnnIndex {
       Pq.train(corpus, m = m, k = kCodes, iters = iters, seed = seed,
         vecCol = vecCol)
     }
-    createWithModels(corpus, dir, coarse, pq, idCol, vecCol)
+    createWithModels(corpus, dir, coarse, pq, idCol, vecCol, attrCols)
   }
 
   /** Build the initial index under caller-supplied FROZEN models (e.g.
@@ -74,7 +79,8 @@ object AnnIndex {
     * sample elsewhere). Clears any previous lists. */
   def createWithModels(corpus: DataFrame, dir: String, coarse: Ivf.Model,
       pq: Option[Pq.Model], idCol: String = "vec_id",
-      vecCol: String = "embedding")(implicit spark: SparkSession): Index = {
+      vecCol: String = "embedding", attrCols: Seq[String] = Nil)
+      (implicit spark: SparkSession): Index = {
     Ivf.save(coarse, s"$dir/centroids")
     pq.foreach(m => Pq.save(m, s"$dir/codebooks"))
     val lists = new org.apache.hadoop.fs.Path(s"$dir/lists")
@@ -83,7 +89,7 @@ object AnnIndex {
     val idx = Index(dir, coarse, pq)
     // the corpus is batch −1: structured-streaming batch ids start at 0,
     // so a stream folding into this index can never overwrite it
-    fold(corpus, idx, batchId = -1L, idCol, vecCol)
+    fold(corpus, idx, batchId = -1L, idCol, vecCol, attrCols)
     idx
   }
 
@@ -106,17 +112,19 @@ object AnnIndex {
     * re-fold replaces the batch wholesale while every other batch's
     * files stay untouched. */
   def fold(batch: DataFrame, index: Index, batchId: Long,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      attrCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val sub = new org.apache.hadoop.fs.Path(
       s"${index.listsDir}/batch_id=$batchId")
     sub.getFileSystem(spark.sessionState.newHadoopConf()).delete(sub, true)
     val assigned = Ivf.assign(batch, index.coarse, vecCol)
+    val attrs = attrCols.map(c => col(s"`$c`"))
     val rows = index.pq match {
-      case Some(m) => assigned.select(col(idCol).as("id"), col("list_id"),
-        Pq.encode(col(vecCol), m).as("codes"))
-      case None => assigned.select(col(idCol).as("id"), col("list_id"),
-        col(vecCol).as("vector"))
+      case Some(m) => assigned.select(col(idCol).as("id") +: col("list_id") +:
+        Pq.encode(col(vecCol), m).as("codes") +: attrs: _*)
+      case None => assigned.select(col(idCol).as("id") +: col("list_id") +:
+        col(vecCol).as("vector") +: attrs: _*)
     }
     rows.withColumn("batch_id", lit(batchId))
       .write.mode("append")
@@ -137,29 +145,126 @@ object AnnIndex {
     * never rank differently. */
   def topK(index: Index, queries: DataFrame, k: Int, nprobe: Int = 4,
       qidCol: String = "query_id", vecCol: String = "embedding")
-      (implicit spark: SparkSession): DataFrame = {
-    val probes = explode(topCentroids(col(vecCol), index.coarse.lit,
-      lit(nprobe))).as("list_id")
+      (implicit spark: SparkSession): DataFrame =
+    rankTopK(index,
+      scoreProbed(lists(index), index, queries, lit(nprobe), qidCol, vecCol),
+      k)
+
+  /** Per-query candidate scores over `listsDf` at probe depth `npCol`
+    * (an int column evaluated against the QUERY row — a literal for the
+    * uniform-depth [[topK]], the per-query widened depth for
+    * [[topKFiltered]]). IVF-PQ scores ADC over stored codes; raw IVF
+    * scores exact cosine. */
+  private def scoreProbed(listsDf: DataFrame, index: Index,
+      queries: DataFrame, npCol: Column, qidCol: String,
+      vecCol: String): DataFrame = {
+    val probes = explode(topCentroids(col(vecCol), index.coarse.lit, npCol))
+      .as("list_id")
     index.pq match {
       case Some(m) =>
         val q = queries.select(col(qidCol).as("query_id"),
           Pq.luts(col(vecCol), m).as("luts"), probes)
-        val scored = lists(index).join(q, "list_id")
+        listsDf.join(q, "list_id")
           .select(col("query_id"), col("id"),
             Pq.adc(col("codes"), col("luts")).as("dist"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("dist"), col("id"))
-        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       case None =>
         val q = queries.select(col(qidCol).as("query_id"),
           col(vecCol).as("qvec"), probes)
-        val scored = lists(index).join(q, "list_id")
+        listsDf.join(q, "list_id")
           .select(col("query_id"), col("id"),
             cosineSim(col("vector"), col("qvec")).as("score"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("id"))
-        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     }
+  }
+
+  /** Rank scored candidates to top-k per query — squared-L2 ascending
+    * for ADC, cosine descending for raw vectors, ties by id; matches the
+    * batch-mode siblings ([[Pq.ivfPqTopK]] / [[Ivf.topK]]) so index and
+    * ad-hoc paths can never rank differently. */
+  private def rankTopK(index: Index, scored: DataFrame, k: Int): DataFrame = {
+    val w = index.pq match {
+      case Some(_) => Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("id"))
+      case None => Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("id"))
+    }
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** FILTERED top-k per query: the FAISS-IDSelector / Milvus
+    * filtered-search contract — return the k nearest index entries that
+    * SATISFY an attribute predicate, not the survivors of a fixed-size
+    * unfiltered shortlist (post-filtering silently under-delivers k as
+    * the filter gets selective: a 1%-selectivity predicate leaves
+    * ~k/100 of a fixed shortlist). The index must have been built with
+    * the predicate's columns in `attrCols`, so the predicate lands IN
+    * the list-probe parquet scan (PushedFilters on the lists read —
+    * plan-pinned) rather than as a join against a side table.
+    *
+    * Probe-depth discipline: a query's depth is widened by DOUBLING
+    * until its probed lists hold ≥ k eligible candidates (or every list
+    * is probed — then the result is EXACT over the eligible set, fewer
+    * than k rows only when fewer eligible items exist). The widening
+    * rounds count candidates only (one aggregate row per still-pending
+    * query — the collect is bounded by the query batch, the tiny side
+    * by the ANN query model); the FINAL pass scores each query at its
+    * own settled depth via a per-row probe count, one plan, nothing
+    * cached. Rounds ≤ log2(nLists).
+    *
+    * Approximation contract (same as [[topK]]): with k survivors found
+    * at depth d < nLists, closer eligible items may exist in unprobed
+    * lists — recall, not membership, is what widening buys. Exactness
+    * at full depth is what the x97 oracle face pins.
+    *
+    * @param queries unique `qidCol` per row (the per-query widening
+    *   state is keyed on it) */
+  def topKFiltered(index: Index, queries: DataFrame, predicate: Column,
+      k: Int, nprobe0: Int = 4, qidCol: String = "query_id",
+      vecCol: String = "embedding")
+      (implicit spark: SparkSession): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe0 >= 1, s"nprobe0 must be >= 1, got $nprobe0")
+    val nLists = index.coarse.k
+    val fl = lists(index).filter(predicate)
+    val qs = queries.select(col(qidCol).as("query_id"), col(s"`$vecCol`"))
+    val qidType = qs.schema("query_id").dataType
+
+    val depth = scala.collection.mutable.ArrayBuffer.empty[(Any, Int)]
+    var np = math.min(nprobe0, nLists)
+    var pending = qs
+    var nPending = qs.count()
+    while (nPending > 0) {
+      if (np >= nLists) {
+        pending.select(col("query_id")).collect()
+          .foreach(r => depth += ((r.get(0), nLists)))
+        nPending = 0
+      } else {
+        val counts = scoreProbed(fl, index, pending, lit(np), "query_id",
+            vecCol)
+          .groupBy(col("query_id")).agg(count(lit(1)).as("__n"))
+          .collect()
+        val sat = counts.filter(_.getLong(1) >= k).map(_.get(0))
+        sat.foreach(id => depth += ((id, np)))
+        nPending -= sat.length
+        if (nPending > 0) {
+          if (sat.nonEmpty)
+            pending = pending.filter(!col("query_id").isin(sat.toSeq: _*))
+          np = math.min(np * 2, nLists)
+        }
+      }
+    }
+
+    val npDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          depth.toSeq.map { case (id, d) =>
+            org.apache.spark.sql.Row(id, d) }).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", qidType),
+        org.apache.spark.sql.types.StructField("__np",
+          org.apache.spark.sql.types.IntegerType))))
+    val qWithNp = qs.join(broadcast(npDf), Seq("query_id"))
+    rankTopK(index,
+      scoreProbed(fl, index, qWithNp, col("__np"), "query_id", vecCol), k)
   }
 
   /** ADC-shortlist + exact-re-rank search over a persisted IVF-PQ index —

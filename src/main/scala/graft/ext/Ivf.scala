@@ -125,4 +125,76 @@ object Ivf {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** FILTERED top-k, ad-hoc (non-persisted) sibling of
+    * [[graft.ext.AnnIndex.topKFiltered]]: k nearest corpus rows that
+    * satisfy `predicate` (evaluated against the corpus row — its
+    * attribute columns travel with it, no side join). Per-query probe
+    * depth is widened by doubling until ≥ k eligible candidates are in
+    * reach (or all lists are probed — then exact over the eligible set);
+    * the final pass scores each query at its own settled depth. See the
+    * AnnIndex scaladoc for the full contract; the persisted-index face
+    * is the scale path (partition-pruned + predicate-pushed list scans),
+    * this one serves one-shot corpora. */
+  def topKFiltered(corpus: DataFrame, queries: DataFrame, model: Model,
+      predicate: Column, k: Int, nprobe0: Int = 4,
+      idCol: String = "vec_id", qidCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe0 >= 1, s"nprobe0 must be >= 1, got $nprobe0")
+    val spark = corpus.sparkSession
+    val nLists = model.k
+    val c = assign(corpus, model, vecCol).filter(predicate)
+      .select(col(s"`$idCol`").as("id"), col(s"`$vecCol`").as("cvec"),
+        col("list_id"))
+    val qs = queries.select(col(s"`$qidCol`").as("query_id"),
+      col(s"`$vecCol`").as("qvec"))
+    val qidType = qs.schema("query_id").dataType
+
+    def scored(q: DataFrame, npCol: Column): DataFrame = {
+      val probed = q.select(col("query_id"), col("qvec"),
+        explode(topCentroids(col("qvec"), model.lit, npCol)).as("list_id"))
+      c.join(probed, "list_id")
+        .select(col("query_id"), col("id"),
+          cosineSim(col("cvec"), col("qvec")).as("score"))
+    }
+
+    val depth = scala.collection.mutable.ArrayBuffer.empty[(Any, Int)]
+    var np = math.min(nprobe0, nLists)
+    var pending = qs
+    var nPending = qs.count()
+    while (nPending > 0) {
+      if (np >= nLists) {
+        pending.select(col("query_id")).collect()
+          .foreach(r => depth += ((r.get(0), nLists)))
+        nPending = 0
+      } else {
+        val counts = scored(pending, lit(np))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("__n")).collect()
+        val sat = counts.filter(_.getLong(1) >= k).map(_.get(0))
+        sat.foreach(id => depth += ((id, np)))
+        nPending -= sat.length
+        if (nPending > 0) {
+          if (sat.nonEmpty)
+            pending = pending.filter(!col("query_id").isin(sat.toSeq: _*))
+          np = math.min(np * 2, nLists)
+        }
+      }
+    }
+
+    val npDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          depth.toSeq.map { case (id, d) =>
+            org.apache.spark.sql.Row(id, d) }).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", qidType),
+        org.apache.spark.sql.types.StructField("__np",
+          org.apache.spark.sql.types.IntegerType))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    scored(qs.join(broadcast(npDf), Seq("query_id")), col("__np"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -1586,6 +1586,61 @@ object ExtQueries {
       out.schema)
   }
 
+  /** X97 (round 14) — FILTERED ANN search
+    * ([[graft.ext.AnnIndex.topKFiltered]]): top-k nearest index entries
+    * AMONG those satisfying an attribute predicate — the FAISS-IDSelector
+    * / Milvus filtered-search contract (post-filtering a fixed shortlist
+    * silently under-delivers k on selective filters). ORACLE-CHECKED via
+    * the provable lossless subcase (the x90_pq_exact + x94 construction):
+    * an IVF-PQ index under LOSSLESS codebooks (ADC ≡ true squared L2,
+    * subspace-grouped summation pinned) built WITH the attribute column
+    * `grp = vec_id % 10` carried into the inverted lists, queried at FULL
+    * probe depth so the engine answer is the EXACT filtered top-5 — which
+    * DuckDB reproduces as a plain filtered brute force over the same
+    * arithmetic. The widening path (nprobe0 = 1 doubling to coverage) is
+    * exercised in-face with a require() gate: every query must deliver
+    * exactly k rows under the 10%-selectivity filter — the k-sufficiency
+    * property post-filtering lacks; recall behavior and the
+    * 1%-selectivity regime are AnnIndexSpec-pinned. The predicate lands
+    * in the lists parquet scan (PushedFilters — PlanCheck pin
+    * x97_filtered_pushdown), not a side join: at 100 TB the filter prunes
+    * IN the probe read. */
+  val x97_filtered_ann: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    val dir = java.nio.file.Files.createTempDirectory("graft_fann_q").toString
+    // vec_id < 500: the SF-stable original slice (scaled sets replicate
+    // vectors verbatim under shifted ids — the x94 lesson)
+    val emb = t(s, d, "embeddings").filter(col("vec_id") < 500)
+      .withColumn("grp", col("vec_id") % 10)
+    val pq = graft.ext.Pq.exactModel(emb, m = 8)
+    val coarse = graft.ext.Ivf.train(emb, k = 16, iters = 2)
+    val idx = graft.ext.AnnIndex.createWithModels(emb, dir, coarse, Some(pq),
+      attrCols = Seq("grp"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val pred = col("grp") === 7
+    // widening gate: from nprobe0 = 1, every query must still deliver
+    // exactly k rows (50 eligible ≥ k — k-sufficiency is the contract)
+    val widened = graft.ext.AnnIndex.topKFiltered(idx, queries, pred,
+      k = 5, nprobe0 = 1)
+    widened.groupBy(col("query_id")).agg(count(lit(1)).as("n")).collect()
+      .foreach(r => require(r.getLong(1) == 5L,
+        s"filtered ANN under-delivered k: query ${r.get(0)} got ${r.getLong(1)}"))
+    // hashed face: FULL depth ⇒ exact filtered top-5 under lossless ADC
+    val out = graft.ext.AnnIndex.topKFiltered(idx, queries, pred,
+        k = 5, nprobe0 = 16)
+      .select(col("query_id"), col("id"), round(col("dist"), 4).as("dist"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+    // materialize before removing the temp index (the x9_zorder pattern)
+    val rows = out.collect().toSeq
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      out.schema)
+  }
+
   /** X59 — FULL Public-Suffix-List registered domain
     * ([[graft.ext.Urls.registeredDomainPsl]]), ORACLE-CHECKED via planted
     * ground truth (round 11): hosts synthesized per doc_id exercise every
@@ -3191,6 +3246,7 @@ object ExtQueries {
     "x94_incremental_ann" -> x94_incremental_ann,
     "x95_sorted_neighborhood" -> x95_sorted_neighborhood,
     "x59_psl_domain" -> x59_psl_domain,
+    "x97_filtered_ann" -> x97_filtered_ann,
     "x0_linkage" -> x0_linkage,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,
@@ -3298,6 +3354,30 @@ object ExtQueries {
         |    WHEN 5 THEN 'www.ck'
         |    ELSE NULL END AS rd
         | FROM h ORDER BY doc_id""",
+    // filtered exact brute force: lossless ADC at full probe depth makes
+    // the engine answer the true filtered top-5 by squared L2, with the
+    // x90 subspace-grouped summation reproduced for bit-identical doubles
+    "x97_filtered_ann" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 500 AND vec_id % 10 = 7),
+        | q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 20),
+        | scored AS (
+        |  SELECT q.query_id, c.vec_id AS id,
+        |    list_reduce(list_transform(range(0, 8), j ->
+        |      list_reduce(list_transform(range(1, 9), i ->
+        |        (qv[j*8+i] - v[j*8+i]) * (qv[j*8+i] - v[j*8+i])),
+        |        (a, b) -> a + b)),
+        |      (a, b) -> a + b) AS d
+        |  FROM q, c),
+        | ranked AS (
+        |  SELECT query_id, id, d,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, id) AS rank
+        |  FROM scored)
+        | SELECT query_id, id, ROUND(d, 4) AS dist, CAST(rank AS BIGINT) AS rank
+        | FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     // provable lossless-IVF-PQ subcase: each folded copy is at distance
     // exactly 0.0 from its original (rank 1, smaller id) and itself
     // (rank 2 - the folded row, proving fold visibility on the hash)

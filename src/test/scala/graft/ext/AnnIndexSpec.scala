@@ -221,4 +221,91 @@ class AnnIndexSpec extends SparkSpec {
     val (_, retrainSame) = AnnIndex.retrainGate(ref, batch)
     assert(retrainShift && !retrainSame)
   }
+
+  // ---- X97 filtered search (round 14) ---------------------------------
+
+  private lazy val attrCorpus = emb.withColumn("grp", $"vec_id" % 100)
+  private lazy val fQueries = emb.filter($"vec_id" < 10)
+    .select($"vec_id".as("query_id"), $"embedding")
+
+  test("filtered top-k delivers k under a 1%-selectivity filter; " +
+      "post-filtering a fixed shortlist does not") {
+    val d = tmp()
+    // raw IVF (cosine path; the ADC path is the x97 oracle face)
+    val idx = AnnIndex.createWithModels(attrCorpus, d,
+      Ivf.train(attrCorpus, k = 16, iters = 2), pq = None,
+      attrCols = Seq("grp"))
+    val pred = col("grp") === 7 // 5 of 500 rows eligible — 1%
+    val got = AnnIndex.topKFiltered(idx, fQueries, pred, k = 3, nprobe0 = 1)
+      .select($"query_id", $"id").collect()
+    // k-sufficiency: every query has exactly k rows, all eligible
+    assert(got.length === 10 * 3)
+    assert(got.forall(_.getLong(1) % 100 === 7))
+    // the anti-pattern: filter AFTER a fixed unfiltered shortlist —
+    // under-delivers k (a 1% filter leaves ~k/100 of the shortlist)
+    val post = AnnIndex.topK(idx, fQueries, k = 3, nprobe = 1)
+      .filter(col("id") % 100 === 7).count()
+    assert(post < 10 * 3,
+      s"post-filtering unexpectedly delivered k ($post rows) — " +
+        "the selectivity plant no longer demonstrates the gap")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
+  test("filtered top-k at full probe depth equals exact filtered brute force") {
+    val d = tmp()
+    val idx = AnnIndex.createWithModels(attrCorpus, d,
+      Ivf.train(attrCorpus, k = 16, iters = 2), pq = None,
+      attrCols = Seq("grp"))
+    val pred = col("grp") < 10 // 10% eligible
+    val got = AnnIndex.topKFiltered(idx, fQueries, pred, k = 5, nprobe0 = 16)
+      .select($"query_id", $"id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    // exact brute force over the eligible set (tiny: 50 x 10)
+    val exact = {
+      import graft.functions.VectorFunctions.cosineSim
+      val c = attrCorpus.filter(pred)
+        .select($"vec_id".as("id"), $"embedding".as("cvec"))
+      val q = fQueries.select($"query_id", $"embedding".as("qvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy(col("score").desc, $"id")
+      q.crossJoin(c)
+        .select($"query_id", $"id", cosineSim($"cvec", $"qvec").as("score"))
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        .select($"query_id", $"id", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    }
+    assert(got.toSeq === exact.toSeq)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
+  test("fewer eligible items than k: all of them come back, nothing else") {
+    val d = tmp()
+    val idx = AnnIndex.createWithModels(attrCorpus, d,
+      Ivf.train(attrCorpus, k = 8, iters = 2), pq = None,
+      attrCols = Seq("grp"))
+    val got = AnnIndex.topKFiltered(idx, fQueries, col("grp") === 42 &&
+        $"id" === 42L, k = 5, nprobe0 = 2)
+      .select($"query_id", $"id", $"rank").collect()
+    assert(got.length === 10) // one row per query
+    assert(got.forall(r => r.getLong(1) === 42L && r.getInt(2) === 1))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
+  test("Ivf.topKFiltered ad-hoc sibling agrees with the index face") {
+    val d = tmp()
+    val model = Ivf.train(attrCorpus, k = 16, iters = 2)
+    val idx = AnnIndex.createWithModels(attrCorpus, d, model, pq = None,
+      attrCols = Seq("grp"))
+    val pred = col("grp") < 10
+    def key(df: DataFrame) = df.select($"query_id", $"id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    val viaIndex = key(
+      AnnIndex.topKFiltered(idx, fQueries, pred, k = 4, nprobe0 = 16))
+    val adHoc = key(
+      Ivf.topKFiltered(attrCorpus, fQueries, model, pred, k = 4,
+        nprobe0 = 16))
+    assert(viaIndex === adHoc)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
 }
