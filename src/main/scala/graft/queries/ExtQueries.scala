@@ -1645,26 +1645,38 @@ object ExtQueries {
     * ([[graft.ext.Urls.registeredDomainPsl]]), ORACLE-CHECKED via planted
     * ground truth (round 11): hosts synthesized per doc_id exercise every
     * rule class — plain TLD (com), multi-label suffixes (co.uk beating uk
-    * by label count, com.au, github.io), the wildcard `*.ck`, the
-    * exception `!www.ck` re-opening www.ck, a host that IS a public
-    * suffix (NULL registered domain — the PSL answer), the implicit `*`
-    * default for an unlisted TLD, and case folding (every 11th host
-    * uppercased). Because each branch's answer is fixed by construction,
+    * by label count, com.au, github.io), a DEEP 4-label chain (round 14:
+    * `us` → `ma.us` → `k12.ma.us` → `pvt.k12.ma.us` all rules at once —
+    * the longest MATCHED rule must win for a `.pvt.k12.ma.us` host, and
+    * a `.web.ma.us` host must fall back to the 2-label ancestor, proving
+    * precedence is by matched labels, not chain depth), the wildcard
+    * `*.ck`, the exception `!www.ck` re-opening www.ck, a host that IS a
+    * public suffix (NULL registered domain — the PSL answer), the
+    * implicit `*` default for an unlisted TLD, and case folding (every
+    * 11th host uppercased). Because each branch's answer is fixed by construction,
     * DuckDB emits the expected domain as a CASE over the same arithmetic
     * (the x81 ground-truth pattern) — no SQL re-implementation of the
     * matching algorithm, which UrlsSpec covers rule-by-rule. */
   val x59_psl_domain: Q = (s, d) => {
     val rules = graft.ext.Urls.parsePsl(Seq(
       "// planted test PSL subset", "com", "uk", "co.uk", "au", "com.au",
-      "io", "github.io", "*.ck", "!www.ck"))
+      "io", "github.io", "*.ck", "!www.ck",
+      // a real deep-suffix chain (round 14): every ancestor is itself a
+      // rule, so precedence must pick by MATCHED labels, not chain depth
+      "us", "ma.us", "k12.ma.us", "pvt.k12.ma.us"))
     val id = col("doc_id")
-    val h0 = when(id % 7 === 0, concat(col("source"), lit(".com")))
-      .when(id % 7 === 1, concat(lit("a."), col("source"), lit(".co.uk")))
-      .when(id % 7 === 2, concat(col("source"), lit(".com.au")))
-      .when(id % 7 === 3, concat(col("source"), lit(".github.io")))
-      .when(id % 7 === 4,
+    val h0 = when(id % 9 === 0, concat(col("source"), lit(".com")))
+      .when(id % 9 === 1, concat(lit("a."), col("source"), lit(".co.uk")))
+      .when(id % 9 === 2, concat(col("source"), lit(".com.au")))
+      .when(id % 9 === 3, concat(col("source"), lit(".github.io")))
+      .when(id % 9 === 4,
         concat(lit("x.b"), (id % 5).cast("string"), lit(".ck")))
-      .when(id % 7 === 5, lit("www.ck"))
+      .when(id % 9 === 5, lit("www.ck"))
+      // 4-label suffix wins over its 3/2/1-label ancestors: rd = host
+      .when(id % 9 === 7, concat(col("source"), lit(".pvt.k12.ma.us")))
+      // only the 2-label ancestor matches this host: rd drops to web.ma.us
+      .when(id % 9 === 8,
+        concat(lit("a"), (id % 3).cast("string"), lit(".web.ma.us")))
       .otherwise(lit("co.uk"))
     val hosts = t(s, d, "documents").select(id,
       when(id % 11 === 0, upper(h0)).otherwise(h0).as("host"))
@@ -3334,24 +3346,28 @@ object ExtQueries {
     "x59_psl_domain" ->
       """WITH h AS (
         |  SELECT doc_id, source,
-        |    CASE CAST(doc_id % 7 AS INT)
+        |    CASE CAST(doc_id % 9 AS INT)
         |      WHEN 0 THEN source || '.com'
         |      WHEN 1 THEN 'a.' || source || '.co.uk'
         |      WHEN 2 THEN source || '.com.au'
         |      WHEN 3 THEN source || '.github.io'
         |      WHEN 4 THEN 'x.b' || CAST(doc_id % 5 AS VARCHAR) || '.ck'
         |      WHEN 5 THEN 'www.ck'
+        |      WHEN 7 THEN source || '.pvt.k12.ma.us'
+        |      WHEN 8 THEN 'a' || CAST(doc_id % 3 AS VARCHAR) || '.web.ma.us'
         |      ELSE 'co.uk' END AS h0
         |  FROM documents)
         | SELECT doc_id,
         |  CASE WHEN doc_id % 11 = 0 THEN upper(h0) ELSE h0 END AS host,
-        |  CASE CAST(doc_id % 7 AS INT)
+        |  CASE CAST(doc_id % 9 AS INT)
         |    WHEN 0 THEN source || '.com'
         |    WHEN 1 THEN source || '.co.uk'
         |    WHEN 2 THEN source || '.com.au'
         |    WHEN 3 THEN source || '.github.io'
         |    WHEN 4 THEN 'x.b' || CAST(doc_id % 5 AS VARCHAR) || '.ck'
         |    WHEN 5 THEN 'www.ck'
+        |    WHEN 7 THEN source || '.pvt.k12.ma.us'
+        |    WHEN 8 THEN 'web.ma.us'
         |    ELSE NULL END AS rd
         | FROM h ORDER BY doc_id""",
     // filtered exact brute force: lossless ADC at full probe depth makes

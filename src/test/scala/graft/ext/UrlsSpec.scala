@@ -101,6 +101,32 @@ class UrlsSpec extends SparkSpec {
     assert(got("MiXeD.ExAmPlE.CoM") === "example.com")
   }
 
+  test("registeredDomainPsl: deep 4-label chain picks the longest MATCHED rule") {
+    // every ancestor is itself a rule (the real PSL's us-state chain):
+    // precedence must be by matched labels, not by the deepest rule in
+    // the table
+    val rules = Urls.parsePsl(Seq(
+      "us", "ma.us", "k12.ma.us", "pvt.k12.ma.us"))
+    val hosts = Seq(
+      "myschool.pvt.k12.ma.us",   // 4-label rule wins: rd = whole host
+      "a.myschool.pvt.k12.ma.us", // still the 4-label suffix: rd drops 'a.'
+      "pvt.k12.ma.us",            // IS a public suffix -> NULL
+      "web.k12.ma.us",            // 3-label rule: rd = whole host
+      "a.web.ma.us",              // only the 2-label ancestor matches
+      "city.ma.us",               // 2-label rule: rd = whole host
+      "example.us")               // 1-label rule
+      .toDF("h")
+    val got = Urls.registeredDomainPsl(hosts, "h", rules, "rd")
+      .select("h", "rd").as[(String, String)].collect().toMap
+    assert(got("myschool.pvt.k12.ma.us") === "myschool.pvt.k12.ma.us")
+    assert(got("a.myschool.pvt.k12.ma.us") === "myschool.pvt.k12.ma.us")
+    assert(got("pvt.k12.ma.us") === null)
+    assert(got("web.k12.ma.us") === "web.k12.ma.us")
+    assert(got("a.web.ma.us") === "web.ma.us")
+    assert(got("city.ma.us") === "city.ma.us")
+    assert(got("example.us") === "example.us")
+  }
+
   test("registeredDomainPsl agrees with the built-in subset on its own turf") {
     // feed the pragmatic SecondLevelSuffixes as a PSL (plus plain TLDs):
     // where both faces are defined they must agree
