@@ -214,9 +214,10 @@ object AudioDedup {
     * [[SegmentDedup.sharedRuns]], as [[VideoDedup.frameKeys]] is the
     * video one. Alignment caveat (documented contract): detection
     * requires the shared segment to start on a block boundary in both
-    * clips — producers cutting on beat grids do; arbitrary-offset
-    * matching needs all `blockFrames` phase shifts (callers can run the
-    * operator per phase). */
+    * clips — producers cutting on beat grids do; for a segment at
+    * ARBITRARY sample offset use [[landmarkKeys]] (content-defined
+    * cuts, offset-invariant by construction — one pass instead of a
+    * `blockFrames`-phase sweep). */
   def blockKeys(media: Dataset[MediaRow], blockFrames: Int = 4000): DataFrame = {
     require(blockFrames >= 1, "blockFrames must be positive")
     implicit val enc = Encoders.product[(Long, String, Array[Long])]
@@ -239,6 +240,82 @@ object AudioDedup {
           }
       }
     }.toDF("media_id", "uri", "keys")
+  }
+
+  /** X89 OFFSET-INVARIANT audio binding (round 14): CONTENT-DEFINED
+    * segment keys via rolling-hash landmarks — the rsync/CDC trick
+    * applied to decoded PCM. [[blockKeys]] cuts on a fixed grid, so a
+    * shared jingle only pairs when it starts on a block boundary in
+    * BOTH clips (the documented alignment caveat); here a cut is
+    * declared wherever the rolling hash of the trailing `window` PCM
+    * bytes is ≡ 0 (mod `divisor`) — a function of CONTENT alone, so a
+    * byte-identical segment at ANY frame offset in two different clips
+    * produces the same interior cut points and the same chunk
+    * checksums. The first and last chunks of a shared segment mix in
+    * surrounding audio and differ; every interior chunk pairs, so
+    * [[SegmentDedup.sharedRuns]] over these keys recalls the segment
+    * minus its edges. Expected chunk size ≈ `divisor` bytes
+    * (~divisor/frameSize frames); `maxChunkBytes` bounds the pathology
+    * of landmark-free content (a forced cut is positional, not
+    * content-defined — chunking re-synchronizes at the next landmark,
+    * the standard CDC caveat). Scale shape identical to [[blockKeys]]:
+    * one map-only decode pass, ~bytes/divisor keys per clip, and the
+    * pairing stays [[SegmentDedup]]'s shingle equi-join — never
+    * all-pairs, never a phase sweep (the blockKeys workaround needed
+    * `blockFrames` runs to cover all offsets; this needs one). */
+  def landmarkKeys(media: Dataset[MediaRow], divisor: Int = 2048,
+      window: Int = 48, maxChunkBytes: Int = 1 << 16): DataFrame = {
+    require(divisor >= 2, "divisor must be >= 2")
+    require(window >= 8, "window must be >= 8 bytes")
+    require(maxChunkBytes > window, "maxChunkBytes must exceed window")
+    implicit val enc = Encoders.product[(Long, String, Array[Long])]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeAudio(
+            if (r.data == null) Array.emptyByteArray else r.data)
+          .map { case (_, pcm) =>
+            val cuts = scala.collection.mutable.ArrayBuffer(0)
+            val B = 257L
+            var bw = 1L
+            var j = 0
+            while (j < window) { bw *= B; j += 1 } // B^window (mod 2^64)
+            var h = 0L
+            var i = 0
+            var last = 0
+            while (i < pcm.length) {
+              h = h * B + (pcm(i) & 0xff)
+              if (i >= window) h -= bw * (pcm(i - window) & 0xff)
+              val landmark = i >= window - 1 &&
+                java.lang.Long.remainderUnsigned(h, divisor.toLong) == 0L
+              if (landmark || (i + 1 - last) >= maxChunkBytes) {
+                cuts += (i + 1); last = i + 1
+              }
+              i += 1
+            }
+            if (cuts.last != pcm.length) cuts += pcm.length
+            val keys = Array.tabulate(cuts.length - 1) { c =>
+              var sum = 0L
+              var p = cuts(c)
+              val end = cuts(c + 1)
+              while (p < end) { sum = sum * 31 + (pcm(p) & 0xff); p += 1 }
+              sum
+            }
+            (r.media_id, r.uri, keys)
+          }
+      }
+    }.toDF("media_id", "uri", "keys")
+  }
+
+  /** Wrap raw 16-bit little-endian mono PCM as a WAV container. */
+  def pcmToWav(pcm: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, (pcm.length / 2).toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** Deterministic tone-mixture WAV for specs and the x85 face: three
@@ -277,13 +354,6 @@ object AudioDedup {
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate.toFloat, 16, 1, true, false)
-    val in = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    pcmToWav(pcm, sampleRate)
   }
 }

@@ -134,4 +134,39 @@ class SegmentDedupSpec extends SparkSpec {
     assert(got === Set((1L, 3L, 0L, 0L, 4L)),
       "exactly the shared 4-block jingle, nothing else")
   }
+
+  test("landmarkKeys: offset-shifted jingle recalled where blockKeys is blind") {
+    def seg(seed: Long, nBytes: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(nBytes)(rnd.nextInt(256).toByte)
+    }
+    // one shared jingle planted at ARBITRARY byte offsets: 7002 vs 12346
+    // (difference = 2672 frames — no block grid or phase aligns them)
+    val jingle = seg(99L, 24000)
+    val rows = Seq(
+      MediaRow(0, "a/0", "audio/wav",
+        AudioDedup.pcmToWav(seg(10L, 7002) ++ jingle ++ seg(11L, 4000), 8000)),
+      MediaRow(1, "a/1", "audio/wav",
+        AudioDedup.pcmToWav(seg(20L, 12346) ++ jingle ++ seg(21L, 2000), 8000)),
+      MediaRow(2, "a/2", "audio/wav",
+        AudioDedup.pcmToWav(seg(30L, 20000), 8000)))
+    val ds = spark.createDataset(rows)
+    // the fixed grid CANNOT pair them (offsets differ by a non-multiple
+    // of any block size): the documented blockKeys caveat
+    val blind = runs(AudioDedup.blockKeys(ds, blockFrames = 500)
+      .select($"media_id".as("id"), $"keys"), minRun = 3)
+    assert(blind.isEmpty, "block grid unexpectedly aligned the plant")
+    // content-defined cuts land at the same in-jingle positions in both
+    // clips regardless of offset: the interior chunks pair as one run
+    val lk = AudioDedup.landmarkKeys(ds, divisor = 512)
+    val found = runs(lk.select($"media_id".as("id"), $"keys"), minRun = 3)
+    assert(found.nonEmpty, "offset-shifted jingle not recalled")
+    assert(found.forall { case (a, b, _, _, _) => a == 0L && b == 1L },
+      s"spurious pairs beyond the planted clips: $found")
+    // the run must cover most of the jingle's ~47 interior chunks
+    // (divisor 512 ⇒ expected cut every 512 bytes over 24000 bytes);
+    // only the two edge chunks may differ
+    assert(found.map(_._5).max >= 20,
+      s"recalled run too short for the planted jingle: $found")
+  }
 }
