@@ -13,6 +13,28 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 only_existing = os.environ.get("CHECK_ONLY_EXISTING") == "1"
 fails = []
+
+# declared-terminal Tier-B faces (SparkEntry.tierB -> tier_b.json): no SQL
+# oracle BY CONTRACT (approximate-by-design recall faces, each with an
+# oracle-green exact-regime sibling). Mark them tier_b, require the dump
+# to exist and be non-empty -- a declared face that stops executing is
+# still a failure, just not an oracle mismatch.
+tier_b_path = f"{outdir}/tier_b.json"
+tier_b = json.load(open(tier_b_path)) if os.path.exists(tier_b_path) else {}
+for name, sibling in sorted(tier_b.items()):
+    if name in oracle:
+        fails.append((name, "declared tier_b but HAS an oracle -- undeclare it"))
+        continue
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        if not only_existing:
+            fails.append((name, "tier_b face produced no output"))
+        continue
+    n = sum(len(pd.read_parquet(f)) for f in sorted(files))
+    if n == 0:
+        fails.append((name, "tier_b face produced 0 rows"))
+    else:
+        print(f"  TIER-B {name} rows={n} (declared; exact-regime sibling: {sibling})")
 for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
