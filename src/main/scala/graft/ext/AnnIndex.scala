@@ -309,6 +309,45 @@ object AnnIndex {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** FILTERED + REFINED search — the production IVF-PQ query path with
+    * an attribute predicate: [[topKFiltered]] supplies an ADC shortlist
+    * of ELIGIBLE candidates (predicate pushed into the list-probe scan,
+    * probe depth widened until the shortlist is full), then only the
+    * shortlist ids fetch raw vectors from the caller's primary store for
+    * exact squared-L2 re-ranking ([[topKRefined]]'s contract — LEFT join
+    * + in-plan raise_error guard on a stale/partial store, identical
+    * rank/tie rules). Because the shortlist is filtered BEFORE the k cut,
+    * a selective predicate cannot starve the result the way post-filter
+    * refine does; because widening targets `shortlist` (not k), refine
+    * has eligible headroom to fix ADC rank inversions. */
+  def topKRefinedFiltered(index: Index, queries: DataFrame,
+      vectors: DataFrame, predicate: Column, k: Int, shortlist: Int = 100,
+      nprobe0: Int = 4, qidCol: String = "query_id",
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      (implicit spark: SparkSession): DataFrame = {
+    require(index.pq.nonEmpty,
+      "topKRefinedFiltered refines ADC ranks — IVF-PQ only")
+    require(shortlist >= k, s"shortlist $shortlist < k=$k")
+    val cand = topKFiltered(index, queries, predicate, k = shortlist,
+        nprobe0, qidCol, vecCol)
+      .select(col("query_id"), col("id"))
+    val withVec = cand.join(
+      vectors.select(col(s"`$idCol`").as("id"), col(s"`$vecCol`").as("cvec")),
+      Seq("id"), "left")
+    val q = queries.select(col(s"`$qidCol`").as("query_id"),
+      col(s"`$vecCol`").as("qvec"))
+    val scored = withVec.join(broadcast(q), "query_id")
+      .select(col("query_id"), col("id"),
+        when(col("cvec").isNotNull, Pq.l2sq(col("cvec"), col("qvec")))
+          .otherwise(raise_error(concat(
+            lit("topKRefinedFiltered: shortlist id missing from vectors "),
+            lit("(stale or partial primary store): id="),
+            col("id").cast("string"))))
+          .as("dist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** X93 drift gate for the frozen models: standardized mean difference
     * per dimension between `ref` (what the models represent — e.g. the
     * training sample) and the incoming batch. Returns (drift report,

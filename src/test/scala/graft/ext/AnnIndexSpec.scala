@@ -291,6 +291,43 @@ class AnnIndexSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("filtered+refined: k eligible rows, recall at or above raw filtered ADC") {
+    val d = tmp()
+    val corpus = emb.withColumn("grp", $"vec_id" % 5) // 20% eligible
+    val idx = AnnIndex.create(corpus, d, k = 16, iters = 2,
+      pqSubspaces = Some((8, 16)), attrCols = Seq("grp"))
+    val pred = col("grp") === 2
+    def hits(df: DataFrame): Map[Long, Set[Long]] = df
+      .select($"query_id", $"id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val refined = AnnIndex.topKRefinedFiltered(idx, fQueries, corpus,
+      pred, k = 5, shortlist = 30, nprobe0 = 2)
+    val got = refined.select($"query_id", $"id", $"rank").collect()
+    assert(got.length === 10 * 5)
+    assert(got.forall(_.getLong(1) % 5 === 2), "predicate violated")
+    // recall vs the exact filtered brute force, against the raw filtered
+    // ADC baseline (refine exists to fix ADC rank inversions)
+    val exact = hits(Pq.exactTopK(corpus.filter(pred), fQueries, k = 5))
+    val raw = hits(AnnIndex.topKFiltered(idx, fQueries, pred, k = 5,
+      nprobe0 = 16))
+    def recall(m: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, e) => (m.getOrElse(q, Set.empty) & e).size / 5.0 }
+        .sum / exact.size
+    val (rRef, rRaw) = (recall(hits(refined)), recall(raw))
+    info(f"filtered recall@5: raw ADC $rRaw%.2f, refined $rRef%.2f")
+    assert(rRef >= rRaw - 1e-9, "refine made filtered recall worse")
+    assert(rRef >= 0.5, f"refined filtered recall $rRef%.2f below floor")
+    // stale primary store: a shortlist id with no vector must FAIL loudly
+    val stale = corpus.filter($"vec_id" =!= 2L) // grp 2 member removed
+    val thrown = intercept[Exception] {
+      AnnIndex.topKRefinedFiltered(idx, fQueries, stale, pred,
+        k = 5, shortlist = 30, nprobe0 = 16).collect()
+    }
+    assert(thrown.getMessage != null)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
   test("Ivf.topKFiltered ad-hoc sibling agrees with the index face") {
     val d = tmp()
     val model = Ivf.train(attrCorpus, k = 16, iters = 2)
