@@ -432,7 +432,7 @@ object ExtQueries {
   val x5_audio: Q = (s, d) => {
     val feats = Multimodal.audioFeatures(Multimodal.synthesize(s, 200))
     val rms = feats.filter(col("rms").isNotNull)
-      .agg(min(col("rms")), max(col("rms"))).head
+      .agg(min(col("rms")), max(col("rms"))).head()
     require(rms.getDouble(0) > 0.35 && rms.getDouble(1) < 0.8,
       s"decoded PCM RMS outside the uniform-noise band: $rms")
     feats.select(col("media_id"), col("sample_rate"), col("channels"),

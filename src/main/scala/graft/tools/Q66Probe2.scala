@@ -52,11 +52,11 @@ object Q66Probe2 {
       val refKeys = customer().select(col("c_custkey").as("k")).na.drop()
       val bf = refKeys
         .agg(bloomBuild(xxhash64(col("k")), nBits, 5).as("bf"))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val probe = orders().select(col("o_custkey").as("k")).na.drop()
       val certain = probe.agg(
         sum(when(!bloomMightContain(lit(bf), xxhash64(col("k")), 5), 1L)
-          .otherwise(0L)).as("certain")).head.getLong(0)
+          .otherwise(0L)).as("certain")).head().getLong(0)
       // per-key counts of the (tiny) bloom-positive survivor set, exact
       val maybes = probe
         .filter(bloomMightContain(lit(bf), xxhash64(col("k")), 5))
