@@ -110,7 +110,16 @@ object AnnIndex {
     * the new content touches, leaving orphan lists behind on a
     * superseding re-fold — so replays are idempotent and a corrected
     * re-fold replaces the batch wholesale while every other batch's
-    * files stay untouched. */
+    * files stay untouched.
+    *
+    * Concurrency contract: folds of DIFFERENT batch ids may run
+    * concurrently — they own disjoint `batch_id=<id>` subtrees, so
+    * there is nothing to fence (unlike [[graft.streaming.StreamingUpsert]]'s
+    * whole-snapshot rewrite, which needs its CommitLog CAS). Two
+    * concurrent folds of the SAME batch id are caller error (the
+    * delete+write of one subtree is not atomic): the streaming face
+    * guarantees uniqueness via its checkpoint; batch callers must
+    * partition the id space per writer. */
   def fold(batch: DataFrame, index: Index, batchId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding",
       attrCols: Seq[String] = Nil): Unit = {
