@@ -169,4 +169,44 @@ class SegmentDedupSpec extends SparkSpec {
     assert(found.map(_._5).max >= 20,
       s"recalled run too short for the planted jingle: $found")
   }
+
+  test("landmarkKeys offset invariance holds across arbitrary offsets (property)") {
+    // the interior chunk keys of a segment are a pure function of its
+    // content: any two placements share all but the edge chunks
+    def seg(seed: Long, nBytes: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(nBytes)(rnd.nextInt(256).toByte)
+    }
+    val jingle = seg(7L, 16000)
+    val offsets = Seq(0, 1, 2, 777, 5001, 12344) // incl. odd byte offsets
+    val rows = offsets.zipWithIndex.map { case (off, i) =>
+      MediaRow(i.toLong, s"p/$i", "audio/wav",
+        AudioDedup.pcmToWav(seg(100L + i, off) ++ jingle ++
+          seg(200L + i, 3000), 8000))
+    }
+    val keyRows = AudioDedup.landmarkKeys(
+        spark.createDataset(rows), divisor = 512)
+      .select($"media_id", $"keys").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    // interior keys (drop first and last chunk, which mix surround
+    // bytes) must be IDENTICAL sequences across every placement
+    def interior(id: Long): Vector[Long] = {
+      val ks = keyRows(id)
+      // the jingle occupies the tail minus the 3000-byte suffix: compare
+      // via the longest common contiguous subsequence anchored by set
+      // intersection — here simply: keys occurring in ALL placements
+      ks
+    }
+    val shared = offsets.indices.map(i => interior(i.toLong).toSet)
+      .reduce(_ & _)
+    // ~31 expected interior jingle chunks at divisor 512; demand most
+    assert(shared.size >= 15,
+      s"only ${shared.size} chunk keys shared across all placements")
+    // and they appear in the SAME relative order in every placement
+    val orders = offsets.indices.map { i =>
+      interior(i.toLong).filter(shared)
+    }
+    assert(orders.forall(_ == orders.head),
+      "shared chunk keys disagree on order across placements")
+  }
 }
