@@ -130,9 +130,10 @@ object Ivf {
     * [[graft.ext.AnnIndex.topKFiltered]]: k nearest corpus rows that
     * satisfy `predicate` (evaluated against the corpus row — its
     * attribute columns travel with it, no side join). Per-query probe
-    * depth is widened by doubling until ≥ k eligible candidates are in
-    * reach (or all lists are probed — then exact over the eligible set);
-    * the final pass scores each query at its own settled depth. See the
+    * depth is the exact minimal d whose d nearest lists hold ≥ k eligible
+    * candidates (nLists when no depth suffices — then exact over the
+    * eligible set), floored at nprobe0; the final pass scores each
+    * query at its own depth. See the
     * AnnIndex scaladoc for the full contract; the persisted-index face
     * is the scale path (partition-pruned + predicate-pushed list scans),
     * this one serves one-shot corpora. */
@@ -142,14 +143,12 @@ object Ivf {
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe0 >= 1, s"nprobe0 must be >= 1, got $nprobe0")
-    val spark = corpus.sparkSession
     val nLists = model.k
     val c = assign(corpus, model, vecCol).filter(predicate)
       .select(col(s"`$idCol`").as("id"), col(s"`$vecCol`").as("cvec"),
         col("list_id"))
     val qs = queries.select(col(s"`$qidCol`").as("query_id"),
       col(s"`$vecCol`").as("qvec"))
-    val qidType = qs.schema("query_id").dataType
 
     def scored(q: DataFrame, npCol: Column): DataFrame = {
       val probed = q.select(col("query_id"), col("qvec"),
@@ -159,41 +158,26 @@ object Ivf {
           cosineSim(col("cvec"), col("qvec")).as("score"))
     }
 
-    val depth = scala.collection.mutable.ArrayBuffer.empty[(Any, Int)]
-    var np = math.min(nprobe0, nLists)
-    var pending = qs
-    var nPending = qs.count()
-    while (nPending > 0) {
-      if (np >= nLists) {
-        pending.select(col("query_id")).collect()
-          .foreach(r => depth += ((r.get(0), nLists)))
-        nPending = 0
-      } else {
-        val counts = scored(pending, lit(np))
-          .groupBy(col("query_id")).agg(count(lit(1)).as("__n")).collect()
-        val sat = counts.filter(_.getLong(1) >= k).map(_.get(0))
-        sat.foreach(id => depth += ((id, np)))
-        nPending -= sat.length
-        if (nPending > 0) {
-          if (sat.nonEmpty)
-            pending = pending.filter(!col("query_id").isin(sat.toSeq: _*))
-          np = math.min(np * 2, nLists)
-        }
-      }
-    }
-
-    val npDf = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(
-          depth.toSeq.map { case (id, d) =>
-            org.apache.spark.sql.Row(id, d) }).asJava),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id", qidType),
-        org.apache.spark.sql.types.StructField("__np",
-          org.apache.spark.sql.types.IntegerType))))
+    // exact minimal sufficient depth, one logical plan (see the
+    // AnnIndex.topKFiltered scaladoc): per-list eligible counts +
+    // running sum over each query's full centroid ranking
+    val perList = c.groupBy(col("list_id")).agg(count(lit(1)).as("__c"))
+    val ranked = qs.select(col("query_id"),
+      posexplode(topCentroids(col("qvec"), model.lit, lit(nLists)))
+        .as(Seq("__rk", "list_id")))
+    val wcum = Window.partitionBy(col("query_id")).orderBy(col("__rk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val depth = ranked
+      .join(broadcast(perList), Seq("list_id"), "left")
+      .withColumn("__cum", sum(coalesce(col("__c"), lit(0L))).over(wcum))
+      .groupBy(col("query_id"))
+      .agg(coalesce(min(when(col("__cum") >= k, col("__rk") + 1)),
+        lit(nLists)).cast("int").as("__d"))
+      .select(col("query_id"),
+        greatest(col("__d"), lit(math.min(nprobe0, nLists))).as("__np"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id"))
-    scored(qs.join(broadcast(npDf), Seq("query_id")), col("__np"))
+    scored(qs.join(broadcast(depth), Seq("query_id")), col("__np"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
