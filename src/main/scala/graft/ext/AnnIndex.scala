@@ -48,9 +48,46 @@ import graft.functions.VectorFunctions.{cosineSim, topCentroids}
   */
 object AnnIndex {
 
-  /** An opened index: frozen models + the lists directory. */
-  final case class Index(dir: String, coarse: Ivf.Model, pq: Option[Pq.Model]) {
+  /** An opened index: frozen models + the lists directory + the
+    * attribute columns every list row carries (persisted at `dir/attrs`
+    * so a later [[open]] — e.g. the streaming fold face — writes
+    * schema-identical list files; a fold that dropped them would make
+    * [[topKFiltered]] evaluate its predicate to NULL over streamed rows
+    * and silently exclude them). */
+  final case class Index(dir: String, coarse: Ivf.Model, pq: Option[Pq.Model],
+      attrCols: Seq[String] = Nil) {
     def listsDir: String = s"$dir/lists"
+  }
+
+  /** Persist/load the index's attribute-column manifest. One name per
+    * line; absent file = no attributes (pre-X97 indexes keep opening). */
+  private def saveAttrs(dir: String, attrCols: Seq[String])
+      (implicit spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/attrs")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (attrCols.isEmpty) { fs.delete(p, false); () }
+    else {
+      val out = fs.create(p, true)
+      try out.write(attrCols.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  private def loadAttrs(dir: String)(implicit spark: SparkSession): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/attrs")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
+          .filter(_.nonEmpty)
+      } finally in.close()
+    }
   }
 
   /** Train models on the corpus and build the initial index (batch 0).
@@ -83,13 +120,14 @@ object AnnIndex {
       (implicit spark: SparkSession): Index = {
     Ivf.save(coarse, s"$dir/centroids")
     pq.foreach(m => Pq.save(m, s"$dir/codebooks"))
+    saveAttrs(dir, attrCols)
     val lists = new org.apache.hadoop.fs.Path(s"$dir/lists")
     lists.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(lists, true)
-    val idx = Index(dir, coarse, pq)
+    val idx = Index(dir, coarse, pq, attrCols)
     // the corpus is batch −1: structured-streaming batch ids start at 0,
     // so a stream folding into this index can never overwrite it
-    fold(corpus, idx, batchId = -1L, idCol, vecCol, attrCols)
+    fold(corpus, idx, batchId = -1L, idCol, vecCol)
     idx
   }
 
@@ -100,7 +138,8 @@ object AnnIndex {
     val hasPq = pqPath.getFileSystem(spark.sessionState.newHadoopConf())
       .exists(pqPath)
     Index(dir, Ivf.load(s"$dir/centroids"),
-      if (hasPq) Some(Pq.load(s"$dir/codebooks")) else None)
+      if (hasPq) Some(Pq.load(s"$dir/codebooks")) else None,
+      loadAttrs(dir))
   }
 
   /** Fold one batch into the index: assign-only against the frozen
@@ -121,14 +160,20 @@ object AnnIndex {
     * guarantees uniqueness via its checkpoint; batch callers must
     * partition the id space per writer. */
   def fold(batch: DataFrame, index: Index, batchId: Long,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      attrCols: Seq[String] = Nil): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
+    // the index's attribute manifest is the lists schema contract: a
+    // batch missing a declared attribute column must fail HERE, not as
+    // NULL-evaluated predicates at the first filtered search
+    val missing = index.attrCols.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"fold: batch is missing index attribute column(s) ${missing.mkString(", ")} " +
+        s"declared at index creation (attrCols=${index.attrCols.mkString(", ")})")
     val sub = new org.apache.hadoop.fs.Path(
       s"${index.listsDir}/batch_id=$batchId")
     sub.getFileSystem(spark.sessionState.newHadoopConf()).delete(sub, true)
     val assigned = Ivf.assign(batch, index.coarse, vecCol)
-    val attrs = attrCols.map(c => col(s"`$c`"))
+    val attrs = index.attrCols.map(c => col(s"`$c`"))
     val rows = index.pq match {
       case Some(m) => assigned.select(col(idCol).as("id") +: col("list_id") +:
         Pq.encode(col(vecCol), m).as("codes") +: attrs: _*)

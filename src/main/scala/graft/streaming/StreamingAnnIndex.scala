@@ -25,7 +25,12 @@ import graft.ext.AnnIndex
   * correctness, only assignment quality. */
 object StreamingAnnIndex {
 
-  /** One micro-batch: fold the batch's vectors into the persisted index. */
+  /** One micro-batch: fold the batch's vectors into the persisted index.
+    * The index's attribute manifest (persisted at create time) rides
+    * along automatically — [[AnnIndex.fold]] carries `index.attrCols`
+    * into the list files and fails fast if the batch lacks one, so a
+    * filtered-search index ([[AnnIndex.topKFiltered]]) stays
+    * schema-consistent under streaming maintenance. */
   def processBatch(batch: DataFrame, batchId: Long, indexDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     implicit val spark: SparkSession = batch.sparkSession

@@ -63,4 +63,48 @@ class StreamingAnnIndexSpec extends SparkSpec {
     top1.foreach(r => assert(r.getLong(0) === r.getLong(1)))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("attrCols survive streaming folds: filtered search over an index " +
+      "maintained through processBatch equals the one-shot sibling") {
+    val root = Files.createTempDirectory("graft_sann3").toString
+    val attrEmb = emb.withColumn("grp", $"vec_id" % 10)
+    val coarse = graft.ext.Ivf.train(attrEmb, k = 8, iters = 2)
+    val idx = AnnIndex.createWithModels(
+      attrEmb.filter($"vec_id" >= 20), s"$root/idx", coarse, None,
+      attrCols = Seq("grp"))
+    assert(idx.attrCols === Seq("grp"))
+    // the streaming face opens the index fresh each micro-batch — the
+    // persisted manifest, not the caller, must supply the attr columns
+    StreamingAnnIndex.processBatch(
+      attrEmb.filter($"vec_id" < 10).toDF(), 0L, s"$root/idx")
+    StreamingAnnIndex.processBatch(
+      attrEmb.filter($"vec_id" >= 10 && $"vec_id" < 20).toDF(), 1L,
+      s"$root/idx")
+    val oneShot = AnnIndex.createWithModels(attrEmb, s"$root/all", coarse,
+      None, attrCols = Seq("grp"))
+    val pred = col("grp") === 3
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def key(i: AnnIndex.Index) =
+      AnnIndex.topKFiltered(i, queries, pred, k = 3, nprobe0 = 8)
+        .select($"query_id", $"id", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val streamed = key(AnnIndex.open(s"$root/idx"))
+    assert(streamed.nonEmpty)
+    assert(streamed === key(oneShot))
+    // streamed rows themselves are filtered-searchable (vec_id 3 is in
+    // batch 0, grp 3): its own query must find it at rank 1
+    val self = AnnIndex.topKFiltered(AnnIndex.open(s"$root/idx"),
+        emb.filter($"vec_id" === 3).select($"vec_id".as("query_id"),
+          $"embedding"), pred, k = 1, nprobe0 = 8)
+      .select($"id").collect()
+    assert(self.map(_.getLong(0)).toSeq === Seq(3L))
+    // a batch missing the declared attr column fails fast, not NULL-later
+    val thrown = intercept[IllegalArgumentException] {
+      StreamingAnnIndex.processBatch(
+        emb.filter($"vec_id" < 5).toDF(), 2L, s"$root/idx")
+    }
+    assert(thrown.getMessage.contains("grp"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
