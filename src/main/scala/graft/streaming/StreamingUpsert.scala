@@ -87,6 +87,7 @@ object StreamingUpsert {
     require(writerTag.isEmpty || writerTag.matches("[A-Za-z0-9_]+"),
       s"writerTag must match [A-Za-z0-9_]+ or be empty, got '$writerTag'")
     val ver = if (writerTag.isEmpty) s"v=$batchId" else s"v=$writerTag-$batchId"
+    migrateLegacy(spark, dir) // self-heal a crash between commit and sweep
     // the log IS the commit marker: if this writer already committed this
     // batch (or a later one), the batch landed before the restart — a
     // replay must be a no-op, not a self-referential rewrite of the
@@ -115,6 +116,7 @@ object StreamingUpsert {
         .parquet(s"$dir/$ver")
       committed = CommitLog.tryCommit(spark, dir,
         head.map(_.epoch).getOrElse(0L), ver)
+      if (committed) migrateLegacy(spark, dir)
       if (!committed) {
         attempt += 1
         if (attempt > maxRetries) {
@@ -130,18 +132,35 @@ object StreamingUpsert {
   }
 
   /** This writer's newest committed batch id, scanning the log head-first
-    * (plus the legacy pointer for untagged writers). */
+    * (plus the legacy pointer for untagged writers). Lazy descending
+    * scan: a live writer finds its own tag within the newest few commits,
+    * so the per-batch cost stays O(1) files instead of O(total commits). */
   private def lastCommittedBatch(spark: SparkSession, dir: String,
       writerTag: String): Option[Long] = {
     val pat = if (writerTag.isEmpty) "v=(\\d+)".r
       else s"v=${writerTag}-(\\d+)".r
-    val fromLog = CommitLog.commits(spark, dir).reverseIterator
+    val fromLog = CommitLog.descending(spark, dir)
       .map(_.version).collectFirst { case pat(n) => n.toLong }
     fromLog.orElse(
       if (writerTag.isEmpty)
         legacyPointer(spark, dir).map(_.stripPrefix("v=").toLong)
       else None)
   }
+
+  /** Finish a legacy store's migration once a commit log exists:
+    * materialize the pre-log pointer as epoch 0 (so its version stays
+    * published for time travel and the untagged replay guard) and drop
+    * `_CURRENT` — the stale pointer otherwise shadows retention forever
+    * (vacuum's legacy branch never ran again once the log took over).
+    * Idempotent and crash-safe: epoch 0 is an exclusive create, and the
+    * pointer is deleted only after epoch 0 is durable. */
+  private def migrateLegacy(spark: SparkSession, dir: String): Unit =
+    legacyPointer(spark, dir).foreach { v =>
+      if (CommitLog.current(spark, dir).nonEmpty) {
+        CommitLog.commitAt(spark, dir, 0L, v) // false = already there
+        fs(spark, dir).delete(new Path(s"$dir/_CURRENT"), false)
+      }
+    }
 
   /** The current snapshot, or None before the first publish. */
   def currentSnapshot(spark: SparkSession, dir: String): Option[DataFrame] =
@@ -160,6 +179,14 @@ object StreamingUpsert {
 
   private def currentVersion(spark: SparkSession, dir: String): Option[String] =
     headCommit(spark, dir).map(_.version)
+
+  private val TaggedVersion = "v=([A-Za-z0-9_]+)-\\d+".r
+
+  /** The writer tag a version string was published under ("" = untagged). */
+  private def writerTagOf(version: String): String = version match {
+    case TaggedVersion(t) => t
+    case _ => ""
+  }
 
   /** The pre-round-14 single-writer pointer, read for migration only —
     * never written anymore, and ignored once a commit log exists. */
@@ -193,9 +220,34 @@ object StreamingUpsert {
       // not); uncommitted in-flight directories are not in the log and
       // are never touched
       val f = fs(spark, dir)
-      log.map(_.version).distinct.dropRight(1) // head always stays
+      val versions = log.map(_.version).distinct
+      val dropped = versions.dropRight(1) // head always stays
         .dropRight(keep - 1)
-        .foreach(v => f.delete(new Path(s"$dir/$v"), true))
+      val retained = versions.toSet -- dropped
+      dropped.foreach(v => f.delete(new Path(s"$dir/$v"), true))
+      // legacy sweep: every `v=<n>` directory at or below the
+      // pre-migration pointer was PUBLISHED under the old single-writer
+      // scheme (so it is retention's to reclaim, not in-flight state) —
+      // without this, a migrated store kept its pre-log versions forever
+      val legacyMax = log.find(_.epoch == 0L)
+        .map(_.version.stripPrefix("v=").toLong)
+        .orElse(legacyPointer(spark, dir).map(_.stripPrefix("v=").toLong))
+      legacyMax.foreach { p =>
+        f.listStatus(new Path(dir)).toSeq
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isDirectory && n.matches("v=\\d+") &&
+              n.stripPrefix("v=").toLong <= p && !retained.contains(n)
+          }
+          .foreach(s => f.delete(s.getPath, true))
+      }
+      // truncate the log to the same retention window, keeping each
+      // writer's newest epoch (the replay guard — dropping it would make
+      // a restarted writer re-apply an already-published batch)
+      val keepEpochs = log.filter(c => retained.contains(c.version))
+        .map(_.epoch).toSet ++
+        log.groupBy(c => writerTagOf(c.version)).values.map(_.map(_.epoch).max)
+      CommitLog.truncate(spark, dir, keepEpochs = 1, alsoKeep = keepEpochs)
     } else legacyPointer(spark, dir).foreach { cur =>
       val curN = cur.stripPrefix("v=").toLong
       val f = fs(spark, dir)
@@ -234,10 +286,14 @@ object StreamingUpsert {
     // untagged `v=<batchId>` namespace; tagged writers' versions are
     // reachable through [[CommitLog.commits]] directly. Legacy stores:
     // every batch at or below the old pointer was published.
-    val published =
-      CommitLog.commits(spark, dir).exists(_.version == s"v=$batchId") ||
-        legacyPointer(spark, dir)
-          .exists(_.stripPrefix("v=").toLong >= batchId)
+    val log = CommitLog.commits(spark, dir)
+    // epoch 0 is the migrated pre-log pointer: every untagged batch at or
+    // below it was published under the old single-writer scheme
+    val legacyMax = log.find(_.epoch == 0L)
+      .map(_.version.stripPrefix("v=").toLong)
+      .orElse(legacyPointer(spark, dir).map(_.stripPrefix("v=").toLong))
+    val published = log.exists(_.version == s"v=$batchId") ||
+      legacyMax.exists(_ >= batchId)
     require(published,
       s"version v=$batchId is not published yet (head: ${
         currentVersion(spark, dir).getOrElse("none")})")

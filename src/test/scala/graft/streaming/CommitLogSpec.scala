@@ -149,14 +149,65 @@ class CommitLogSpec extends SparkSpec {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$snap/_CURRENT"), "v=0")
     assert(StreamingUpsert.currentSnapshot(spark, snap).get.count() === 1)
-    // next publish CASes against epoch 0 and starts the log at 1
+    // next publish CASes against epoch 0 and starts the log at 1; the
+    // old pointer is materialized as epoch 0 and _CURRENT retired, so
+    // retention no longer has a stale pointer shadowing it forever
     StreamingUpsert.applyBatch(spark,
       Seq((2L, "new", 1L)).toDF("k", "s", "v"), 1L, Seq("k"), "v", snap)
     val log = CommitLog.commits(spark, snap)
-    assert(log.map(_.epoch) === Seq(1L))
-    assert(log.head.version === "v=1")
+    assert(log.map(_.epoch) === Seq(0L, 1L))
+    assert(log.map(_.version) === Seq("v=0", "v=1"))
+    assert(!new java.io.File(s"$snap/_CURRENT").exists())
     assert(StreamingUpsert.currentSnapshot(spark, snap).get.count() === 2)
     // pre-migration batches stay time-travelable
     assert(StreamingUpsert.snapshotAt(spark, snap, 0L).count() === 1)
+    // ...until retention reclaims them: the legacy sweep deletes
+    // pre-migration version dirs the window no longer covers
+    StreamingUpsert.vacuum(spark, snap)
+    assert(!new java.io.File(s"$snap/v=0").exists())
+    assert(StreamingUpsert.currentSnapshot(spark, snap).get.count() === 2)
+  }
+
+  test("vacuum truncates the log but keeps every writer's replay guard") {
+    val root = Files.createTempDirectory("graft_clog5").toString
+    val snap = s"$root/snap"
+    // writer wa commits batches 0..2, then wb commits 0..1
+    (0 to 2).foreach { b =>
+      StreamingUpsert.applyBatch(spark,
+        Seq((100L + b, s"wa-$b", 1L)).toDF("k", "s", "v"),
+        b.toLong, Seq("k"), "v", snap, writerTag = "wa")
+    }
+    (0 to 1).foreach { b =>
+      StreamingUpsert.applyBatch(spark,
+        Seq((200L + b, s"wb-$b", 1L)).toDF("k", "s", "v"),
+        b.toLong, Seq("k"), "v", snap, writerTag = "wb")
+    }
+    assert(CommitLog.commits(spark, snap).size === 5)
+    StreamingUpsert.vacuum(spark, snap) // keep = 1
+    val left = CommitLog.commits(spark, snap)
+    // head (wb-1) plus wa's newest (wa-2): everything else truncated
+    assert(left.map(_.version).toSet === Set("v=wa-2", "v=wb-1"))
+    // the replay guard still holds for BOTH writers after truncation
+    StreamingUpsert.applyBatch(spark,
+      Seq((999L, "replay", 9L)).toDF("k", "s", "v"),
+      2L, Seq("k"), "v", snap, writerTag = "wa")
+    StreamingUpsert.applyBatch(spark,
+      Seq((999L, "replay", 9L)).toDF("k", "s", "v"),
+      1L, Seq("k"), "v", snap, writerTag = "wb")
+    assert(CommitLog.commits(spark, snap).map(_.version).toSet ===
+      Set("v=wa-2", "v=wb-1")) // both were no-ops
+    assert(StreamingUpsert.currentSnapshot(spark, snap).get
+      .filter($"k" === 999L).count() === 0)
+  }
+
+  test("non-atomic-rename schemes are refused, not silently raced") {
+    // s3a's Rename.NONE is check-then-act — the exact lost-update race
+    // the log exists to prevent; the declared-scheme escape hatch is for
+    // deployments fronted by an external fencing service
+    val thrown = intercept[UnsupportedOperationException] {
+      CommitLog.tryCommit(spark, "s3a://some-bucket/store", 0L, "v=0")
+    }
+    assert(thrown.getMessage.contains("s3a"))
+    assert(thrown.getMessage.contains("atomic"))
   }
 }
