@@ -166,7 +166,45 @@ object Urls {
     require(rules.nonEmpty, "empty PSL rule set")
     val spark = df.sparkSession
     import spark.implicits._
-    val ruleDf = rules.toDF("__suffix", "__rlabels", "__wild", "__exc")
+    pslJoin(df, hostCol,
+      rules.toDF("__suffix", "__rlabels", "__wild", "__exc"), out, maxLabels)
+  }
+
+  /** Table-sourced face of [[registeredDomainPsl]]: `ruleLines` is a
+    * one-string-column DataFrame of RAW publicsuffix.org lines — e.g.
+    * `spark.read.text("public_suffix_list.dat")` — parsed in-plan
+    * (comments/blanks dropped, `*.`/`!` prefixes honored, same format
+    * contract as [[parsePsl]]) and broadcast into the identical
+    * suffix-join. Full-PSL users point this at the published file (or
+    * their own curated table) instead of forking the kernel or
+    * round-tripping 9 k rules through the driver. */
+  def registeredDomainPslTable(df: org.apache.spark.sql.DataFrame,
+      hostCol: String, ruleLines: org.apache.spark.sql.DataFrame,
+      out: String = "registered_domain",
+      maxLabels: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(ruleLines.columns.length == 1,
+      s"ruleLines must have exactly one string column, got " +
+        ruleLines.columns.mkString(", "))
+    val line = split(trim(col(ruleLines.columns.head)), "\\s+").getItem(0)
+    val body = regexp_replace(col("__l"), "^!", "")
+    val ruleDf = ruleLines
+      .select(line.as("__l"))
+      .filter(length(col("__l")) > 0 && !col("__l").startsWith("//"))
+      .select(
+        lower(regexp_replace(body, "^\\*\\.", "")).as("__suffix"),
+        col("__l").startsWith("!").as("__exc"),
+        regexp_replace(col("__l"), "^!", "").startsWith("*.").as("__wild"))
+      .withColumn("__rlabels", size(split(col("__suffix"), "\\.")))
+      .select("__suffix", "__rlabels", "__wild", "__exc")
+      .distinct()
+    pslJoin(df, hostCol, ruleDf, out, maxLabels)
+  }
+
+  /** The shared suffix-table join behind both PSL faces; `ruleDf` columns
+    * (__suffix, __rlabels, __wild, __exc) per [[PslRule]]. */
+  private def pslJoin(df: org.apache.spark.sql.DataFrame, hostCol: String,
+      ruleDf: org.apache.spark.sql.DataFrame, out: String,
+      maxLabels: Int): org.apache.spark.sql.DataFrame = {
 
     val hostExpr = lower(col(s"`$hostCol`"))
     val hosts = df.select(hostExpr.as("__host")).filter(col("__host").isNotNull)

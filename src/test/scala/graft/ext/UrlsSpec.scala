@@ -141,6 +141,30 @@ class UrlsSpec extends SparkSpec {
     for ((h, rd) <- simple) assert(psl(h) === rd, s"host $h")
   }
 
+  test("registeredDomainPslTable: a caller-supplied raw-lines table " +
+      "matches the Seq face rule for rule") {
+    // the full-PSL deployment path: the published file read as a text
+    // DataFrame, parsed in-plan — no driver round-trip, no kernel fork
+    val lineDf = pslLines.toDF("value")
+    val hosts = Seq("www.example.com", "a.b.example.co.uk", "shop.co.jp",
+      "sub.bar.ck", "bar.ck", "www.ck", "a.www.ck", "example.nosuchtld",
+      "nosuchtld", "MiXeD.ExAmPlE.CoM").toDF("h")
+    val viaTable = Urls.registeredDomainPslTable(hosts, "h", lineDf, "rd")
+      .select("h", "rd").as[(String, String)].collect().toMap
+    val viaSeq = Urls.registeredDomainPsl(hosts, "h",
+        Urls.parsePsl(pslLines), "rd")
+      .select("h", "rd").as[(String, String)].collect().toMap
+    assert(viaTable === viaSeq)
+    // the rule table is broadcast into the probe join, not shuffled
+    val plan = Urls.registeredDomainPslTable(hosts, "h", lineDf, "rd")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "PSL join must broadcast")
+    intercept[IllegalArgumentException] {
+      Urls.registeredDomainPslTable(hosts, "h",
+        Seq(("com", 1)).toDF("a", "b"))
+    }
+  }
+
   test("malformed URLs canonicalize to NULL, never a thrown task (ANSI-safe)") {
     val got = Seq("http://exa mple.com/a", "not a url at all",
       "https://ok.com/x").toDF("u")
