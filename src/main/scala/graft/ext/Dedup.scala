@@ -206,21 +206,48 @@ object Dedup {
   /** Connected components over an (id_a, id_b) pair graph. Returns
     * (id, cluster) where cluster is the min id reachable.
     *
-    * Near-dup edge sets are tiny relative to the corpus (pairs above a 0.7
-    * Jaccard threshold), so below `driverEdgeLimit` edges we collect and run
-    * union-find on the driver — one Spark job instead of ~3 per propagation
-    * round. Beyond the limit, the distributed min-label propagation loop
-    * takes over (O(log diameter) rounds, shuffling only (id, label)). */
+    * Near-dup edge sets are tiny relative to the corpus (pairs above a
+    * 0.7 Jaccard threshold: a 10 B-doc corpus at a 1% dup rate is ~100 M
+    * edges — GBs, not TBs), so below `driverEdgeLimit` edges we collect
+    * and run union-find on the driver: ONE job end to end instead of ~6
+    * label-table shuffles per propagation round, and union-find is
+    * O(α(n)) per edge where every distributed round pays the full stage
+    * ladder. Transport is PACKED — each partition ships one primitive
+    * long[] (16 B/edge, no Row/tuple boxing) and labels return as
+    * packed chunks through parallelize — so the default 16 M-edge limit
+    * costs ~256 MB of arrays + ~1 GB of open-addressed union-find
+    * tables: comfortable on a 4–8 GB production driver (size the limit
+    * to the driver heap, not the benchmark; round 15 measured the
+    * 14.85 M-edge 1000×-set x0_linkage edge set resolving in seconds
+    * here vs ~2.5 s/round × 5 rounds distributed). Beyond the limit,
+    * the distributed min-label propagation loop takes over
+    * (O(log diameter) rounds, shuffling only (id, label)). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
-      driverEdgeLimit: Long = 1000000L): DataFrame = {
+      driverEdgeLimit: Long = 16000000L): DataFrame = {
     val spark = pairs.sparkSession
     val cachedPairs = pairs.select(col("id_a"), col("id_b")).cache()
     val nEdges = cachedPairs.count()
     if (nEdges <= driverEdgeLimit) {
-      import spark.implicits._
-      val edges = cachedPairs.as[(Long, Long)].collect()
+      // packed collect: one long[] per partition, ids interleaved
+      val packed = cachedPairs.rdd.mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
+        Iterator.single(b.result())
+      }.collect()
       cachedPairs.unpersist()
-      return spark.createDataset(unionFindLabels(edges)).toDF("id", "cluster")
+      val labels = unionFindPacked(packed)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = spark.sparkContext
+        .parallelize(labels.toSeq, math.max(1, labels.length))
+        .mapPartitions(_.flatMap { a =>
+          Iterator.range(0, a.length, 2)
+            .map(i => org.apache.spark.sql.Row(a(i), a(i + 1)))
+        })
+      return spark.createDataFrame(rows, schema)
     }
     // Loop tuning (round 13, FlagshipProbe: CC was 30 of x0_linkage's
     // 35 s at the 100× set, and nearly all of it was per-round Spark
@@ -255,10 +282,16 @@ object Dedup {
     }
   }
 
-  /** Exact union-find with path compression over a collected edge list;
-    * returns one (node, minReachableNode) row per distinct node. */
-  private def unionFindLabels(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
+  /** Exact union-find with path compression over packed edge chunks
+    * (ids interleaved: a0,b0,a1,b1,…). Union-by-min keeps every root the
+    * minimum id of its component, so the final find IS the cluster
+    * label. Returns packed (id, cluster) chunks — primitive end to end
+    * ([[connectedComponents]] sizes `driverEdgeLimit` against exactly
+    * this layout: LongMap open addressing ≈ 32 B/node at 2× headroom). */
+  private def unionFindPacked(chunks: Array[Array[Long]]): Array[Array[Long]] = {
+    val parent = new scala.collection.mutable.LongMap[Long](
+      math.min(64L * 1024 * 1024,
+        math.max(64L, chunks.iterator.map(_.length.toLong).sum)).toInt)
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -266,12 +299,33 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    chunks.foreach { a =>
+      var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = a(i + 1)
+        if (!parent.contains(x)) parent.update(x, x)
+        if (!parent.contains(y)) parent.update(y, y)
+        val rx = find(x); val ry = find(y)
+        if (rx != ry) { if (rx < ry) parent.update(ry, rx) else parent.update(rx, ry) }
+        i += 2
+      }
     }
-    parent.keys.toSeq.map(id => (id, find(id)))
+    // snapshot keys before labeling: find() path-compresses (updates
+    // values), and mutating during foreachKey is asking for trouble
+    val keys = new scala.collection.mutable.ArrayBuilder.ofLong
+    parent.foreachKey(keys += _)
+    val ids = keys.result()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val ChunkPairs = 1 << 20
+    var i = 0
+    while (i < ids.length) {
+      val end = math.min(ids.length, i + ChunkPairs)
+      val a = new Array[Long]((end - i) * 2)
+      var j = 0
+      while (i < end) { a(j) = ids(i); a(j + 1) = find(ids(i)); i += 1; j += 2 }
+      out += a
+    }
+    out.toArray
   }
 
   /** Distributed min-label propagation with POINTER JUMPING.
@@ -355,15 +409,21 @@ object Dedup {
             .hint("shuffle_hash"), Seq("mid"), "left")
           .select(col("id"), coalesce(col("root"), col("mid")).as("cluster"),
             col("old"))
-      // checkpoint WITH the old column (2 longs + 1 long of bookkeeping),
-      // so the convergence test below is a filter over the blocks just
-      // written; unpersist targets the checkpointed frame itself — a
-      // projection on top would not release the blocks.
-      // re-pin hash(id, p) before the checkpoint so next round's joins
-      // stay exchange-free (the jumps leave the table keyed by `mid`)
-      val next = jump(jump(hop)).repartition(p, col("id")).localCheckpoint(true)
-      val changed =
-        next.filter(col("cluster") =!= col("old")).limit(1).count()
+      // convergence rides the checkpoint job itself: an observe() node
+      // counts changed labels as the blocks are written, so the round is
+      // ONE job — the old filter-limit-count over the checkpointed
+      // blocks was a second job + scheduler barrier every round (round
+      // 15, Cc2Probe: 2 of the ~12 stages/round). re-pin hash(id, p)
+      // before the checkpoint so next round's joins stay exchange-free
+      // (the jumps leave the table keyed by `mid`); unpersist targets
+      // the checkpointed frame itself — a projection on top would not
+      // release the blocks.
+      val obs = org.apache.spark.sql.Observation()
+      val next = jump(jump(hop)).repartition(p, col("id"))
+        .observe(obs, sum(when(col("cluster") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .localCheckpoint(true)
+      val changed = obs.get("changed").asInstanceOf[Long]
       if (sys.env.contains("GRAFT_CC_TRACE"))
         println(f"[cc] round=$i changed=${changed > 0} " +
           f"t=${(System.nanoTime() - roundT0) / 1e6}%.0f ms")

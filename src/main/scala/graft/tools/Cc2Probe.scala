@@ -40,11 +40,15 @@ object Cc2Probe {
         stages.add((i.stageId, ms, i.numTasks, i.name.takeWhile(_ != '\n').take(60)))
       }
     })
-    (1 to 3).foreach { trial =>
+    // both regimes: the driver union-find fast path (default limit) and
+    // the forced distributed propagation loop (limit 0)
+    for (trial <- 1 to 3; forced <- Seq(false, true)) {
       stages.clear()
       val t0 = System.nanoTime()
-      val cc = graft.ext.Dedup.connectedComponents(edges)
+      val cc = graft.ext.Dedup.connectedComponents(edges,
+        driverEdgeLimit = if (forced) 0L else 16000000L)
       val n = cc.count()
+      print(s"[cc2] path=${if (forced) "distributed" else "driver-uf"} ")
       import scala.jdk.CollectionConverters._
       val all = stages.asScala.toSeq.sortBy(_._1)
       println(f"[cc2] trial=$trial labels=$n " +
