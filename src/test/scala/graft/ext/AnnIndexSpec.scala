@@ -317,7 +317,21 @@ class AnnIndexSpec extends SparkSpec {
     val (rRef, rRaw) = (recall(hits(refined)), recall(raw))
     info(f"filtered recall@5: raw ADC $rRaw%.2f, refined $rRef%.2f")
     assert(rRef >= rRaw - 1e-9, "refine made filtered recall worse")
-    assert(rRef >= 0.5, f"refined filtered recall $rRef%.2f below floor")
+    // floor pinned from the r15 FannProbe sweep at the largest DISTINCT
+    // corpus (sf0.1, 10% selectivity): recall@10 0.55/0.79/1.00 at
+    // shortlist 50/100/200 of 200 eligible — shortlist/|eligible| is the
+    // recall knob (widening targets shortlist, so nprobe0 was flat across
+    // the sweep); here shortlist 30 of ~100 eligible measures 0.66
+    assert(rRef >= 0.6, f"refined filtered recall $rRef%.2f below floor")
+    // the sweep's endpoint as a THEOREM of the construction: a shortlist
+    // covering the whole eligible set forces the widening to reach every
+    // eligible candidate, and exact re-rank over all of them IS the
+    // exact filtered answer — recall exactly 1.0, not a floor
+    val eligibleN = corpus.filter(pred).count().toInt
+    val full = hits(AnnIndex.topKRefinedFiltered(idx, fQueries, corpus,
+      pred, k = 5, shortlist = eligibleN, nprobe0 = 2))
+    assert(recall(full) === 1.0,
+      "shortlist >= |eligible| must make filtered+refined exact")
     // stale primary store: a shortlist id with no vector must FAIL loudly
     val stale = corpus.filter($"vec_id" =!= 2L) // grp 2 member removed
     val thrown = intercept[Exception] {
