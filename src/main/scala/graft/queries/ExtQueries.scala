@@ -1641,6 +1641,29 @@ object ExtQueries {
       out.schema)
   }
 
+  /** X98 — corpus overlap via KMV theta sketches
+    * ([[graft.ext.SetSketch.overlapReport]]), ORACLE-CHECKED in the exact
+    * regime: two overlapping doc_id windows of the SF-stable documents
+    * slice, per-lang distinct/overlap/difference counts from k=4096
+    * sketches — every slice holds < 4096 distinct texts, so the sketches
+    * never saturate and the estimates ARE the exact cardinalities DuckDB
+    * reproduces with COUNT(DISTINCT)/INTERSECT. Keys are xxhash64(text)
+    * (the X1/q19 collision trade). Saturated-regime accuracy is gated by
+    * KmvSketchSpec, not the oracle. */
+  val x98_sketch_overlap: Q = (s, d) => {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 2000)
+    val a = docs.filter(col("doc_id") < 1500)
+    val b = docs.filter(col("doc_id") >= 500)
+    graft.ext.SetSketch.overlapReport(a, b, Seq("lang"), col("text"))
+      .select(col("lang"),
+        col("a_distinct").cast("long").as("a_distinct"),
+        col("b_distinct").cast("long").as("b_distinct"),
+        col("overlap").cast("long").as("overlap"),
+        col("a_only").cast("long").as("a_only"),
+        col("b_only").cast("long").as("b_only"))
+      .orderBy(col("lang"))
+  }
+
   /** X59 — FULL Public-Suffix-List registered domain
     * ([[graft.ext.Urls.registeredDomainPsl]]), ORACLE-CHECKED via planted
     * ground truth (round 11): hosts synthesized per doc_id exercise every
@@ -3259,6 +3282,7 @@ object ExtQueries {
     "x95_sorted_neighborhood" -> x95_sorted_neighborhood,
     "x59_psl_domain" -> x59_psl_domain,
     "x97_filtered_ann" -> x97_filtered_ann,
+    "x98_sketch_overlap" -> x98_sketch_overlap,
     "x0_linkage" -> x0_linkage,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,
@@ -3394,6 +3418,26 @@ object ExtQueries {
         |  FROM scored)
         | SELECT query_id, id, ROUND(d, 4) AS dist, CAST(rank AS BIGINT) AS rank
         | FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // exact regime: < 4096 distinct texts per lang slice, so the KMV
+    // sketches never saturate and estimate/intersect/difference ARE the
+    // exact cardinalities (xxhash64-key collision caveat, the q19 trade)
+    "x98_sketch_overlap" ->
+      """WITH a AS (SELECT DISTINCT lang, text FROM documents WHERE doc_id < 1500),
+        | b AS (SELECT DISTINCT lang, text FROM documents
+        |       WHERE doc_id >= 500 AND doc_id < 2000),
+        | la AS (SELECT lang, COUNT(*) AS a_distinct FROM a GROUP BY lang),
+        | lb AS (SELECT lang, COUNT(*) AS b_distinct FROM b GROUP BY lang),
+        | lo AS (SELECT lang, COUNT(*) AS overlap FROM
+        |        (SELECT * FROM a INTERSECT SELECT * FROM b) GROUP BY lang)
+        | SELECT COALESCE(la.lang, lb.lang) AS lang,
+        |  COALESCE(a_distinct, 0) AS a_distinct,
+        |  COALESCE(b_distinct, 0) AS b_distinct,
+        |  COALESCE(overlap, 0) AS overlap,
+        |  COALESCE(a_distinct, 0) - COALESCE(overlap, 0) AS a_only,
+        |  COALESCE(b_distinct, 0) - COALESCE(overlap, 0) AS b_only
+        | FROM la FULL OUTER JOIN lb ON la.lang = lb.lang
+        | LEFT JOIN lo ON COALESCE(la.lang, lb.lang) = lo.lang
+        | ORDER BY lang""",
     // provable lossless-IVF-PQ subcase: each folded copy is at distance
     // exactly 0.0 from its original (rank 1, smaller id) and itself
     // (rank 2 - the folded row, proving fold visibility on the hash)
