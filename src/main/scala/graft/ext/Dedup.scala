@@ -282,37 +282,95 @@ object Dedup {
     }
   }
 
+  /** Primitive open-addressed long→long table for the driver union-find:
+    * Scala's LongMap specializes KEYS only (values live in an AnyRef
+    * array), so a 30 M-node parent map would box every link. Two long
+    * arrays, linear probing, power-of-2 capacity, grow at 2/3 load —
+    * 16 B/slot, exactly the budget [[connectedComponents]]' scaladoc
+    * states. Zero is a legal key (occupancy is a separate bitset-free
+    * sentinel array would cost reads; we keep a boolean array — 1 B/slot
+    * on top, still inside budget). */
+  private final class LongLongMap(initialCapacity: Int) {
+    private var cap = java.lang.Integer.highestOneBit(
+      math.max(64, initialCapacity * 3 / 2) - 1) << 1
+    private var mask = cap - 1
+    private var ks = new Array[Long](cap)
+    private var vs = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    var keyCount: Int = 0
+    private def slot(k: Long): Int = {
+      // 64→32 bit mix (splitmix64 finalizer tail)
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      var i = h.toInt & mask
+      while (used(i) && ks(i) != k) i = (i + 1) & mask
+      i
+    }
+    def getOrDefault(k: Long, dflt: Long): Long = {
+      val i = slot(k); if (used(i)) vs(i) else dflt
+    }
+    def contains(k: Long): Boolean = used(slot(k))
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!used(i)) {
+        used(i) = true; ks(i) = k; n += 1; keyCount += 1
+        if (n * 3 >= cap * 2) grow()
+      }
+      // re-resolve after a grow moved slots
+      vs(slot(k)) = v
+    }
+    private def grow(): Unit = {
+      val (oks, ovs, oused) = (ks, vs, used)
+      cap <<= 1; mask = cap - 1
+      ks = new Array[Long](cap); vs = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      var i = 0
+      while (i < oks.length) {
+        if (oused(i)) { val j = slot(oks(i)); used(j) = true; ks(j) = oks(i); vs(j) = ovs(i) }
+        i += 1
+      }
+    }
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < ks.length) { if (used(i)) f(ks(i)); i += 1 }
+    }
+  }
+
   /** Exact union-find with path compression over packed edge chunks
     * (ids interleaved: a0,b0,a1,b1,…). Union-by-min keeps every root the
     * minimum id of its component, so the final find IS the cluster
     * label. Returns packed (id, cluster) chunks — primitive end to end
-    * ([[connectedComponents]] sizes `driverEdgeLimit` against exactly
-    * this layout: LongMap open addressing ≈ 32 B/node at 2× headroom). */
+    * (no boxing anywhere: [[LongLongMap]] parent table, long[] in and
+    * out). */
   private def unionFindPacked(chunks: Array[Array[Long]]): Array[Array[Long]] = {
-    val parent = new scala.collection.mutable.LongMap[Long](
-      math.min(64L * 1024 * 1024,
-        math.max(64L, chunks.iterator.map(_.length.toLong).sum)).toInt)
+    val nEdgeEnds = chunks.iterator.map(_.length.toLong).sum
+    val parent = new LongLongMap(
+      math.min(64L * 1024 * 1024, math.max(64L, nEdgeEnds)).toInt)
     def find(x: Long): Long = {
       var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
       var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      while (parent.getOrDefault(c, c) != c) {
+        val nx = parent.getOrDefault(c, c); parent.put(c, r); c = nx
+      }
       r
     }
     chunks.foreach { a =>
       var i = 0
       while (i < a.length) {
         val x = a(i); val y = a(i + 1)
-        if (!parent.contains(x)) parent.update(x, x)
-        if (!parent.contains(y)) parent.update(y, y)
+        if (!parent.contains(x)) parent.put(x, x)
+        if (!parent.contains(y)) parent.put(y, y)
         val rx = find(x); val ry = find(y)
-        if (rx != ry) { if (rx < ry) parent.update(ry, rx) else parent.update(rx, ry) }
+        if (rx != ry) { if (rx < ry) parent.put(ry, rx) else parent.put(rx, ry) }
         i += 2
       }
     }
     // snapshot keys before labeling: find() path-compresses (updates
     // values), and mutating during foreachKey is asking for trouble
     val keys = new scala.collection.mutable.ArrayBuilder.ofLong
+    keys.sizeHint(parent.keyCount)
     parent.foreachKey(keys += _)
     val ids = keys.result()
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
