@@ -120,10 +120,14 @@ object AnnIndex {
       (implicit spark: SparkSession): Index = {
     Ivf.save(coarse, s"$dir/centroids")
     pq.foreach(m => Pq.save(m, s"$dir/codebooks"))
-    saveAttrs(dir, attrCols)
+    // old lists go BEFORE the new attrs manifest lands: a crash between
+    // the two then leaves a manifest over an EMPTY lists dir (re-run
+    // create), never a new-schema manifest describing old-schema list
+    // files whose predicates would NULL-evaluate (r15 ADVICE)
     val lists = new org.apache.hadoop.fs.Path(s"$dir/lists")
     lists.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(lists, true)
+    saveAttrs(dir, attrCols)
     val idx = Index(dir, coarse, pq, attrCols)
     // the corpus is batch −1: structured-streaming batch ids start at 0,
     // so a stream folding into this index can never overwrite it

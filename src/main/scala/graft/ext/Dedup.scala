@@ -203,6 +203,29 @@ object Dedup {
 
   // ------------------------------------------------- cluster merge / dedup
 
+  /** Default driver union-find edge budget, derived from THIS JVM's heap
+    * (rounds ≤15 hard-coded 16 M, which silently encoded a 4–8 GB
+    * driver). Per-edge driver cost, from the packed representation:
+    * 16 B transport in (one interleaved long[] per partition) + the
+    * [[LongLongMap]] parent table at 17 B/slot, ≤ 3 slots per distinct
+    * id at the 2/3-load power-of-2 growth policy, + 16 B/id labels out.
+    * At the dedup-graph design shape V ≈ E (clusters have ≥ |cluster|−1
+    * edges, LSH emits several edges per pair) that is ≈ 16 + 51 + 16 ≈
+    * 85 B/edge — call it 100 with allocator margin. Budgeting a QUARTER
+    * of `Runtime.maxMemory` against 100 B/edge leaves 4× headroom, which
+    * covers the V = 2E worst case (all edges disjoint, ≈ 150 B/edge)
+    * inside half the heap: an 8 GB driver derives ~21 M edges, 4 GB
+    * ~10 M, 32 GB ~80 M. Floored at 1 M (any JVM can union-find 1 M
+    * edges), capped at 256 M (≥ 25 GB of primitive arrays — past that
+    * driver GC pauses rival the distributed loop's round cost). An
+    * explicit `driverEdgeLimit` argument always wins. */
+  val defaultDriverEdgeLimit: Long =
+    driverEdgeLimitFor(Runtime.getRuntime.maxMemory)
+
+  /** The derivation above, factored for the spec to pin. */
+  private[ext] def driverEdgeLimitFor(maxHeapBytes: Long): Long =
+    math.min(256000000L, math.max(1000000L, maxHeapBytes / 4 / 100))
+
   /** Connected components over an (id_a, id_b) pair graph. Returns
     * (id, cluster) where cluster is the min id reachable.
     *
@@ -214,41 +237,65 @@ object Dedup {
     * O(α(n)) per edge where every distributed round pays the full stage
     * ladder. Transport is PACKED — each partition ships one primitive
     * long[] (16 B/edge, no Row/tuple boxing) and labels return as
-    * packed chunks through parallelize — so the default 16 M-edge limit
-    * costs ~256 MB of arrays + ~1 GB of open-addressed union-find
-    * tables: comfortable on a 4–8 GB production driver (size the limit
-    * to the driver heap, not the benchmark; round 15 measured the
-    * 14.85 M-edge 1000×-set x0_linkage edge set resolving in seconds
-    * here vs ~2.5 s/round × 5 rounds distributed). Beyond the limit,
-    * the distributed min-label propagation loop takes over
-    * (O(log diameter) rounds, shuffling only (id, label)). */
+    * packed chunks through parallelize; the per-heap budget math lives
+    * at [[defaultDriverEdgeLimit]] (round 15 measured the 14.85 M-edge
+    * 1000×-set x0_linkage edge set resolving in seconds here vs
+    * ~2.5 s/round × 5 rounds distributed). Beyond the limit, the
+    * distributed min-label propagation loop takes over (O(log diameter)
+    * rounds, shuffling only (id, label)).
+    *
+    * @param knownEdges the edge count when the CALLER already knows the
+    *   scale (e.g. it just materialized the pair table): skips the probe
+    *   `cache()+count()`, which at 100 TB can evict hotter blocks than
+    *   it saves. The driver path then collects in a single uncached
+    *   pass; the distributed path still caches for its own loop. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
-      driverEdgeLimit: Long = 16000000L): DataFrame = {
+      driverEdgeLimit: Long = defaultDriverEdgeLimit,
+      knownEdges: Option[Long] = None): DataFrame = {
     val spark = pairs.sparkSession
-    val cachedPairs = pairs.select(col("id_a"), col("id_b")).cache()
-    val nEdges = cachedPairs.count()
+    val edges = pairs.select(col("id_a"), col("id_b"))
+    // regime probe: cache+count only when the caller didn't supply the
+    // scale — the count itself is cheap at any size, but an unconditional
+    // cache() materializes the full edge relation and can evict hotter
+    // blocks on a busy cluster (r15 verdict)
+    val (probed, nEdges, probeCached) = knownEdges match {
+      case Some(n) => (edges, n, false)
+      case None =>
+        val c = edges.cache()
+        (c, c.count(), true)
+    }
     if (nEdges <= driverEdgeLimit) {
-      // packed collect: one long[] per partition, ids interleaved
-      val packed = cachedPairs.rdd.mapPartitions { it =>
+      // packed collect: one long[] per partition, ids interleaved —
+      // a single pass, so no cache is needed on the knownEdges path
+      val packed = probed.rdd.mapPartitions { it =>
         val b = new scala.collection.mutable.ArrayBuilder.ofLong
         it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
         Iterator.single(b.result())
       }.collect()
-      cachedPairs.unpersist()
+      if (probeCached) probed.unpersist()
       val labels = unionFindPacked(packed)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("cluster",
           org.apache.spark.sql.types.LongType, nullable = false)))
+      // one partition per ~1M labels, capped at defaultParallelism: the
+      // collect side produced one chunk per SOURCE partition, and a
+      // 10 000-partition source must not become 10 000 tiny
+      // driver-seeded partitions (r15 verdict)
+      val nParts = math.max(1, math.min(labels.length,
+        spark.sparkContext.defaultParallelism))
       val rows = spark.sparkContext
-        .parallelize(labels.toSeq, math.max(1, labels.length))
+        .parallelize(labels.toSeq, nParts)
         .mapPartitions(_.flatMap { a =>
           Iterator.range(0, a.length, 2)
             .map(i => org.apache.spark.sql.Row(a(i), a(i + 1)))
         })
       return spark.createDataFrame(rows, schema)
     }
+    // the propagation loop re-reads the edge relation every round, so it
+    // is cached here even when the regime probe was skipped
+    val cachedPairs = if (probeCached) probed else edges.cache()
     // Loop tuning (round 13, FlagshipProbe: CC was 30 of x0_linkage's
     // 35 s at the 100× set, and nearly all of it was per-round Spark
     // constants, not data):

@@ -107,7 +107,11 @@ object KmvSketch {
       case (true, true) => Some(math.min(ma.last, mb.last))
     }
     val bs = mb.toSet
-    val inA = thetaOpt.fold(ma)(t => ma.filter(_ <= t))
+    // STRICTLY below theta: the k-th minimum itself is the horizon, not
+    // part of the uniform sample — matching [[estimate]]'s (k−1)/frac(theta)
+    // estimator. Including it (r15's `<=`) over-counted saturated
+    // intersect/difference by ~1/k systematically.
+    val inA = thetaOpt.fold(ma)(t => ma.filter(_ < t))
     val n = inA.count(h => if (diff) !bs.contains(h) else bs.contains(h))
     thetaOpt.fold(n.toDouble)(t => n.toDouble / frac(t))
   }

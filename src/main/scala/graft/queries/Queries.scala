@@ -306,13 +306,18 @@ object Queries {
     * odds are n²/2⁶⁵ — ~10⁻¹⁰ at 100 M distinct docs — the standard trade
     * content-dedup already makes. Measured 0.90 → 0.53 s at the 100× set
     * (KernelProbe, r15); DuckDB's oracle counts the raw text and values
-    * agree absent a collision. */
+    * agree absent a collision. The `when(isNotNull, …)` guard preserves
+    * SQL NULL semantics: Spark's xxhash64(NULL) returns the SEED (a
+    * non-null constant), so without it a NULL text would count as one
+    * extra distinct value per group while COUNT(DISTINCT text) ignores
+    * NULLs (r15 ADVICE). */
   val q19_doc_stats: Q = (s, d) =>
     t(s, d, "documents")
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("docs"),
-        countDistinct(xxhash64(col("text"))).as("distinct_docs"),
+        countDistinct(when(col("text").isNotNull, xxhash64(col("text"))))
+          .as("distinct_docs"),
         round(avg(col("n_chars")), 2).as("avg_chars"))
       .orderBy(col("lang"))
 

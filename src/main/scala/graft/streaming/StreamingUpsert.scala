@@ -154,6 +154,24 @@ object StreamingUpsert {
     * (vacuum's legacy branch never ran again once the log took over).
     * Idempotent and crash-safe: epoch 0 is an exclusive create, and the
     * pointer is deleted only after epoch 0 is durable. */
+  /** Highest PRE-LOG published version number, from the migrated epoch-0
+    * commit or a still-standing `_CURRENT` pointer. Epoch 0's content is
+    * parsed DEFENSIVELY against the `v=<digits>` shape ([[legacyPointer]]
+    * already require()s it): migrateLegacy writes the pointer content
+    * verbatim, so a tagged or malformed string there must DISABLE the
+    * legacy sweep, not abort vacuum/snapshotAt with a NumberFormat
+    * exception (r15 ADVICE). A non-matching epoch 0 only means some
+    * pre-log `v=<n>` directories are retained forever — safe. */
+  private val LegacyVersion = "v=(\\d+)".r
+  private def legacyMaxOf(spark: SparkSession, dir: String,
+      log: Seq[CommitLog.Commit]): Option[Long] =
+    log.find(_.epoch == 0L)
+      .flatMap(c => c.version match {
+        case LegacyVersion(n) => Some(n.toLong)
+        case _ => None
+      })
+      .orElse(legacyPointer(spark, dir).map(_.stripPrefix("v=").toLong))
+
   private def migrateLegacy(spark: SparkSession, dir: String): Unit =
     legacyPointer(spark, dir).foreach { v =>
       if (CommitLog.current(spark, dir).nonEmpty) {
@@ -229,9 +247,7 @@ object StreamingUpsert {
       // pre-migration pointer was PUBLISHED under the old single-writer
       // scheme (so it is retention's to reclaim, not in-flight state) —
       // without this, a migrated store kept its pre-log versions forever
-      val legacyMax = log.find(_.epoch == 0L)
-        .map(_.version.stripPrefix("v=").toLong)
-        .orElse(legacyPointer(spark, dir).map(_.stripPrefix("v=").toLong))
+      val legacyMax = legacyMaxOf(spark, dir, log)
       legacyMax.foreach { p =>
         f.listStatus(new Path(dir)).toSeq
           .filter { s =>
@@ -289,9 +305,7 @@ object StreamingUpsert {
     val log = CommitLog.commits(spark, dir)
     // epoch 0 is the migrated pre-log pointer: every untagged batch at or
     // below it was published under the old single-writer scheme
-    val legacyMax = log.find(_.epoch == 0L)
-      .map(_.version.stripPrefix("v=").toLong)
-      .orElse(legacyPointer(spark, dir).map(_.stripPrefix("v=").toLong))
+    val legacyMax = legacyMaxOf(spark, dir, log)
     val published = log.exists(_.version == s"v=$batchId") ||
       legacyMax.exists(_ >= batchId)
     require(published,

@@ -30,6 +30,29 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("q19 distinct count ignores NULL texts (SQL COUNT DISTINCT semantics)") {
+    // Spark's xxhash64(NULL) returns the SEED, a non-null constant, so an
+    // unguarded countDistinct(xxhash64(text)) counts NULL texts as one
+    // extra distinct value per group — diverging from the DuckDB oracle
+    // (r15 ADVICE, medium). Pin against a corpus with NULLs.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q19null").toString
+    Seq(
+      (1L, "en", Some("alpha"), 5L),
+      (2L, "en", Some("alpha"), 5L),
+      (3L, "en", None: Option[String], 0L),
+      (4L, "en", None: Option[String], 0L),
+      (5L, "de", Some("beta"), 4L))
+      .toDF("doc_id", "lang", "text", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = queries.Queries.q19_doc_stats(spark, dir)
+      .select($"lang", $"docs", $"distinct_docs")
+      .as[(String, Long, Long)].collect()
+      .map { case (l, docs, dd) => l -> ((docs, dd)) }.toMap
+    assert(got("en") === ((4L, 1L)), s"NULL texts leaked into distinct: $got")
+    assert(got("de") === ((1L, 1L)))
+  }
+
   test("query names are unique and stable-format") {
     val names = (queries.Queries.queries ++ queries.ExtQueries.queries).map(_._1)
     assert(names.distinct.size === names.size)

@@ -139,6 +139,41 @@ class DedupSpec extends SparkSpec {
     assert((1000L to 1050L).forall(cc2(_) == 1000L))
     assert(cc2(5000L) === 5000L && cc2(5001L) === 5000L)
   }
+
+  test("knownEdges skips the probe but labels identically on both regimes") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val expect = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    // driver path (3 <= limit) with the probe bypassed
+    val viaKnown = Dedup.connectedComponents(pairs, knownEdges = Some(3L))
+      .as[(Long, Long)].collect().toMap
+    assert(viaKnown === expect)
+    // distributed path chosen from the CALLER's count, not a probe
+    val viaKnownDist = Dedup.connectedComponents(pairs, driverEdgeLimit = 2,
+      knownEdges = Some(3L)).as[(Long, Long)].collect().toMap
+    assert(viaKnownDist === expect)
+  }
+
+  test("driver union-find output partitions stay bounded by parallelism") {
+    // a many-partition pair source must not yield one output partition
+    // per collected chunk (r15 verdict: 10 000-partition inputs)
+    val pairs = (0L until 200L).map(i => (i * 2, i * 2 + 1))
+      .toDF("id_a", "id_b").repartition(100)
+    val cc = Dedup.connectedComponents(pairs)
+    assert(cc.rdd.getNumPartitions <=
+      math.max(1, spark.sparkContext.defaultParallelism))
+    assert(cc.count() === 400L)
+  }
+
+  test("defaultDriverEdgeLimit derives from the heap: quarter-heap / 100 B") {
+    // the scaladoc math IS the code (r15 verdict #8)
+    assert(Dedup.driverEdgeLimitFor(8L * 1024 * 1024 * 1024) ===
+      8L * 1024 * 1024 * 1024 / 4 / 100)
+    assert(Dedup.driverEdgeLimitFor(0L) === 1000000L)          // floor
+    assert(Dedup.driverEdgeLimitFor(Long.MaxValue) === 256000000L) // cap
+    assert(Dedup.defaultDriverEdgeLimit ===
+      Dedup.driverEdgeLimitFor(Runtime.getRuntime.maxMemory))
+  }
 }
 
 class SimHashSpec extends SparkSpec {

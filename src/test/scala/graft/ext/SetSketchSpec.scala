@@ -62,6 +62,15 @@ class SetSketchSpec extends SparkSpec {
       s"theta-consistent decomposition drifted: $total vs 20000")
   }
 
+  test("saturated self-intersection equals the sketch's own estimate") {
+    // the r15 `<= theta` filter included the k-th minimum in the scaled
+    // sample (k/theta, a ~1/k systematic overestimate); the strict-below
+    // sample makes intersect consistent with estimate()'s (k−1)/theta
+    val s = sketchOf(1L to 20000L, k = 512)
+    assert(KmvSketch.intersectEstimate(s, s) === KmvSketch.estimate(s))
+    assert(KmvSketch.differenceEstimate(s, s) === 0.0)
+  }
+
   test("union sketch equals the sketch of the union") {
     // union stays exact only while the UNION itself fits under k
     val u = KmvSketch.union(sketchOf(1L to 600L, k = 1024),
