@@ -34,5 +34,9 @@ object SparkEntry {
     "x84_image_neardup" -> "x84_image_dedup",
     "x85_audio_neardup" -> "x85_audio_dedup",
     "x87_video_neardup" -> "x87_video_dedup",
-    "x90_pq_topk" -> "x90_pq_exact")
+    "x90_pq_topk" -> "x90_pq_exact",
+    // saturated-regime KMV estimates: gated in-face at 3/sqrt(k-2)
+    // against exactly-computed truths; the exact regime is the oracle
+    // sibling (r15 verdict #5)
+    "x98_sketch_overlap_sat" -> "x98_sketch_overlap")
 }

@@ -49,15 +49,33 @@ import graft.functions.VectorFunctions.{cosineSim, topCentroids}
 object AnnIndex {
 
   /** An opened index: frozen models + the lists directory + the
-    * attribute columns every list row carries (persisted at `dir/attrs`
-    * so a later [[open]] — e.g. the streaming fold face — writes
-    * schema-identical list files; a fold that dropped them would make
-    * [[topKFiltered]] evaluate its predicate to NULL over streamed rows
-    * and silently exclude them). */
+    * attribute columns every list row carries (persisted at `attrs`
+    * under the root so a later [[open]] — e.g. the streaming fold face —
+    * writes schema-identical list files; a fold that dropped them would
+    * make [[topKFiltered]] evaluate its predicate to NULL over streamed
+    * rows and silently exclude them).
+    *
+    * Round 16: the index is PUBLISHED through an epoch-fenced pointer
+    * ([[graft.streaming.CommitLog]] at `dir/_commits`): each publish —
+    * [[create]] (initial build or retrain), [[compact]] — writes a
+    * fresh immutable `rev=<epoch>` subtree (models + attrs + lists) and
+    * commits it with a CAS, so readers NEVER observe a torn index: an
+    * opened Index pins `root` (one revision's paths) for its lifetime,
+    * and a crash mid-publish leaves an uncommitted subtree the pointer
+    * never meets. Pre-r16 indexes (no `_commits`) resolve root = dir
+    * and keep opening. */
   final case class Index(dir: String, coarse: Ivf.Model, pq: Option[Pq.Model],
-      attrCols: Seq[String] = Nil) {
-    def listsDir: String = s"$dir/lists"
+      attrCols: Seq[String] = Nil, root: String = "") {
+    /** The revision subtree this Index reads and folds into. */
+    def resolvedRoot: String = if (root.isEmpty) dir else root
+    def listsDir: String = s"$resolvedRoot/lists"
   }
+
+  /** The currently-published revision root under `dir` (dir itself for a
+    * pre-r16 unversioned index). */
+  private def currentRoot(dir: String)(implicit spark: SparkSession): String =
+    graft.streaming.CommitLog.current(spark, dir)
+      .map(c => s"$dir/${c.version}").getOrElse(dir)
 
   /** Persist/load the index's attribute-column manifest. One name per
     * line; absent file = no attributes (pre-X97 indexes keep opening). */
@@ -111,39 +129,53 @@ object AnnIndex {
     createWithModels(corpus, dir, coarse, pq, idCol, vecCol, attrCols)
   }
 
-  /** Build the initial index under caller-supplied FROZEN models (e.g.
+  /** Build the index under caller-supplied FROZEN models (e.g.
     * [[Pq.exactModel]] for the provable subcase, or models trained on a
-    * sample elsewhere). Clears any previous lists. */
+    * sample elsewhere) and PUBLISH it atomically: the whole subtree
+    * (models, attrs, corpus lists) is written into a fresh `rev=<epoch>`
+    * directory first and the pointer CAS-commits LAST — a crash at any
+    * earlier point leaves the previous revision live and intact (this
+    * subsumes the r15 ADVICE manifest-ordering fix: a manifest can never
+    * describe list files another schema produced). On an existing index
+    * dir this IS the retrain-and-swap: readers holding the old Index
+    * keep their pinned revision; re-[[open]] sees the new one. */
   def createWithModels(corpus: DataFrame, dir: String, coarse: Ivf.Model,
       pq: Option[Pq.Model], idCol: String = "vec_id",
       vecCol: String = "embedding", attrCols: Seq[String] = Nil)
       (implicit spark: SparkSession): Index = {
-    Ivf.save(coarse, s"$dir/centroids")
-    pq.foreach(m => Pq.save(m, s"$dir/codebooks"))
-    // old lists go BEFORE the new attrs manifest lands: a crash between
-    // the two then leaves a manifest over an EMPTY lists dir (re-run
-    // create), never a new-schema manifest describing old-schema list
-    // files whose predicates would NULL-evaluate (r15 ADVICE)
-    val lists = new org.apache.hadoop.fs.Path(s"$dir/lists")
-    lists.getFileSystem(spark.sessionState.newHadoopConf())
-      .delete(lists, true)
-    saveAttrs(dir, attrCols)
-    val idx = Index(dir, coarse, pq, attrCols)
+    val epoch = graft.streaming.CommitLog.current(spark, dir)
+      .map(_.epoch).getOrElse(0L)
+    val revName = s"rev=${epoch + 1}"
+    val root = s"$dir/$revName"
+    // a leftover subtree from a crashed publish at this epoch is ours to
+    // clear — it was never committed
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    Ivf.save(coarse, s"$root/centroids")
+    pq.foreach(m => Pq.save(m, s"$root/codebooks"))
+    saveAttrs(root, attrCols)
+    val idx = Index(dir, coarse, pq, attrCols, root = root)
     // the corpus is batch −1: structured-streaming batch ids start at 0,
     // so a stream folding into this index can never overwrite it
     fold(corpus, idx, batchId = -1L, idCol, vecCol)
+    val won = graft.streaming.CommitLog.tryCommit(spark, dir, epoch, revName)
+    require(won, s"create: concurrent index publish at $dir (epoch $epoch) " +
+      "— re-read and retry")
     idx
   }
 
-  /** Open a persisted index (models load bit-identically — the
-    * Ivf/Pq ModelStore contract). */
+  /** Open the CURRENT revision of a persisted index (models load
+    * bit-identically — the Ivf/Pq ModelStore contract). The returned
+    * Index pins this revision: queries and folds against it keep using
+    * its files even across a concurrent [[compact]]/retrain publish. */
   def open(dir: String)(implicit spark: SparkSession): Index = {
-    val pqPath = new org.apache.hadoop.fs.Path(s"$dir/codebooks")
+    val root = currentRoot(dir)
+    val pqPath = new org.apache.hadoop.fs.Path(s"$root/codebooks")
     val hasPq = pqPath.getFileSystem(spark.sessionState.newHadoopConf())
       .exists(pqPath)
-    Index(dir, Ivf.load(s"$dir/centroids"),
-      if (hasPq) Some(Pq.load(s"$dir/codebooks")) else None,
-      loadAttrs(dir))
+    Index(dir, Ivf.load(s"$root/centroids"),
+      if (hasPq) Some(Pq.load(s"$root/codebooks")) else None,
+      loadAttrs(root), root = root)
   }
 
   /** Fold one batch into the index: assign-only against the frozen
@@ -395,6 +427,105 @@ object AnnIndex {
           .as("dist"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** List-file compaction — X86 for the index. Every [[fold]] writes its
+    * own `(batch_id, list_id)` parquet subtree, so a fold-heavy index
+    * accumulates one small file per list PER MICRO-BATCH; after
+    * thousands of batches every [[topK]] probe opens thousands of tiny
+    * files (the r15 verdict's #1 engine-native gap). Compaction rewrites
+    * history into ONE `batch_id = -1` subtree per list (merged with the
+    * create-time corpus batch, whose id is −1 already) inside a fresh
+    * revision, and publishes it with the same CAS the other publishes
+    * use — readers pinned to the old revision stay consistent, nothing
+    * is deleted (run [[vacuumRevisions]] once old readers drain).
+    *
+    * REPLAY SAFETY: the NEWEST stream batch keeps its own `batch_id`
+    * subtree, copied verbatim. foreachBatch is at-least-once, and the
+    * one batch a restarted stream may replay is the last one — its
+    * re-fold deletes and rewrites that subtree idempotently. Compacting
+    * it into −1 instead would turn that replay into silent duplication.
+    * Earlier batches are durable in the sink's commit log and never
+    * replay (the [[graft.streaming.StreamingAnnIndex]] contract).
+    *
+    * Concurrency: folds running DURING compact write to the old
+    * revision and are lost at the swap — compaction is a maintenance
+    * window (stop the stream), same as retraining. The CAS still
+    * guards against a concurrent create/compact racing the pointer.
+    *
+    * @return the new Index and (filesBefore, filesAfter); require()-
+    *   gated to never publish MORE files than it found. */
+  def compact(dir: String)(implicit spark: SparkSession): (Index, (Long, Long)) = {
+    val cur = open(dir)
+    val epoch = graft.streaming.CommitLog.current(spark, dir)
+      .map(_.epoch).getOrElse(0L)
+    val revName = s"rev=${epoch + 1}"
+    val root = s"$dir/$revName"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    // models + attrs travel bit-identically (the ModelStore contract)
+    Ivf.save(cur.coarse, s"$root/centroids")
+    cur.pq.foreach(m => Pq.save(m, s"$root/codebooks"))
+    saveAttrs(root, cur.attrCols)
+    // partition-column inference reads small batch_id values back as
+    // INT — normalize to the long the fold wrote
+    val rows = lists(cur).withColumn("batch_id", col("batch_id").cast("long"))
+    // newest STREAM batch (ids >= 0) stays replayable under its own id
+    val newest = rows.agg(max(when(col("batch_id") >= 0, col("batch_id"))))
+      .collect().head
+    val keepId = if (newest.isNullAt(0)) None else Some(newest.getLong(0))
+    val compacted = keepId match {
+      case Some(b) => rows.withColumn("batch_id",
+        when(col("batch_id") === b, col("batch_id")).otherwise(lit(-1L)))
+      case None => rows.withColumn("batch_id", lit(-1L))
+    }
+    // one writer task per list -> one file per (batch_id, list_id) leaf
+    compacted.repartition(col("list_id"))
+      .write.mode("append").partitionBy("batch_id", "list_id")
+      .parquet(s"$root/lists")
+    val (before, _) = graft.sources.Compact.dirStats(spark, cur.listsDir)
+    val (after, _) = graft.sources.Compact.dirStats(spark, s"$root/lists")
+    require(after <= before,
+      s"compact: produced MORE files ($after) than it found ($before) — " +
+        "refusing to publish (index already compact?)")
+    val won = graft.streaming.CommitLog.tryCommit(spark, dir, epoch, revName)
+    require(won, s"compact: concurrent index publish at $dir (epoch $epoch)")
+    (open(dir), (before, after))
+  }
+
+  /** Retrain-and-swap for a drifted index — what [[retrainGate]] points
+    * at: fresh models trained on `corpus` (the caller's primary vector
+    * store, or a sample of it), the whole corpus re-encoded under them,
+    * published atomically through the revision CAS. Readers holding the
+    * old Index finish their queries on the old revision; the next
+    * [[open]] (e.g. the streaming fold's per-batch open) sees the new
+    * models. The previous revision's attribute manifest carries over so
+    * filtered search keeps working across the swap. */
+  def retrainAndSwap(corpus: DataFrame, dir: String, k: Int, iters: Int = 3,
+      pqSubspaces: Option[(Int, Int)] = None, seed: Long = 42,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      (implicit spark: SparkSession): Index = {
+    val prev = open(dir)
+    create(corpus, dir, k, iters, pqSubspaces, seed, idCol, vecCol,
+      prev.attrCols)
+  }
+
+  /** Delete every non-current `rev=<n>` subtree (and, once the index is
+    * versioned, the legacy unversioned `centroids`/`codebooks`/`lists`/
+    * `attrs` files a pre-r16 layout left at the top level). Run only
+    * after in-flight readers of old revisions have drained — an Index
+    * pins its revision's files. */
+  def vacuumRevisions(dir: String)(implicit spark: SparkSession): Unit = {
+    graft.streaming.CommitLog.current(spark, dir).foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).foreach { s =>
+        val n = s.getPath.getName
+        val stale = (n.matches("rev=\\d+") && n != c.version) ||
+          n == "centroids" || n == "codebooks" || n == "lists" || n == "attrs"
+        if (stale) fs.delete(s.getPath, true)
+      }
+    }
   }
 
   /** X93 drift gate for the frozen models: standardized mean difference

@@ -28,8 +28,24 @@ object Html {
 
   /** Markup → visible text: script/style/comment blocks out, tags out,
     * common entities decoded (amp LAST so `&amp;lt;` decodes to the
-    * literal `&lt;`, not `<`), whitespace collapsed and trimmed. */
-  def stripTags(html: Column): Column = {
+    * literal `&lt;`, not `<`), whitespace collapsed and trimmed.
+    *
+    * Round 16: ONE codegen'd kernel ([[graft.functions.StripHtml]])
+    * instead of the eleven-`regexp_replace` chain — the chain was the
+    * dominant stage of the x0_web_pipeline flagship at the 1000× set
+    * (FlagshipProbe). Semantics are pass-for-pass identical;
+    * [[stripTagsRegex]] keeps the reference chain for the equivalence
+    * property spec and the DuckDB oracle face (which replays the regex
+    * form). */
+  def stripTags(html: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.StripHtml(
+        org.apache.spark.sql.GraftBridge.expression(html)))
+
+  /** The original regexp_replace chain — the executable spec
+    * [[stripTags]]' kernel is property-tested against (HtmlSpec), and
+    * the form the cross-engine oracle replays. Not on any hot path. */
+  private[graft] def stripTagsRegex(html: Column): Column = {
     val noScript = regexp_replace(html,
       "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript,

@@ -48,8 +48,20 @@ object Urls {
   /** Host without port, lowercased, userinfo stripped.
     * Caveat: bracketed IPv6 authorities (`[::1]:8080`) are not special-
     * cased — the first ':' splits them. Registrable-domain work targets
-    * DNS hostnames; IP-literal URLs should be screened out upstream. */
-  def host(url: Column): Column = substring_index(authority(url), ":", 1)
+    * DNS hostnames; IP-literal URLs should be screened out upstream.
+    *
+    * Round 16: single-parse native kernel ([[graft.functions.UrlHost]])
+    * — the composed form re-parsed the URI per part; [[hostComposed]]
+    * stays as the executable spec the kernel is property-tested
+    * against. */
+  def host(url: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.UrlHost(
+        org.apache.spark.sql.GraftBridge.expression(url)))
+
+  /** The builtin composition [[host]]'s kernel must match (UrlsSpec). */
+  private[graft] def hostComposed(url: Column): Column =
+    substring_index(authority(url), ":", 1)
 
   /** Explicit port as a string, or NULL when absent. */
   def port(url: Column): Column = {
@@ -67,10 +79,21 @@ object Urls {
     array_join(array_sort(params), "&")
   }
 
-  /** The canonical URL per the contract above. */
-  def canonicalize(url: Column): Column = {
+  /** The canonical URL per the contract above. Round 16: ONE
+    * `java.net.URI` parse per row ([[graft.functions.CanonicalUrl]])
+    * instead of the ~8 the `try_parse_url`-per-part composition paid —
+    * the all-rows URL-keying stage of x0_web_pipeline (FlagshipProbe).
+    * [[canonicalizeComposed]] keeps the builtin form as the executable
+    * spec (property-tested equal, UrlsSpec). */
+  def canonicalize(url: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CanonicalUrl(
+        org.apache.spark.sql.GraftBridge.expression(url)))
+
+  /** The builtin composition [[canonicalize]]'s kernel must match. */
+  private[graft] def canonicalizeComposed(url: Column): Column = {
     val proto = lower(part(url, "PROTOCOL"))
-    val h = host(url)
+    val h = hostComposed(url)
     val p = port(url)
     val keepPort = p.isNotNull &&
       !(proto === "http" && p === "80") && !(proto === "https" && p === "443")
@@ -92,6 +115,17 @@ object Urls {
     "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
     "co.jp", "co.in", "co.nz", "co.za", "co.kr", "com.br", "com.cn",
     "com.mx", "com.tr", "com.sg", "com.hk", "com.ar")
+
+  /** `registeredDomain(host(url))` fused into one single-parse kernel
+    * ([[graft.functions.UrlRegisteredDomain]]). Use THIS when the input
+    * is a URL: the Column composition expands the host expression ~25×,
+    * which pushed whole-stage codegen past the JIT compile limit and ran
+    * the project interpreted (8× the stage cost, WebProbe r16).
+    * Property-pinned equal to `registeredDomain(host(url))` (UrlsSpec). */
+  def registeredDomainOfUrl(url: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.UrlRegisteredDomain(
+        org.apache.spark.sql.GraftBridge.expression(url)))
 
   /** Registered (apex) domain of a HOST column: the last two labels, or
     * the last three when the trailing two form a second-level public

@@ -1263,44 +1263,77 @@ object ExtQueries {
     * 4-component quality score, and the per-domain quality cap. */
   val x0_web_pipeline: Q = (s, d) => {
     val id = col("doc_id")
-    val pages = t(s, d, "documents").select(
-      id,
-      concat(
-        lit("<html><head><title>Doc "), id.cast("string"),
-        lit("</title><style>p{}</style><script>if(1<2){}</script></head><body><p>"),
-        col("text"),
-        // every third page carries crawl mojibake (the cp1252 mis-decode
-        // of " \u2019brand\u2019 caf\u00e9") the X81 stage must repair
-        when(id % 3 === 0,
-          lit(" \u00e2\u20ac\u2122brand\u00e2\u20ac\u2122 caf\u00c3\u00a9"))
-          .otherwise(""),
-        lit("</p></body></html>")).as("html"),
-      concat(
-        when(id % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
-        when(id % 3 === 0, "www.").otherwise(""), col("source"),
-        when(id % 4 === 0, ".com").otherwise(".co.uk"),
-        // planted URL dups: ids sharing (id % 150) collapse to one page
-        lit("/p/"), (id % 150).cast("string"),
-        when(id % 2 === 0, "/?utm_source=x&b=2&a=1").otherwise("?a=1"))
-        .as("url"))
-    val extracted = pages.select(id,
-      graft.ext.Urls.canonicalize(col("url")).as("canon"),
-      graft.ext.Urls.registeredDomain(graft.ext.Urls.host(col("url")))
-        .as("rdom"),
-      graft.functions.ColumnOps.fixMojibake(
-        graft.ext.Html.stripTags(col("html"))).as("text"),
-      graft.ext.Html.visibleRatio(col("html")).as("vr"))
+    // Round 16 restructure (FlagshipProbe: extraction was ~86% of the
+    // row; the old shape stripped EVERY page then URL-dedup discarded
+    // most of them). Production crawl order instead: canonical-URL
+    // dedup FIRST \u2014 the canon depends only on the URL, never the body,
+    // so survivor selection is unchanged \u2014 then fetch + extract bodies
+    // for SURVIVORS only. The dedup shuffle carries (doc_id, canon,
+    // rdom), ~60 B/row instead of full page text; body text crosses the
+    // wire at most once (the survivor fetch join, which AQE broadcasts
+    // when the survivor set is small); the HTML strip (the dominant
+    // kernel even after its r16 single-pass rewrite) runs on the
+    // deduped fraction only. The quality/token scalars are computed
+    // before the cap window so no window ever sorts page bodies.
+    val urlOf = concat(
+      when(id % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+      when(id % 3 === 0, "www.").otherwise(""), col("source"),
+      when(id % 4 === 0, ".com").otherwise(".co.uk"),
+      // planted URL dups: ids sharing (id % 150) collapse to one page
+      lit("/p/"), (id % 150).cast("string"),
+      when(id % 2 === 0, "/?utm_source=x&b=2&a=1").otherwise("?a=1"))
+    val keyed = t(s, d, "documents")
+      .select(id, urlOf.as("url")) // 2-column scan: doc_id + source
+      .select(id,
+        graft.ext.Urls.canonicalize(col("url")).as("canon"),
+        graft.ext.Urls.registeredDomainOfUrl(col("url"))
+          .as("rdom"))
     // crawl dedup: one survivor per canonical URL (min doc_id)
-    val urlDeduped = Dedup.exactByContent(extracted, "canon", "doc_id")
-    val screened = urlDeduped
+    val survivors = Dedup.exactByContent(keyed, "canon", "doc_id")
+      .select(id, col("rdom"))
+    // fetch the survivors' bodies and synthesize their pages
+    val pages = t(s, d, "documents")
+      .join(survivors, Seq("doc_id"))
+      .select(id, col("rdom"),
+        concat(
+          lit("<html><head><title>Doc "), id.cast("string"),
+          lit("</title><style>p{}</style><script>if(1<2){}</script></head><body><p>"),
+          col("text"),
+          // every third page carries crawl mojibake (the cp1252
+          // mis-decode of " \u2019brand\u2019 caf\u00e9") the X81
+          // stage must repair
+          when(id % 3 === 0,
+            lit(" \u00e2\u20ac\u2122brand\u00e2\u20ac\u2122 caf\u00c3\u00a9"))
+            .otherwise(""),
+          lit("</p></body></html>")).as("html"))
+    // visible text ONCE (vr shares it \u2014 the strip never runs twice).
+    // localCheckpoint is a PUSHDOWN BARRIER, not a convenience: without
+    // it Catalyst pushes the vr/quality screen (whose predicate inlines
+    // the whole strip_html chain ~12\u00d7) through the join into the
+    // pre-dedup documents scan \u2014 re-stripping every page the dedup was
+    // about to discard (measured 15 s vs ~2 s at the 100\u00d7 set). The
+    // materialized relation is the post-dedup corpus with its text \u2014
+    // bounded by the survivor count, the same barrier x0_pipeline pays
+    // at `policed`.
+    val extracted = pages
+      .withColumn("clean0", graft.ext.Html.stripTags(col("html")))
+      .select(id, col("rdom"),
+        graft.functions.ColumnOps.fixMojibake(col("clean0")).as("text"),
+        when(length(col("html")) > 0,
+          length(col("clean0")).cast("double") /
+            length(col("html")).cast("double"))
+          .otherwise(0.0).as("vr"))
+      .localCheckpoint(true)
+    val screened = extracted
       .withColumn("quality", TextStats.qualityScore(col("text")))
+      .withColumn("n_tokens", TextStats.tokenCount(col("text")).cast("long"))
       .filter(col("vr") >= 0.05 && col("quality") >= 0.3)
+      .select(id, col("rdom"), col("quality"), col("n_tokens"))
     graft.ext.Curation
       .domainCap(screened, n = 100, keyCol = "rdom", idCol = "doc_id",
         rankCol = "quality")
       .groupBy(col("rdom"))
-      .agg(count(lit(1)).as("n_pages"),
-        sum(TextStats.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .agg(count(lit(1)).as("n_pages"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("rdom"))
   }
 
@@ -1664,6 +1697,86 @@ object ExtQueries {
       .orderBy(col("lang"))
   }
 
+  /** X98 SATURATED regime — the Tier-B at-scale sibling (r15 verdict #5):
+    * the exact-regime oracle face above never exercises the (k−1)/θ
+    * estimator the operator actually runs at 100 TB. Here k = 512
+    * sketches are built over doc_id keys (texts replicate verbatim under
+    * ScaleUp, ids do not — so distinct keys GROW with the set: ≥ 100 k
+    * per lang slice at the 100× set) for two 75%-windows with a known
+    * 50% overlap, and every estimate is require()-GATED against the
+    * exactly-computed truth at 3σ = 3/√(k−2) ≈ 13.3 % (Beyer et al.
+    * 2007): per-sketch distincts and the union (a single KMV sketch —
+    * the clean bound) relative to their own truth; intersection and
+    * differences relative to |A∪B| (the θ-intersection error scales
+    * with the union horizon, not the overlap). The face FAILS — not
+    * drifts — if the estimator breaks; the output reports estimates,
+    * truths and relative errors per slice. */
+  val x98_sketch_overlap_sat: Q = (s, d) => {
+    val docs0 = t(s, d, "documents").select(col("doc_id"))
+    val n = docs0.agg(max(col("doc_id"))).collect().head.getLong(0) + 1
+    // k sized so the two doc_id%2 slices (~n/2 distinct each, windowed
+    // to 3/4) SATURATE at every SF — min(512, n/8) keeps slice distinct
+    // > k by at least 2x: the sf0.01 verify corpus (n=500) runs k=62,
+    // the 100x set runs the verdict's k=512 over >=100k distinct/slice
+    val k = math.max(16, math.min(512L, n / 8).toInt)
+    val sigma3 = 3.0 / math.sqrt((k - 2).toDouble)
+    val docs = docs0.withColumn("shard", pmod(col("doc_id"), lit(2L)))
+    val (lo, hi) = (n / 4, n * 3 / 4)
+    val a = docs.filter(col("doc_id") < hi)
+    val b = docs.filter(col("doc_id") >= lo)
+    val est = graft.ext.SetSketch.overlapReport(a, b, Seq("shard"),
+      col("doc_id"), k)
+    // union estimate from the SKETCH ALGEBRA (merge, then estimate)
+    val sa = graft.ext.SetSketch.sketchBy(a, Seq("shard"), col("doc_id"), k,
+      "__ska")
+    val sb = graft.ext.SetSketch.sketchBy(b, Seq("shard"), col("doc_id"), k,
+      "__skb")
+    val uni = sa.join(sb, Seq("shard"))
+      .select(col("shard"), graft.functions.KmvFunctions.kmvEstimate(
+        graft.functions.KmvFunctions.kmvUnion(col("__ska"), col("__skb")))
+        .as("union_est"))
+    val exact = docs.groupBy(col("shard")).agg(
+      countDistinct(when(col("doc_id") < hi, col("doc_id"))).as("a_true"),
+      countDistinct(when(col("doc_id") >= lo, col("doc_id"))).as("b_true"),
+      countDistinct(when(col("doc_id") >= lo && col("doc_id") < hi,
+        col("doc_id"))).as("o_true"),
+      countDistinct(col("doc_id")).as("u_true"))
+    val joined = est.join(uni, Seq("shard")).join(exact, Seq("shard"))
+      .withColumn("err_a", abs(col("a_distinct") - col("a_true")) / col("a_true"))
+      .withColumn("err_b", abs(col("b_distinct") - col("b_true")) / col("b_true"))
+      .withColumn("err_u", abs(col("union_est") - col("u_true")) / col("u_true"))
+      .withColumn("err_o", abs(col("overlap") - col("o_true")) / col("u_true"))
+      .withColumn("err_ao",
+        abs(col("a_only") - (col("a_true") - col("o_true"))) / col("u_true"))
+      .withColumn("err_bo",
+        abs(col("b_only") - (col("b_true") - col("o_true"))) / col("u_true"))
+      .orderBy(col("shard"))
+    val rows = joined.collect()
+    require(rows.nonEmpty, "x98_sat: no slices")
+    rows.foreach { r =>
+      val shard = r.getAs[Long]("shard")
+      // the regime guard: this face exists to exercise SATURATION
+      require(r.getAs[Long]("a_true") > k && r.getAs[Long]("b_true") > k,
+        s"x98_sat: slice $shard is not saturated (distinct <= k=$k) — " +
+          "the face no longer tests the estimate regime")
+      Seq("err_a", "err_b", "err_u", "err_o", "err_ao", "err_bo").foreach {
+        e =>
+          val v = r.getAs[Double](e)
+          require(v <= sigma3,
+            f"x98_sat: $e=$v%.4f exceeds 3/sqrt(k-2)=$sigma3%.4f on slice $shard")
+      }
+    }
+    joined.select(col("shard"),
+      col("a_true"), col("b_true"), col("o_true"), col("u_true"),
+      round(col("a_distinct"), 1).as("a_est"),
+      round(col("b_distinct"), 1).as("b_est"),
+      round(col("overlap"), 1).as("o_est"),
+      round(col("union_est"), 1).as("u_est"),
+      round(col("err_a") + 1e-9, 4).as("err_a"),
+      round(col("err_o") + 1e-9, 4).as("err_o"))
+      .orderBy(col("shard"))
+  }
+
   /** X59 — FULL Public-Suffix-List registered domain
     * ([[graft.ext.Urls.registeredDomainPsl]]), ORACLE-CHECKED via planted
     * ground truth (round 11): hosts synthesized per doc_id exercise every
@@ -1973,7 +2086,7 @@ object ExtQueries {
     docs.select(id, url.as("u"))
       .select(id,
         graft.ext.Urls.canonicalize(col("u")).as("canon"),
-        graft.ext.Urls.registeredDomain(graft.ext.Urls.host(col("u")))
+        graft.ext.Urls.registeredDomainOfUrl(col("u"))
           .as("rdom"))
       .orderBy(id)
   }
@@ -3283,6 +3396,7 @@ object ExtQueries {
     "x59_psl_domain" -> x59_psl_domain,
     "x97_filtered_ann" -> x97_filtered_ann,
     "x98_sketch_overlap" -> x98_sketch_overlap,
+    "x98_sketch_overlap_sat" -> x98_sketch_overlap_sat,
     "x0_linkage" -> x0_linkage,
     "x0_media_pipeline" -> x0_media_pipeline,
     "x86_compaction" -> x86_compaction,

@@ -141,9 +141,89 @@ object FlagshipProbe {
     }
 
     if (which == "all" || which == "web") {
-      println(s"== x0_web_pipeline @ $sfDir (whole row) ==")
+      // r16 shape: URL-dedup FIRST (narrow shuffle), bodies fetched and
+      // stripped for survivors only; `webOld` keeps the r15 shape
+      // (strip everything, then dedup) for before/after tables.
+      println(s"== x0_web_pipeline @ $sfDir ==")
+      prev = 0.0
+      val id = col("doc_id")
+      val urlOf = concat(
+        when(id % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+        when(id % 3 === 0, "www.").otherwise(""), col("source"),
+        when(id % 4 === 0, ".com").otherwise(".co.uk"),
+        lit("/p/"), (id % 150).cast("string"),
+        when(id % 2 === 0, "/?utm_source=x&b=2&a=1").otherwise("?a=1"))
+      val htmlOf = concat(
+        lit("<html><head><title>Doc "), id.cast("string"),
+        lit("</title><style>p{}</style><script>if(1<2){}</script></head><body><p>"),
+        col("text"),
+        when(id % 3 === 0,
+          lit(" \u00e2\u20ac\u2122brand\u00e2\u20ac\u2122 caf\u00c3\u00a9"))
+          .otherwise(""),
+        lit("</p></body></html>"))
+      def keyed = t("documents").select(id, urlOf.as("url"))
+        .select(id,
+          graft.ext.Urls.canonicalize(col("url")).as("canon"),
+          graft.ext.Urls.registeredDomainOfUrl(col("url"))
+            .as("rdom"))
+      def survivors = Dedup.exactByContent(keyed, "canon", "doc_id")
+        .select(id, col("rdom"))
+      def pages = t("documents").join(survivors, Seq("doc_id"))
+        .select(id, col("rdom"), htmlOf.as("html"))
+      def extracted = pages
+        .withColumn("clean0", graft.ext.Html.stripTags(col("html")))
+        .select(id, col("rdom"),
+          graft.functions.ColumnOps.fixMojibake(col("clean0")).as("text"),
+          when(length(col("html")) > 0,
+            length(col("clean0")).cast("double") /
+              length(col("html")).cast("double"))
+            .otherwise(0.0).as("vr"))
+        .localCheckpoint(true) // the production pushdown barrier
+      def screened = extracted
+        .withColumn("quality", TextStats.qualityScore(col("text")))
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")).cast("long"))
+        .filter(col("vr") >= 0.05 && col("quality") >= 0.3)
+        .select(id, col("rdom"), col("quality"), col("n_tokens"))
+      def report = graft.ext.Curation
+        .domainCap(screened, n = 100, keyCol = "rdom", idCol = "doc_id",
+          rankCol = "quality")
+        .groupBy(col("rdom"))
+        .agg(count(lit(1)).as("n_pages"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("rdom"))
+      prefix("1 url keys (2-col scan)")(keyed)
+      prefix("2 +url dedup (narrow window)")(survivors)
+      prefix("3 +survivor fetch join+synth")(pages)
+      prefix("4 +strip/moji/vr (kernel)")(extracted)
+      prefix("5 +quality+tokens screen")(screened)
+      prefix("6 +cap+agg+sort (=row)")(report)
+      println("[flagship] whole-row check:")
       prev = 0.0
       prefix("whole")(graft.queries.ExtQueries.x0_web_pipeline(spark, sfDir))
+      // the r15 shape, for the before/after delta at the same SF
+      def pagesOld = t("documents").select(id, htmlOf.as("html"),
+        urlOf.as("url"))
+      def extractedOld = pagesOld.select(id,
+        graft.ext.Urls.canonicalize(col("url")).as("canon"),
+        graft.ext.Urls.registeredDomainOfUrl(col("url"))
+          .as("rdom"),
+        graft.functions.ColumnOps.fixMojibake(
+          graft.ext.Html.stripTags(col("html"))).as("text"),
+        graft.ext.Html.visibleRatio(col("html")).as("vr"))
+      def reportOld = {
+        val screenedOld = Dedup.exactByContent(extractedOld, "canon", "doc_id")
+          .withColumn("quality", TextStats.qualityScore(col("text")))
+          .filter(col("vr") >= 0.05 && col("quality") >= 0.3)
+        graft.ext.Curation
+          .domainCap(screenedOld, n = 100, keyCol = "rdom", idCol = "doc_id",
+            rankCol = "quality")
+          .groupBy(col("rdom"))
+          .agg(count(lit(1)).as("n_pages"),
+            sum(TextStats.tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .orderBy(col("rdom"))
+      }
+      println("[flagship] r15 shape (strip-all-then-dedup), same kernel:")
+      prev = 0.0
+      prefix("old whole")(reportOld)
     }
     if (which == "all" || which == "media") {
       println(s"== x0_media_pipeline @ $sfDir (whole row) ==")

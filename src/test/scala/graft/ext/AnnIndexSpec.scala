@@ -222,6 +222,112 @@ class AnnIndexSpec extends SparkSpec {
     assert(retrainShift && !retrainSame)
   }
 
+  // ---- revisioned publish: compact + retrain-and-swap (round 16) ------
+
+  test("compact: identical search results, fewer files, replay-safe " +
+      "newest batch, attrs preserved") {
+    val d = tmp()
+    val withAttr = (df: DataFrame) => df.withColumn("grp", $"vec_id" % 5)
+    val idx0 = AnnIndex.create(withAttr(corpus), d, k = 8, iters = 2,
+      attrCols = Seq("grp"))
+    // 10 fold micro-batches -> one file subtree per (batch, list)
+    (0 until 10).foreach { i =>
+      AnnIndex.fold(withAttr(emb.filter($"vec_id" < 20 && $"vec_id" % 10 === i)),
+        idx0, batchId = i.toLong)
+    }
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def topAll(i: AnnIndex.Index) =
+      rows(AnnIndex.topK(i, qs, k = 5, nprobe = 8)
+        .select($"query_id", $"id", $"rank"))
+    def topFiltered(i: AnnIndex.Index) =
+      rows(AnnIndex.topKFiltered(i, qs, $"grp" === 2, k = 3, nprobe0 = 8)
+        .select($"query_id", $"id", $"rank"))
+    val pre = AnnIndex.open(d)
+    val (preAll, preF) = (topAll(pre), topFiltered(pre))
+    val (post, (before, after)) = AnnIndex.compact(d)
+    assert(after < before,
+      s"compact must cut the file count ($before -> $after)")
+    assert(post.attrCols === Seq("grp"))
+    assert(topAll(post) === preAll)
+    assert(topFiltered(post) === preF)
+    // only batch -1 and the NEWEST stream batch (9) survive as subtrees
+    val ids = AnnIndex.lists(post).select($"batch_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(ids === Seq(-1L, 9L))
+    // at-least-once replay of the newest batch stays idempotent
+    AnnIndex.fold(withAttr(emb.filter($"vec_id" < 20 && $"vec_id" % 10 === 9)),
+      AnnIndex.open(d), batchId = 9L)
+    assert(topAll(AnnIndex.open(d)) === preAll)
+    // the PRE-compact reader is pinned to its revision and still answers
+    assert(topAll(pre) === preAll)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
+  test("retrainAndSwap: reader racing the swap never tears; reopen sees " +
+      "the new models; vacuum drops old revisions") {
+    val d = tmp()
+    val idx0 = AnnIndex.create(corpus, d, k = 4, iters = 1)
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val expected = rows(AnnIndex.topK(idx0, qs, k = 3, nprobe = 4)
+      .select($"query_id", $"id"))
+    // a reader thread hammers the OLD pinned index during the swap — it
+    // must see its own revision's complete files throughout
+    @volatile var readerFailure: Option[Throwable] = None
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val got = rows(AnnIndex.topK(idx0, qs, k = 3, nprobe = 4)
+            .select($"query_id", $"id"))
+          assert(got === expected, "pinned reader saw a torn/changed index")
+        }
+      } catch { case t: Throwable => readerFailure = Some(t) }
+    })
+    reader.start()
+    try {
+      val idx1 = AnnIndex.retrainAndSwap(emb, d, k = 8, iters = 2)
+      assert(idx1.resolvedRoot !== idx0.resolvedRoot)
+      assert(idx1.coarse.k === 8)
+    } finally { stop.set(true); reader.join(30000) }
+    assert(readerFailure.isEmpty, s"reader failed: $readerFailure")
+    // reopen resolves the NEW revision; searches include the full corpus
+    val reopened = AnnIndex.open(d)
+    assert(reopened.resolvedRoot !== idx0.resolvedRoot)
+    assert(reopened.coarse.k === 8)
+    assert(AnnIndex.topK(reopened, qs, k = 3, nprobe = 8).count() > 0)
+    // vacuum drops the old revision; the current one keeps answering
+    AnnIndex.vacuumRevisions(d)
+    val dirs = new java.io.File(d).listFiles().map(_.getName).toSet
+    assert(!dirs.contains(s"rev=1"), s"old revision survived vacuum: $dirs")
+    assert(AnnIndex.topK(AnnIndex.open(d), qs, k = 3, nprobe = 8).count() > 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
+  test("drift E2E: gate trips -> retrainAndSwap -> assignment recovers") {
+    val d = tmp()
+    // models trained on the base distribution only
+    val base = emb.select($"vec_id", $"embedding").filter($"vec_id" >= 20)
+    AnnIndex.create(base, d, k = 8, iters = 2)
+    // a hard-shifted population arrives (the endurance test's plant)
+    val shifted = emb.filter($"vec_id" < 20).select(
+      ($"vec_id" + 1000L).as("vec_id"),
+      transform($"embedding", x => x + lit(3.0f)).as("embedding"))
+    val (_, trips) = AnnIndex.retrainGate(base, shifted)
+    assert(trips, "the shifted batch must trip the X93 gate")
+    // retrain over base + shifted and swap; the swapped index must rank
+    // a shifted query's own vector first (raw IVF at full depth = exact)
+    AnnIndex.retrainAndSwap(base.unionByName(shifted), d, k = 8, iters = 2)
+    val sq = shifted.limit(5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top1 = AnnIndex.topK(AnnIndex.open(d), sq, k = 1, nprobe = 8)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toMap
+    top1.foreach { case (q, id) => assert(q === id,
+      s"post-retrain top-1 of query $q was $id, not itself") }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
   // ---- X97 filtered search (round 14) ---------------------------------
 
   private lazy val attrCorpus = emb.withColumn("grp", $"vec_id" % 100)

@@ -44,6 +44,58 @@ class HtmlSpec extends SparkSpec {
     assert(got === Seq("https://a.com/1", "https://b.com/2"))
   }
 
+  test("kernel strip == reference regexp_replace chain, adversarial corpus") {
+    // the r16 single-pass kernel must be BIT-equal to the regex chain it
+    // replaced, including the pass-order traps: unterminated blocks,
+    // blocks nested in comments and vice versa, "<>", entity chains,
+    // mixed-case tags, every \s char, non-\s Unicode whitespace
+    val adversarial = Seq(
+      "", "plain text, no markup at all",
+      "<>", "a<>b<p>c</p>", "<<p>>x", "a < b and c > d",
+      "<script>var a=1;</script>tail",
+      "<SCRIPT a='1>2'>x</sCrIpT>rest",      // '>' inside attr; mixed case
+      "<script>no close tag ever",           // unterminated: tags pass strips
+      "<script>a</script><script>b</script>",// two blocks
+      "<script>a<style>s</style>b</script>", // style inside script
+      "<style>a<script>s</script>b</style>", // script inside style
+      "<!-- <style>p{}</style> --> a </style>", // style opened in comment
+      "<script> x <!-- </script> --> y</script>", // comment split by close
+      "<!-- unterminated comment <p>kept?</p>",
+      "x<!---->y", "x<!-- c1 -->m<!-- c2 -->y",
+      "&amp;lt; &amp;amp; &nbsp;&nbsp; &quot;&#39;",
+      "&amp;nbsp; &AMP;lt;",                 // entity case sensitivity
+      "a\tb\ncd\fe\rf  g", "\t lead and trail \n",
+      "caf\u00e9 \u00a0nbsp\u00a0 \u2028ls", // non-\s whitespace survives
+      "<scripty>not a script block</scripty>",
+      "<styleish x>s</styleish>",
+      "<p title=\"a>b\">text</p>",           // '>' ends the tag early
+      doc)
+    val df = adversarial.toDF("h")
+      .select(Html.stripTags(col("h")).as("kernel"),
+        Html.stripTagsRegex(col("h")).as("regex"))
+      .as[(String, String)].collect()
+    df.zip(adversarial).foreach { case ((k, r), in) =>
+      assert(k === r, s"kernel diverged from regex chain on: ${in.take(80)}")
+    }
+  }
+
+  test("kernel strip == regex chain on random markup soup (property)") {
+    val rnd = new scala.util.Random(20260816L)
+    val atoms = Seq("<script", "</script>", "<style>", "</style>", "<!--",
+      "-->", "<", ">", "<p>", "</p>", "<>", "&amp;", "&lt;", "&nbsp;",
+      "&#39;", "text", " ", "\t", "\n", "a", "é", ";", "=", "\"", "'")
+    val soups = (1 to 300).map { _ =>
+      (1 to rnd.nextInt(40)).map(_ => atoms(rnd.nextInt(atoms.size))).mkString
+    }
+    val got = soups.toDF("h")
+      .select(Html.stripTags(col("h")).as("kernel"),
+        Html.stripTagsRegex(col("h")).as("regex"))
+      .as[(String, String)].collect()
+    got.zip(soups).foreach { case ((k, r), in) =>
+      assert(k === r, s"kernel diverged on soup: ${in.take(120)}")
+    }
+  }
+
   test("visibleRatio: bounded, 0 on empty, lower for chrome-heavy markup") {
     val r = Seq((doc, "<p>hi</p>", ""))
       .toDF("a", "b", "c")

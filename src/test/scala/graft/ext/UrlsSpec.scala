@@ -40,6 +40,72 @@ class UrlsSpec extends SparkSpec {
     for (u <- urls) assert(canon(canon(u)) === canon(u))
   }
 
+  test("kernel canonicalize/host == try_parse_url composition (property)") {
+    // the r16 single-parse kernels must NULL and format exactly like the
+    // builtin composition they replaced — adversarial + random URLs
+    val adversarial = Seq(
+      "HTTP://User:pw@WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+      "HTTPS://Site.com:443/", "https://site.com", "http://a.co/",
+      "http://site.com:8080/x?z=1&&a=2", "https://s.com/p?ref=z&a=",
+      "http://h:/p", "http://h:80x/p", "ftp://h:21/f", "http://h:008080/",
+      "not a url", "http://", "://x", "//host/path", "relative/path",
+      "mailto:a@b.com", "http://[::1]:8080/p?b=1&a=2",
+      "http://h/p?a=%20&b=%2F", "http://h/p/?a=1#f?g",
+      "http://h/p??", "http://h/p?&&", "http://h/p?a&a&a",
+      "http://h/p?A=1&a=1",     // case-distinct params sort bytewise
+      "http://EX.com:80:90/p",  // multi-colon authority
+      "http://u@h@x/p",         // double '@': strip through FIRST only
+      "HtTp://MiXeD.CaSe/PaTh/", "http://h./p", "http://h/p%ZZ",
+      "http://h/p?q=\u00e9&\u00e9=1", "http://h/\u2028ws?a=1",
+      "", " ", "http://h/p?" + "k=v&" * 50 + "utm_x=1")
+    val rnd = new scala.util.Random(16L)
+    val atoms = Seq("http", "HTTPS", "://", "www.", "site", ".com", ":80",
+      ":443", ":8080", "/", "/p", "?", "&", "=", "a", "1", "#f", "@",
+      "user:pw@", "%2F", "é", " ", "utm_a", "ref", ":")
+    val soups = (1 to 300).map { _ =>
+      (1 to rnd.nextInt(12)).map(_ => atoms(rnd.nextInt(atoms.size))).mkString
+    }
+    val all = adversarial ++ soups
+    val got = all.toDF("u").select(
+        Urls.canonicalize(col("u")).as("ck"),
+        Urls.canonicalizeComposed(col("u")).as("cc"),
+        Urls.host(col("u")).as("hk"),
+        Urls.hostComposed(col("u")).as("hc"))
+      .as[(Option[String], Option[String], Option[String], Option[String])]
+      .collect()
+    got.zip(all).foreach { case ((ck, cc, hk, hc), in) =>
+      assert(ck === cc, s"canonical kernel diverged on: ${in.take(100)}")
+      assert(hk === hc, s"host kernel diverged on: ${in.take(100)}")
+    }
+    // the fused registered-domain kernel == the Column composition
+    val rds = all.toDF("u").select(
+        Urls.registeredDomainOfUrl(col("u")).as("rk"),
+        Urls.registeredDomain(Urls.hostComposed(col("u"))).as("rc"))
+      .as[(Option[String], Option[String])].collect()
+    rds.zip(all).foreach { case ((rk, rc), in) =>
+      assert(rk === rc, s"fused rdom kernel diverged on: ${in.take(100)}")
+    }
+    // plus hosts with dotted edge shapes routed through a URL
+    val hostEdges = Seq("h", "a.b", "a.b.c", "x.co.uk", "a.x.co.uk", "h.",
+      "a.b.c.", "..", ".a.b", "deep.sub.shop.com.au")
+      .map(h => s"http://$h/p")
+    val rds2 = hostEdges.toDF("u").select(
+        Urls.registeredDomainOfUrl(col("u")).as("rk"),
+        Urls.registeredDomain(Urls.hostComposed(col("u"))).as("rc"))
+      .as[(Option[String], Option[String])].collect()
+    rds2.zip(hostEdges).foreach { case ((rk, rc), in) =>
+      assert(rk === rc, s"fused rdom kernel diverged on: $in")
+    }
+  }
+
+  test("kernel DropParams/suffixes stay in sync with the documented contract") {
+    assert(graft.functions.UrlKernel.DropParams.toSeq === Urls.DropParams)
+    assert(graft.functions.UrlKernel.SecondLevelSuffixes.size ===
+      Urls.SecondLevelSuffixes.size)
+    Urls.SecondLevelSuffixes.foreach(s =>
+      assert(graft.functions.UrlKernel.SecondLevelSuffixes.contains(s), s))
+  }
+
   test("registeredDomain: plain, deep, second-level suffix, bare host") {
     val got = Seq("www.example.com", "a.b.site.io", "www.bbc.co.uk",
       "deep.sub.shop.com.au", "localhost", "site.org")
