@@ -62,10 +62,15 @@ object NgramLm {
     * so fit, and any [[merge]] of fits, agree by construction. */
   def fit(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Model = {
     val bi = bigramRel(docs, idCol, textCol)
-    val ctx = bi.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
-    Model(
-      bigramCounts = bi.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12")),
-      contextCounts = ctx,
+    // r16: derive the context counts from the bigram counts instead of a
+    // second aggregation of the exploded relation — c(w1 ·) = Σ_w2
+    // c(w1 w2) exactly, so the context scan re-tokenizes nothing and the
+    // shuffle input is the already-reduced (w1, w2, c12) relation (guide
+    // §2.3 "aggregate before you shuffle"). Values identical; the x43
+    // oracle face pins it.
+    val bc = bi.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val ctx = bc.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
+    Model(bigramCounts = bc, contextCounts = ctx,
       vocab = ctx.agg(count(lit(1)).as("__V")))
   }
 

@@ -29,16 +29,22 @@ object TextStats {
 
   /** Overlapping word n-grams of the text as strings ("tok1 tok2 …"),
     * built row-local with array HOFs — no explode, nothing leaves the row.
-    * Fewer than n tokens → empty array (NOT a 1-gram fallback). */
+    * Fewer than n tokens → empty array (NOT a 1-gram fallback).
+    * letCol-bound (r16): HOF lambdas re-evaluate every referenced
+    * subtree per invocation, so an unbound `toks` re-ran the regex split
+    * once per window position — O(tokens) tokenizations per row
+    * (measured 10× on the screens stage, R16Probe). */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, "n-gram order must be >= 1")
-    val toks = tokens(text)
-    // sequence(1, size-n+1) would run DESCENDING when size < n (Spark
-    // generates reversed ranges instead of empty ones) — guard first
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    import graft.functions.ColumnOps.letCol
+    letCol(tokens(text)) { toks =>
+      // sequence(1, size-n+1) would run DESCENDING when size < n (Spark
+      // generates reversed ranges instead of empty ones) — guard first
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
   }
 
   /** Gopher-style repetition signal: the fraction of word n-grams that are
@@ -48,10 +54,14 @@ object TextStats {
     * filter alongside [[qualityScore]]. Row-local like everything here:
     * a corpus-wide screen is one scan, zero shuffle. */
   def dupNgramFraction(text: Column, n: Int): Column = {
-    val g = wordNgrams(text, n)
-    when(size(g) === 0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(g)).cast("double")
-        / size(g).cast("double"))
+    import graft.functions.ColumnOps.letCol
+    // bind the n-gram array once: size/array_distinct/size would
+    // otherwise each re-run the whole n-gram construction (r16)
+    letCol(wordNgrams(text, n)) { g =>
+      when(size(g) === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(g)).cast("double")
+          / size(g).cast("double"))
+    }
   }
 
   /** Mean characters per whitespace token; 0.0 for empty text. */
@@ -133,16 +143,27 @@ object TextStats {
     * penalty, token-shape sanity, stopword signal — the standard cheap
     * pre-filter for web-scraped training text. */
   def qualityScore(text: Column): Column = {
-    val lenScore = least(length(text).cast("double") / 400.0, lit(1.0))
-    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
-    val mtl = meanTokenLength(text)
-    val shapeScore = when(mtl.between(2.0, 12.0), 1.0).otherwise(0.3)
-    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
-    // + 1e-9 — the q44 boundary rule: the components are exact rationals
-    // (len/400, hits/tokens) whose weighted sum can land ON a .xxxx5
-    // rounding boundary, where engines' decimal conversions disagree
-    round(lenScore * 0.3 + punctScore * 0.2 + shapeScore * 0.3
-      + stopScore * 0.2 + lit(1e-9), 4)
+    import graft.functions.ColumnOps.letCol
+    // one shared tokenization (r16): meanTokenLength and stopwordRatio
+    // each re-ran the regex split for their token count — bind the count
+    // once and inline their arithmetic UNCHANGED (same expression trees,
+    // same double ops, bit-identical values — the oracle pins this)
+    letCol(tokenCount(text).cast("double")) { n =>
+      val lenScore = least(length(text).cast("double") / 400.0, lit(1.0))
+      val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+      val mtl = when(n === 0, lit(0.0)).otherwise(
+        length(regexp_replace(trim(text), "\\s+", "")).cast("double") / n)
+      val shapeScore = when(mtl.between(2.0, 12.0), 1.0).otherwise(0.3)
+      val stopScore = least(
+        when(n === 0, lit(0.0))
+          .otherwise(stopwordHits(text, "en").cast("double") / n) * 4.0,
+        lit(1.0))
+      // + 1e-9 — the q44 boundary rule: the components are exact rationals
+      // (len/400, hits/tokens) whose weighted sum can land ON a .xxxx5
+      // rounding boundary, where engines' decimal conversions disagree
+      round(lenScore * 0.3 + punctScore * 0.2 + shapeScore * 0.3
+        + stopScore * 0.2 + lit(1e-9), 4)
+    }
   }
 
   /** The portable 52-bit string hash shared with the x54/x60/x67 oracle

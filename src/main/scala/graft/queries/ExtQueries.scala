@@ -1196,10 +1196,14 @@ object ExtQueries {
     // boilerplate first (coarse), then repeated >=8-token passages (fine)
     val lineClean = graft.ext.LineDedup.dedupLines(near, "doc_id", "text", 100L)
     val spanClean = graft.ext.SpanDedup.dedupSpans(lineClean, "doc_id", "text", k = 8)
+    // r16: filter directly instead of withColumn+filter — the pushed-down
+    // filter predicate and the projected column each evaluated the full
+    // quality/rep2 trees (R16Probe: 2× the stage), and the columns were
+    // dead weight downstream (nothing reads them; the checkpoint
+    // materialized them anyway). Same survivors, same final hash.
     val screened = spanClean
-      .withColumn("quality", TextStats.qualityScore(col("text")))
-      .withColumn("rep2", TextStats.dupNgramFraction(col("text"), 2))
-      .filter(col("quality") >= 0.3 && col("rep2") <= 0.2)
+      .filter(TextStats.qualityScore(col("text")) >= 0.3
+        && TextStats.dupNgramFraction(col("text"), 2) <= 0.2)
     // round 8: the policy gate joins the flagship — C4-style phrase
     // blocklist (X74) on token boundaries, scan-cost, before any
     // model-based stage spends compute on removable docs.
@@ -2782,8 +2786,14 @@ object ExtQueries {
     * continued greenness IS the no-collision proof. */
   val x0_media_pipeline: Q = (s, d) => {
     import s.implicits._
+    // r16: spread the synth+encode across the executor cores — the
+    // filtered 450-id relation collapses to the scan's partitioning (ONE
+    // task at sf0.1), so every PNG/WAV/GVID encode+decode ran serially
+    // on one core (R16Probe: video fingerprints 1.16 → 0.20 s after the
+    // spread). Scale-adaptive: defaultParallelism, not a constant.
     val ids = t(s, d, "documents")
       .filter(col("doc_id") < 450).select(col("doc_id")).as[Long]
+      .repartition(math.min(450, s.sparkContext.defaultParallelism))
     // seed arithmetic per modality: regular groups below 360, the
     // over-cap mega-group above (seed 100000 collides with no i % G)
     def seedOf(i: Long, g: Long): Long = if (i >= 360) 100000L else i % g
@@ -2826,9 +2836,22 @@ object ExtQueries {
     // cap subquery + both checksum sides) and the documents scan grows
     // with SF — measured at the 100x set: 54.8 s uncached -> one
     // execution per modality checkpointed
-    val imgFp = graft.ext.ImageDedup.fingerprints(images).localCheckpoint(true)
-    val audFp = graft.ext.AudioDedup.fingerprints(audio).localCheckpoint(true)
-    val vidFp = graft.ext.VideoDedup.fingerprints(videos).localCheckpoint(true)
+    // r16: materialize the three independent checkpoints CONCURRENTLY
+    // (guide §2.6 — overlap independent jobs): the three eager builds ran
+    // strictly sequentially (~0.36+0.44+0.27 s at sf0.1, R16Probe) while
+    // each leaves most cores idle in its tail. Same blocks, same rows —
+    // only the job submission overlaps. FAIR scheduling is already on.
+    val Seq(imgFp, audFp, vidFp) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      Await.result(Future.sequence(Seq(
+        Future(graft.ext.ImageDedup.fingerprints(images).localCheckpoint(true)),
+        Future(graft.ext.AudioDedup.fingerprints(audio).localCheckpoint(true)),
+        Future(graft.ext.VideoDedup.fingerprints(videos).localCheckpoint(true)))),
+        Duration.Inf)
+    }
     report("image", imgFp, "dhash",
         graft.ext.ImageDedup.exactDupPairs(imgFp, maxChunkFreq = Some(64)))
       .unionByName(report("audio", audFp, "sig",
