@@ -44,11 +44,18 @@ object Blocklist {
     * any case/punctuation; matching is on normalized token n-grams. */
   def screen(docs: DataFrame, textCol: String,
       phrases: Seq[String]): DataFrame = {
+    docs.withColumn("n_blocked", hitCount(textCol, phrases).cast("long"))
+      .withColumn("blocked", col("n_blocked") > 0)
+  }
+
+  /** Distinct-phrase hit count expression (the row-local kernel shared
+    * by [[screen]] and [[filterBlocked]]). */
+  private def hitCount(textCol: String, phrases: Seq[String]): Column = {
     val byLen: Seq[(Int, Seq[String])] = phrases.map(normalizePhrase)
       .filter(_.nonEmpty).distinct
       .groupBy(_.count(_ == ' ') + 1).toSeq.sortBy(_._1)
     require(byLen.nonEmpty, "blocklist is empty after normalization")
-    val hits: Column = letCol(tokens(col(s"`$textCol`"))) { toks =>
+    letCol(tokens(col(s"`$textCol`"))) { toks =>
       byLen.map { case (n, ps) =>
         val grams =
           if (n == 1) array_distinct(toks)
@@ -60,13 +67,14 @@ object Blocklist {
         size(array_intersect(grams, lit(ps.toArray)))
       }.reduce(_ + _)
     }
-    docs.withColumn("n_blocked", hits.cast("long"))
-      .withColumn("blocked", col("n_blocked") > 0)
   }
 
-  /** The removal face: documents with NO blocklist hit survive. */
+  /** The removal face: documents with NO blocklist hit survive.
+    * r16: filters on the kernel DIRECTLY — the old screen+filter+drop
+    * evaluated the tokenize/intersect tree twice (pushed-down predicate
+    * + doomed projection) for columns it then dropped. NULL text stays
+    * dropped (NULL hit count fails both predicates). */
   def filterBlocked(docs: DataFrame, textCol: String,
       phrases: Seq[String]): DataFrame =
-    screen(docs, textCol, phrases).filter(!col("blocked"))
-      .drop("n_blocked", "blocked")
+    docs.filter(hitCount(textCol, phrases) === 0)
 }

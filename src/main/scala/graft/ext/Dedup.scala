@@ -551,7 +551,13 @@ object Dedup {
     * cluster, pass through everything unclustered. */
   def dedupNear(df: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams()): DataFrame = {
-    val clusters = connectedComponents(nearDupPairs(df, idCol, textCol, p))
+    // r16: the pair relation is already localCheckpoint-backed (eager,
+    // lineage-truncated), so count it directly and hand the scale to
+    // connectedComponents — skipping its probe cache(), which would
+    // re-materialize checkpointed blocks into the CacheManager for one
+    // count (the r15-verdict knownEdges plumbing, now actually used).
+    val pairs = nearDupPairs(df, idCol, textCol, p)
+    val clusters = connectedComponents(pairs, knownEdges = Some(pairs.count()))
     val losers = clusters.filter(col("id") =!= col("cluster")).select(col("id"))
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }

@@ -110,8 +110,36 @@ object NgramLm {
   }
 
   /** Self-scored corpus (fit and score on the same data) — the usual
-    * "drop the tail" quality pass. */
+    * "drop the tail" quality pass.
+    *
+    * r16 shape: in the SELF-fit case every scored bigram exists in the
+    * count table by construction, so the general [[score]]'s separate
+    * context-count join (which must find c(w1 ·) even for unseen
+    * (w1,w2)) is never exercised — the context count rides the bigram-
+    * count relation through one w1-window instead. That removes a
+    * row-scale shuffle: the exploded bigram relation was re-exchanged by
+    * w1 for the ctx join; now it shuffles once, by (w1, w2), and the
+    * extra exchange is over the REDUCED count relation (guide §2.3/2.4).
+    * Identical arithmetic, identical values — x43/x50 oracle faces pin
+    * it; out-of-model fallback semantics stay with [[score]], which is
+    * unchanged for trusted-model scoring. */
   def selfScore(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", k: Double = 0.5): DataFrame =
-    score(docs, fit(docs, idCol, textCol), idCol, textCol, k)
+      textCol: String = "text", k: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = bigramRel(docs, idCol, textCol)
+    val bc = bi.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val ann = bc.withColumn("__c1",
+      sum(col("__c12")).over(Window.partitionBy(col("__w1"))))
+    val vocab = bc.agg(count_distinct(col("__w1")).as("__V"))
+    bi
+      .join(ann, Seq("__w1", "__w2"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__p",
+        (coalesce(col("__c12"), lit(0L)) + lit(k)) /
+          (coalesce(col("__c1"), lit(0L)) + lit(k) * col("__V")))
+      .groupBy(col("__id"))
+      .agg(avg(-log(col("__p"))).as("__nll"), count(lit(1)).as("n_bigrams"))
+      .select(col("__id").as(idCol), round(col("__nll"), 4).as("nll"),
+        col("n_bigrams"))
+  }
 }

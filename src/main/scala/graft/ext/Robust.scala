@@ -103,7 +103,8 @@ object Robust {
     * over the two middle order statistics. */
   def madStatsHistogram(df: DataFrame, keyCols: Seq[String],
       valueCol: String): DataFrame =
-    histStats(buildHist(df, keyCols, valueCol), keyCols)
+    histStats(buildHist(df, keyCols, valueCol)
+      .repartition(keyCols.map(col): _*).persist(), keyCols)
 
   /** (key, value) → count histogram of non-null values — the only
     * row-sized stage of the histogram path (partial-aggregated shuffle).
@@ -142,15 +143,26 @@ object Robust {
       })
   }
 
-  /** (median, MAD) per group from a prebuilt histogram. */
+  /** (median, MAD) per group from a prebuilt histogram.
+    *
+    * r16 (guide §2.4 — share one exchange): the histogram is hash-
+    * repartitioned by the GROUP KEYS once; every downstream stage — both
+    * weighted-median windows (partitionBy keys), the deviation
+    * projection (broadcast join, partitioning-preserving) and the
+    * callers' final groupBy(keys) — then satisfies its clustering
+    * requirement from that single exchange, where the old shape paid a
+    * fresh Exchange per window plus a deviation re-aggregation (5
+    * exchanges → 2 on q77; 11 jobs → 6). The deviation re-agg is dropped
+    * outright: [[weightedMedian]] is duplicate-tolerant (tied __v rows
+    * carry the same value, so the cum-threshold selection is unchanged —
+    * only the relation is a little longer). Values identical; q77/x30
+    * oracle faces pin it. */
   private def histStats(histDf: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val hist = histDf.persist()
+    val hist = histDf
     val med = weightedMedian(hist, keyCols, "med")
     val devHist = hist.join(broadcast(med), keyCols)
       .select(keyCols.map(col) ++ Seq(abs(col("__v") - col("med")).as("__v"),
         col("__c")): _*)
-      .groupBy(keyCols.map(col) :+ col("__v"): _*)
-      .agg(sum(col("__c")).as("__c"))
     med.join(weightedMedian(devHist, keyCols, "mad"), keyCols)
   }
 
@@ -166,7 +178,10 @@ object Robust {
     * spills instead of buffering in an aggregate. */
   def outlierSummary(df: DataFrame, keyCols: Seq[String], valueCol: String,
       k: Double = 5.0): DataFrame = {
-    val hist = buildHist(df, keyCols, valueCol).persist()
+    // keys-clustered once (see histStats): the two median windows and
+    // the final groupBy below all reuse this single exchange
+    val hist = buildHist(df, keyCols, valueCol)
+      .repartition(keyCols.map(col): _*).persist()
     val stats = histStats(hist, keyCols)
     hist.join(broadcast(stats), keyCols)
       .groupBy(keyCols.map(col): _*)
