@@ -91,6 +91,15 @@ object R16Probe {
       }
     }
 
+    if (which == "lmplan") {
+      // final (post-AQE) plan of selfScore: is the (w1,w2) exchange reused?
+      val docs = t("documents").select(col("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val df = graft.ext.NgramLm.selfScore(docs)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString)
+    }
+
     if (which == "all" || which == "lm") {
       val docs = t("documents").select(col("doc_id"), col("text"))
         .localCheckpoint(true) // stand-in for the pipeline's checkpointed `policed`
