@@ -1222,14 +1222,23 @@ object ExtQueries {
     // the cleaning passes narrow to (doc_id, text, …): re-derive chars
     // from the CLEANED text (the honest post-cleaning length) and join
     // the domain back from the corpus
-    val lmScored = policed
+    // r16 (x50's lesson applied here): ntileByValue reads its input TWICE
+    // (bucket counts, then ranks), and its input was the whole LM-scoring
+    // join chain — so the bigram fit + two joins ran twice. Tile over the
+    // NARROW checkpointed (doc_id, nll) relation instead (16 B/doc — both
+    // tiling passes read that), then join the surviving doc_ids back to
+    // the checkpointed corpus. Same rows, same (nll, doc_id) tie order,
+    // same tiles — the x0_pipeline oracle face pins it.
+    val nllRel = graft.ext.NgramLm.selfScore(policed)
+      .select(col("doc_id"), col("nll")).localCheckpoint(true)
+    val lmTiles = graft.ext.Tiling
+      .ntileByValue(nllRel, 10, "nll", "doc_id", "ppl_tile")
+      .filter(col("ppl_tile") <= 9)
+      .select(col("doc_id"))
+    val lmKept = policed
       .withColumn("n_chars", length(col("text")).cast("long"))
       .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .join(graft.ext.NgramLm.selfScore(policed)
-        .select(col("doc_id"), col("nll")), Seq("doc_id"))
-    val lmKept = graft.ext.Tiling
-      .ntileByValue(lmScored, 10, "nll", "doc_id", "ppl_tile")
-      .filter(col("ppl_tile") <= 9)
+      .join(lmTiles, Seq("doc_id"))
     val modelKept = graft.ext.QualityModel.scoreDocs(lmKept)
       .filter(col("keep") === 1)
     val capped = graft.ext.Curation.domainCap(modelKept, n = 200)

@@ -108,15 +108,24 @@ object FlagshipProbe {
       def policed = graft.ext.Blocklist.filterBlocked(screened, "text",
           Seq("forbidden content", "do not train", "opt out"))
         .localCheckpoint(true)
+      // r16 shape: tile over the narrow checkpointed (doc_id, nll), then
+      // join surviving ids back (ntile double-reads its input)
       def lmScored(p: DataFrame) = p
         .withColumn("n_chars", length(col("text")).cast("long"))
         .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
         .join(graft.ext.NgramLm.selfScore(p)
           .select(col("doc_id"), col("nll")), Seq("doc_id"))
       def rest(p: DataFrame) = {
-        val lmKept = graft.ext.Tiling
-          .ntileByValue(lmScored(p), 10, "nll", "doc_id", "ppl_tile")
+        val nllRel = graft.ext.NgramLm.selfScore(p)
+          .select(col("doc_id"), col("nll")).localCheckpoint(true)
+        val lmTiles = graft.ext.Tiling
+          .ntileByValue(nllRel, 10, "nll", "doc_id", "ppl_tile")
           .filter(col("ppl_tile") <= 9)
+          .select(col("doc_id"))
+        val lmKept = p
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .join(lmTiles, Seq("doc_id"))
         val modelKept = graft.ext.QualityModel.scoreDocs(lmKept)
           .filter(col("keep") === 1)
         val capped = graft.ext.Curation.domainCap(modelKept, n = 200)
