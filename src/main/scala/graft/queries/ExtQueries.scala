@@ -2034,10 +2034,15 @@ object ExtQueries {
     * number every tokenizer/LM-data report quotes; slope ≈ −1 for
     * natural text, degenerate for boilerplate-heavy dumps. */
   val x57_zipf: Q = (s, d) => {
+    // r16: ntileByValue double-reads its input (bucket counts, then
+    // ranks), which re-ran the corpus tokenize+explode+count twice —
+    // checkpoint the REDUCED vocab-sized (word, f) relation so both
+    // tiling passes read that (the x50/x0_pipeline pattern)
     val tf = t(s, d, "documents")
       .select(explode(TextStats.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("f"))
       .withColumn("negf", -col("f").cast("double"))
+      .localCheckpoint(true)
     val ranked = graft.ext.Tiling.ntileByValue(tf, 1, "negf", "word")
     ranked.agg(
         round(regr_slope(log(col("f")), log(col("__rank"))), 4).as("slope"),
