@@ -146,9 +146,10 @@ object PlanCheck {
     check("x36_line_dedup", "heavy-line removal is a broadcast anti-join; no cartesian")(p =>
       p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
         !p.contains("CartesianProduct"))
-    check("x37_span_dedup", "dup-gram probe broadcast; windows reuse one per-doc partitioning (≤2 hash exchanges)")(p =>
+    check("x37_span_dedup", "dup-gram probe broadcast; no per-token window — row-local gap rebuild (≤2 hash exchanges, no Window)")(p =>
       p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
-        "Exchange hashpartitioning".r.findAllIn(p).size <= 2)
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&
+        !p.contains("Window ["))
     check("x2_components", "distributed label propagation: equi-joins only, no cartesian")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("x41_pca_project", "PCA projection is row-local: no join, no aggregation, no hash shuffle")(p =>

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 
 /** X37 — exact SUBSTRING deduplication (SURVEY §2.8): remove every
@@ -19,20 +19,21 @@ import org.apache.spark.sql.functions._
   * does a document with no tokens at all (nothing to keep; same
   * convention as [[LineDedup]]'s all-boilerplate case).
   *
-  * Plan shape (the 100 TB contract — no suffix arrays, no self-joins):
-  *   1. (token, k-gram) pairs built ROW-LOCALLY by array slicing inside
-  *      one `posexplode` — gram construction costs no shuffle and no
-  *      per-document sort (an earlier draft used `lead` windows, which
-  *      re-sorted the whole corpus by document twice; PlanCheck now pins
-  *      the ≤2-exchange shape);
-  *   2. duplicated-gram set by counting `xxhash64(gram)` — 8 bytes per
-  *      gram on the count shuffle, map-side combine first; the dup set is
-  *      the tail above count≥2, BROADCAST back (repeated passages are
-  *      rare relative to corpus grams);
-  *   3. coverage = `max(isDupStart) OVER (doc ROWS k-1 PRECEDING)` — the
-  *      plan's ONLY doc-partitioned exchange;
-  *   4. reassembly: one groupBy(doc) of surviving tokens, reusing the
-  *      window's partitioning.
+  * Plan shape (the 100 TB contract — no suffix arrays, no self-joins,
+  * and since r16 no text on any shuffle):
+  *   1. (id, pos, gram-hash) rows built ROW-LOCALLY by array slicing
+  *      inside one `posexplode` — 8 bytes of hash + a position per gram;
+  *      the k-token string is hashed inside the lambda and never leaves
+  *      the row;
+  *   2. duplicated-gram set by counting the hashes — map-side combine
+  *      first; the dup set is the tail above count≥2, BROADCAST back
+  *      (repeated passages are rare relative to corpus grams);
+  *   3. covered dup-START positions per document: only rows matching the
+  *      dup set shuffle (bounded by dup-gram occurrences);
+  *   4. reassembly is ROW-LOCAL on docs ⟕ covered: one forward
+  *      `aggregate()` over the sorted start list slices out the uncovered
+  *      gaps in O(tokens + starts) per document — no window, no per-token
+  *      shuffle, no collect_list of corpus text.
   *
   * Hashed counting has the same collision caveat as [[LineDedup]]
   * (documented there); the oracle query (x37_span_dedup) pins the hashed
@@ -57,56 +58,79 @@ object SpanDedup {
       k: Int, minCount: Long = 1L): DataFrame = {
     require(k >= 2, "k-gram order must be >= 2")
     require(minCount >= 1, "minCount must be >= 1")
-
-    val byPos = Window.partitionBy(idCol).orderBy("__pos")
-
-    // (token, hash-of-k-gram-starting-here) built row-local from the
-    // token array: the gram hash is null once the window would run off
-    // the end (and for every position of a below-resolution document).
-    // r16: the gram is HASHED INSIDE THE LAMBDA — the k-token string
-    // never leaves the row, so the posexplode materializes an 8-byte
-    // long per position instead of a ~k-word string, and neither the
-    // count aggregation nor the probe join re-derives the hash
-    // (R16Probe: 1.92 → 1.48 s on the sf0.1 corpus; same counting
-    // semantics — identical strings hash identically, collision caveat
-    // unchanged and still oracle-pinned by x37_span_dedup).
     import graft.functions.ColumnOps.letCol
-    val entries = letCol(TextStats.tokens(col(textCol))) { toks =>
-      when(size(toks) === 0,
-        array().cast("array<struct<t:string,g:bigint>>"))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - 1),
-          i => struct(
-            element_at(toks, i + 1).as("t"),
-            when(i <= size(toks) - k,
-              xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))).as("g"))))
-    }
-    val withGram = docs.select(
-        col(idCol), posexplode(entries).as(Seq("__pos", "__e")))
-      .select(col(idCol), col("__pos"),
-        col("__e").getField("t").as("__tok"),
-        col("__e").getField("g").as("__gh0"))
 
-    val dup = withGram.filter(col("__gh0").isNotNull)
-      .groupBy(col("__gh0").as("__gh"))
-      .agg(count(lit(1)).as("__c"))
+    // r16 rewrite (guide §8: decide with small rows, move big rows once).
+    // The previous shape exploded one row PER TOKEN — carrying the token
+    // string — through a doc-partitioned window exchange + sort, then
+    // reassembled text with a per-doc array_sort(collect_list(...)). All
+    // of that moved the corpus text through a row-count-sized shuffle to
+    // make a decision (which positions are covered) that depends only on
+    // 8-byte gram hashes and positions. Now:
+    //   1. (id, pos, gramHash) rows — 8 B hash + position, text never
+    //      leaves the row (same counting semantics/collision caveat);
+    //   2. dup set = hashes with count > minCount, broadcast (unchanged);
+    //   3. covered = per-doc SORTED dup-start positions: only MATCHED
+    //      rows shuffle (bounded by dup-gram occurrences, the rare tail);
+    //   4. rebuild ROW-LOCALLY on docs ⟕ covered: dup starts ascend, so
+    //      covered intervals [c, c+k-1] have ascending ends and one
+    //      forward aggregate() slices out the uncovered gaps — O(n+|cs|)
+    //      per doc, no window, no collect_list, no text shuffle (the
+    //      survivor join broadcasts when the covered set is small; at
+    //      worst text crosses the wire ONCE instead of per-token).
+    // Token-level semantics identical (token i removed iff a duplicated
+    // k-gram starts in [i-k+1, i]): SpanDedupSpec pins the boundaries,
+    // x37_span_dedup hash-pins the corpus face against DuckDB.
+    // Measured HONESTLY at the 10× set (R16Probe `span`): wall-time
+    // PARITY (~2.8–3.0 s both shapes) — at 25 MB of corpus text the gram
+    // hashing dominates and the removed text shuffle is noise there. The
+    // win is the at-scale contract: the old window exchange moved the
+    // WHOLE corpus text once per run, this shape moves hashes and
+    // positions only (and text at most once, through the survivor join,
+    // when `covered` outgrows broadcast).
+    val gramArr = letCol(TextStats.tokens(col(textCol))) { toks =>
+      when(size(toks) < k, array().cast("array<bigint>"))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - k),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+    }
+    val starts = docs.select(
+      col(idCol), posexplode(gramArr).as(Seq("__pos", "__gh")))
+
+    val dup = starts
+      .groupBy(col("__gh")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > minCount)
       .select("__gh")
 
-    val marked = withGram
-      .join(broadcast(dup), col("__gh0") === col("__gh"), "left_outer")
-      .withColumn("__dupStart",
-        when(col("__gh0").isNotNull && col("__gh").isNotNull, 1).otherwise(0))
-
-    val covered = marked.withColumn("__cov",
-      max(col("__dupStart")).over(byPos.rowsBetween(-(k - 1), 0)))
-
-    covered.filter(col("__cov") === 0)
+    val covered = starts
+      .join(broadcast(dup), Seq("__gh"))
       .groupBy(col(idCol))
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("__pos").as("p"), col("__tok").as("t")))),
-          x => x.getField("t")),
-        " ").as(textCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__cs"))
+
+    val rebuilt = letCol(TextStats.tokens(col(textCol))) { toks =>
+      letCol(coalesce(col("__cs"), array().cast("array<int>"))) { cs =>
+        val st0 = struct(lit(-1).as("e"),
+          array().cast("array<string>").as("acc"))
+        aggregate(cs, st0,
+          (st, c) => struct(
+            (c + lit(k - 1)).as("e"),
+            when(c > st.getField("e") + 1,
+              concat(st.getField("acc"),
+                slice(toks, st.getField("e") + 2, c - st.getField("e") - 1)))
+              .otherwise(st.getField("acc")).as("acc")),
+          st => array_join(
+            concat(st.getField("acc"),
+              when(size(toks) - st.getField("e") - 1 > 0,
+                slice(toks, st.getField("e") + 2,
+                  size(toks) - st.getField("e") - 1))
+                .otherwise(array().cast("array<string>"))),
+            " "))
+      }
+    }
+    // a document reduced to nothing (all tokens covered) — or with no
+    // tokens at all — disappears, same convention as before
+    docs.join(covered, Seq(idCol), "left")
+      .select(col(idCol), rebuilt.as(textCol))
+      .filter(length(col(textCol)) > 0)
   }
 }

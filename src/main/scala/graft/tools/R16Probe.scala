@@ -91,6 +91,19 @@ object R16Probe {
       }
     }
 
+    if (which == "q51") {
+      // decompose q51: pass 1 (construction-time collect) vs pass 2 (noop)
+      for (_ <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val df = graft.queries.Queries.q51_percentiles(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        println(f"[r16] q51 pass1(construct+collect) ${(t1 - t0) / 1e9}%6.3f s" +
+          f"  pass2(noop) ${(t2 - t1) / 1e9}%6.3f s")
+      }
+    }
+
     if (which == "lmplan") {
       // final (post-AQE) plan of selfScore: is the (w1,w2) exchange reused?
       val docs = t("documents").select(col("doc_id"), col("text"))
