@@ -143,9 +143,9 @@ object PlanCheck {
       if (!ok) println(s.linesIterator.take(40).mkString("\n"))
     }
 
-    check("x36_line_dedup", "heavy-line removal is a broadcast anti-join; no cartesian")(p =>
-      p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
-        !p.contains("CartesianProduct"))
+    check("x36_line_dedup", "heavy-line probe broadcast; row-local rebuild (no text collect_list, no cartesian)")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("collect_list(__line") && !p.contains("collect_list(struct"))
     check("x37_span_dedup", "dup-gram probe broadcast; no per-token window — row-local gap rebuild (≤2 hash exchanges, no Window)")(p =>
       p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
         "Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&

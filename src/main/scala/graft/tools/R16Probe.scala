@@ -91,6 +91,35 @@ object R16Probe {
       }
     }
 
+    if (which == "line") {
+      val docs = t("documents").select(col("doc_id"), col("text"))
+      time("line A current (row-local rebuild)") {
+        graft.ext.LineDedup.dedupLines(docs, "doc_id", "text", 100L)
+      }
+      // B: the pre-r16 shape — anti-join per-line rows carrying text,
+      // reassemble with a per-doc collect_list(struct(pos, line))
+      time("line B explode+collect_list") {
+        val maxOccurrences = 100L
+        val lines = docs.select(col("doc_id"),
+          posexplode(split(col("text"), "\n", -1)).as(Seq("__pos", "__line")))
+        val heavy = lines
+          .groupBy(xxhash64(col("__line")).as("__lh"))
+          .agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > maxOccurrences)
+          .select("__lh")
+        lines
+          .join(broadcast(heavy), xxhash64(col("__line")) === col("__lh"),
+            "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(
+                struct(col("__pos").as("p"), col("__line").as("l")))),
+              x => x.getField("l")),
+            "\n").as("text"))
+      }
+    }
+
     if (which == "q51") {
       // decompose q51: pass 1 (construction-time collect) vs pass 2 (noop)
       for (_ <- 1 to 3) {

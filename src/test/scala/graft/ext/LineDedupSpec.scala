@@ -63,11 +63,19 @@ class LineDedupSpec extends SparkSpec {
     assert(freqs === Map("a" -> 2L, "b" -> 1L))
   }
 
-  test("heavy-set anti-join broadcasts (the scale contract)") {
+  test("no line text on any shuffle (the scale contract)") {
+    // r16 shape: the heavy-set probe is a broadcast hash join and the
+    // only shuffle is the removed-POSITION list (ints) — reassembly is
+    // row-local, so no window and no collect_list of line strings
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
     val plan = LineDedup.dedupLines(docs, "doc_id", "text", 1L)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"expected broadcast left-anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("Window ["), s"expected no window:\n$plan")
+    // the sole collect_list aggregates __pos (an int), never line text
+    assert(!plan.contains("collect_list(__line") &&
+      !plan.contains("collect_list(struct"),
+      s"expected no text collect_list:\n$plan")
   }
 }
