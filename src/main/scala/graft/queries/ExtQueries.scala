@@ -1194,7 +1194,17 @@ object ExtQueries {
       Dedup.MinHashParams(threshold = 1.0))
     // round 5: the within-text cleaning passes join the flagship — line
     // boilerplate first (coarse), then repeated >=8-token passages (fine)
-    val lineClean = graft.ext.LineDedup.dedupLines(near, "doc_id", "text", 100L)
+    // r16: the line/span cleaners now reference their input THREE times
+    // (hash-count pass, matched-position pass, row-local rebuild) instead
+    // of riding text through one exploded shuffle — the right trade when
+    // the input is a materialized corpus, multiplicative re-execution
+    // when it is this uncheckpointed dedup chain (3×3 = 9 evals of
+    // `near` measured as a 5.2 → 13.1 s flagship regression at sf0.1).
+    // Materialize each cleaning stage once — the production persist-
+    // between-phases pattern this pipeline already uses at `policed`.
+    val lineClean = graft.ext.LineDedup
+      .dedupLines(near.localCheckpoint(true), "doc_id", "text", 100L)
+      .localCheckpoint(true)
     val spanClean = graft.ext.SpanDedup.dedupSpans(lineClean, "doc_id", "text", k = 8)
     // r16: filter directly instead of withColumn+filter — the pushed-down
     // filter predicate and the projected column each evaluated the full

@@ -99,7 +99,11 @@ object FlagshipProbe {
       def exact = Dedup.exactByContent(corpus, "text", "doc_id")
       def near = Dedup.dedupNear(exact, "doc_id", "text",
         Dedup.MinHashParams(threshold = 1.0))
-      def lineClean = graft.ext.LineDedup.dedupLines(near, "doc_id", "text", 100L)
+      // r16 shape: cleaning stages materialized between phases (the
+      // line/span cleaners read their input 3x each)
+      def lineClean = graft.ext.LineDedup
+        .dedupLines(near.localCheckpoint(true), "doc_id", "text", 100L)
+        .localCheckpoint(true)
       def spanClean = graft.ext.SpanDedup.dedupSpans(lineClean, "doc_id", "text", k = 8)
       def screened = spanClean
         .withColumn("quality", TextStats.qualityScore(col("text")))
