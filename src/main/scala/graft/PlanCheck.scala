@@ -161,6 +161,25 @@ object PlanCheck {
     check("x43_ngram_lm", "bigram LM: row-local pair gen + equi joins only; the sole single-partition exchange is the vocab scalar")(p =>
       !p.contains("CartesianProduct") && p.contains("partial_") &&
         "Exchange SinglePartition".r.findAllIn(p).size <= 1)
+    // RUNTIME pin (r17, ADVICE r16): the selfScore vocab scalar reusing
+    // the bigram-count exchange rests on two semantically-no-op
+    // expressions keeping plan canonicalization aligned (NgramLm.scala's
+    // isnotnull filter + `count >= 1` keep-alive) — an optimizer-rule or
+    // Spark-version change can silently drop the reuse and regress x43 to
+    // a third full tokenize pass with no functional signal. Only the
+    // POST-EXECUTION adaptive plan shows ReusedExchange, hence the
+    // executed-plan variant here.
+    locally {
+      val df = SparkEntry.queries("x43_ngram_lm")(spark, sfDir)
+      // execute THROUGH the df's own QueryExecution (a noop write builds
+      // its own and would leave this plan un-finalized); 500 rows
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val ok = p.contains("ReusedExchange")
+      println(s"PLAN ${if (ok) "OK  " else "FAIL"} x43_ngram_lm: " +
+        "RUNTIME vocab scalar reuses the bigram-count exchange (ReusedExchange)")
+      if (!ok) println(p.linesIterator.take(40).mkString("\n"))
+    }
     check("x44_jaro_winkler", "JW scoring through the native codegen expression (no UDF), no cartesian")(p =>
       p.contains("jaro_winkler_sim") && !p.contains("CartesianProduct") &&
         !p.contains("BatchEvalPython"))

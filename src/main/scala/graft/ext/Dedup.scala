@@ -195,10 +195,22 @@ object Dedup {
     * ContextCleaner and reclaimed on GC — unlike `.cache()`, which pins
     * blocks in the CacheManager for the session lifetime. */
   private def withCachedSketch(df: DataFrame, idCol: String, textCol: String,
-      p: MinHashParams)(f: DataFrame => DataFrame): DataFrame = {
+      p: MinHashParams)(f: DataFrame => DataFrame): DataFrame =
+    withCachedSketchCounted(df, idCol, textCol, p)(f)._1
+
+  /** [[withCachedSketch]] plus the checkpointed relation's row count,
+    * observed ON the checkpoint materialization job itself (the CC-loop
+    * convergence trick) — r17, so [[dedupNear]] hands connectedComponents
+    * its knownEdges without a second action over the blocks. */
+  private def withCachedSketchCounted(df: DataFrame, idCol: String,
+      textCol: String, p: MinHashParams)(
+      f: DataFrame => DataFrame): (DataFrame, Long) = {
     val sk = sketch(df, idCol, textCol, p).cache()
-    try f(sk).localCheckpoint(true)
-    finally sk.unpersist(false)
+    try {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = f(sk).observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+      (ck, obs.get("n").asInstanceOf[Long])
+    } finally sk.unpersist(false)
   }
 
   // ------------------------------------------------- cluster merge / dedup
@@ -551,13 +563,15 @@ object Dedup {
     * cluster, pass through everything unclustered. */
   def dedupNear(df: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams()): DataFrame = {
-    // r16: the pair relation is already localCheckpoint-backed (eager,
-    // lineage-truncated), so count it directly and hand the scale to
-    // connectedComponents — skipping its probe cache(), which would
-    // re-materialize checkpointed blocks into the CacheManager for one
-    // count (the r15-verdict knownEdges plumbing, now actually used).
-    val pairs = nearDupPairs(df, idCol, textCol, p)
-    val clusters = connectedComponents(pairs, knownEdges = Some(pairs.count()))
+    // r16: the pair relation is localCheckpoint-backed (eager,
+    // lineage-truncated) and the scale is handed to connectedComponents
+    // as knownEdges — skipping its probe cache(). r17: the edge count now
+    // rides the checkpoint materialization itself via observe() (one
+    // action fewer — the separate pairs.count() job over the blocks is
+    // gone; VERDICT r16 item 6).
+    val (pairs, nEdges) =
+      withCachedSketchCounted(df, idCol, textCol, p)(nearDupPairsFromSketch(_, p))
+    val clusters = connectedComponents(pairs, knownEdges = Some(nEdges))
     val losers = clusters.filter(col("id") =!= col("cluster")).select(col("id"))
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }

@@ -43,11 +43,18 @@ object Hamming {
     val capped = banded(df, idCol, hashCol, maxHamming, maxChunkFreq)
     val a = capped.as("a")
     val b = capped.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key")
-        && col("a.id") < col("b.id"))
+    val cand = a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key")
+          && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.h").as("h_a"), col("b.h").as("h_b"))
-      .distinct()
+    // the distinct collapses candidates found via SEVERAL agreeing chunks;
+    // at maxHamming = 0 there is exactly one chunk, so every pair appears
+    // once and the distinct is a pure extra exchange (guide §2.4: a
+    // distinct on data that is already unique) — r17, measured as one AQE
+    // job per call on the radius-0 media faces
+    val uniq = if (maxHamming == 0) cand else cand.distinct()
+    uniq
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -71,24 +71,57 @@ object LineDedup {
       .select("__lh")
 
     // boilerplate occurrences only: (doc, removed positions) — bounded by
-    // heavy-line hits, tiny next to the corpus
+    // heavy-line hits, tiny next to the corpus. The probe side is
+    // size-gated (r17): boilerplate is the head of the line-frequency
+    // distribution BY ASSUMPTION, and on a template-heavy crawl that
+    // assumption can fail — an unconditional broadcast() hint would then
+    // build a driver-killing hash relation. The gate counts the heavy set
+    // as its checkpoint materializes (observe() rides the job — the CC
+    // convergence trick) and falls back to a plain shuffled join above
+    // the threshold; only 8-byte hashes and positions shuffle either way.
+    val probe = DedupGate.sizeGated(heavy)
     val removed = lines
-      .join(broadcast(heavy), Seq("__lh"))
+      .join(probe, Seq("__lh"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__pos"))).as("__rp"))
 
-    // row-local rebuild: keep lines whose position is not removed. The
-    // survival test is "any line left", NOT "text non-empty" — a document
-    // whose sole surviving line is the empty string stays (with empty
-    // text), exactly as the pre-r16 groupBy emitted it.
+    // Row-local rebuild, r17 shape: one forward aggregate() over the
+    // SORTED removed list slices the kept gaps out of the row's own line
+    // array — O(lines + removed) per doc (the r16 per-line
+    // array_contains probe was O(lines × removed) on boilerplate-dense
+    // docs), and the join/filter/projection below evaluates it ONCE: the
+    // survival predicate is the cheap arithmetic "any line left"
+    // (positions are distinct per doc, so kept = n_lines − n_removed),
+    // which Catalyst can push below the projection without duplicating
+    // the rebuild (the r16 filter(size(rebuilt)) was substituted into
+    // FilterExec and ran the HOF twice per surviving row).
+    // The survival test is "any line left", NOT "text non-empty" — a
+    // document whose sole surviving line is the empty string stays (with
+    // empty text), exactly as the pre-r16 groupBy emitted it.
+    val rebuilt = letCol(lineArr) { la =>
+      letCol(coalesce(col("__rp"), array().cast("array<int>"))) { rp =>
+        val st0 = struct(lit(-1).as("e"),
+          array().cast("array<string>").as("acc"))
+        aggregate(rp, st0,
+          (st, r) => struct(
+            r.as("e"),
+            when(r > st.getField("e") + 1,
+              concat(st.getField("acc"),
+                slice(la, st.getField("e") + 2, r - st.getField("e") - 1)))
+              .otherwise(st.getField("acc")).as("acc")),
+          st => array_join(
+            concat(st.getField("acc"),
+              when(size(la) - st.getField("e") - 1 > 0,
+                slice(la, st.getField("e") + 2,
+                  size(la) - st.getField("e") - 1))
+                .otherwise(array().cast("array<string>"))),
+            "\n"))
+      }
+    }
     docs.join(removed, Seq(idCol), "left")
-      .select(col(idCol), col(textCol), col("__rp"))
-      .withColumn(textCol,
-        letCol(coalesce(col("__rp"), array().cast("array<int>"))) { rp =>
-          filter(lineArr, (_, i) => not(array_contains(rp, i)))
-        })
-      .filter(size(col(textCol)) > 0)
-      .select(col(idCol), array_join(col(textCol), "\n").as(textCol))
+      .filter(size(lineArr)
+        - size(coalesce(col("__rp"), array().cast("array<int>"))) > 0)
+      .select(col(idCol), rebuilt.as(textCol))
   }
 
   /** The corpus-frequency table itself (line text, occurrences), for

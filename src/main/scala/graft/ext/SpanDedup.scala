@@ -44,7 +44,9 @@ object SpanDedup {
   /** Documents with corpus-duplicated ≥k-token substrings removed.
     *
     * @param docs     corpus; text tokenized on whitespace
-    * @param idCol    document key column
+    * @param idCol    document key column (must key rows — duplicate ids
+    *                 would each receive the union of their covered
+    *                 positions; same contract as [[LineDedup]])
     * @param textCol  text column
     * @param k        duplicated-substring granularity in tokens (a span
     *                 must contain a full k-gram to be detectable; spans
@@ -102,8 +104,11 @@ object SpanDedup {
       .filter(col("__c") > minCount)
       .select("__gh")
 
+    // r17: the dup set is size-gated instead of hard-hinted — see
+    // [[DedupGate]]; past the threshold the probe becomes a shuffled
+    // join of (id, pos, hash) metadata rows, still never text
     val covered = starts
-      .join(broadcast(dup), Seq("__gh"))
+      .join(DedupGate.sizeGated(dup), Seq("__gh"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__pos"))).as("__cs"))
 
@@ -128,9 +133,29 @@ object SpanDedup {
       }
     }
     // a document reduced to nothing (all tokens covered) — or with no
-    // tokens at all — disappears, same convention as before
+    // tokens at all — disappears, same convention as before. r17: the
+    // survival predicate is a CHEAP integer pass over the covered-start
+    // list (uncovered tokens > 0 ⟺ rebuilt text non-empty, because
+    // tokens() yields only non-empty strings), evaluated BELOW the
+    // projection — filtering on length(rebuilt) let Catalyst substitute
+    // the full string-building aggregate into FilterExec and run it
+    // twice per surviving row (the same double-evaluation this diff
+    // measured and fixed for `screened` in r16).
+    val survivors = letCol(size(TextStats.tokens(col(textCol)))) { n =>
+      letCol(coalesce(col("__cs"), array().cast("array<int>"))) { cs =>
+        val st0 = struct(lit(-1).as("e"), lit(0).as("kept"))
+        aggregate(cs, st0,
+          (st, c) => struct(
+            (c + lit(k - 1)).as("e"),
+            (st.getField("kept")
+              + when(c > st.getField("e") + 1, c - st.getField("e") - 1)
+                .otherwise(lit(0))).as("kept")),
+          st => st.getField("kept")
+            + greatest(n - st.getField("e") - 1, lit(0)))
+      }
+    }
     docs.join(covered, Seq(idCol), "left")
+      .filter(survivors > 0)
       .select(col(idCol), rebuilt.as(textCol))
-      .filter(length(col(textCol)) > 0)
   }
 }

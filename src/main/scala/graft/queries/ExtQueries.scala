@@ -2815,9 +2815,16 @@ object ExtQueries {
     // task at sf0.1), so every PNG/WAV/GVID encode+decode ran serially
     // on one core (R16Probe: video fingerprints 1.16 → 0.20 s after the
     // spread). Scale-adaptive: defaultParallelism, not a constant.
+    // r17: materialize the 450-id spine ONCE — each modality's encode
+    // dataset re-derived it, paying three documents scans + three
+    // repartition shuffles per run (the scan grows with SF; the spine is
+    // 450 longs). The checkpoint also lets the three concurrent
+    // fingerprint builds below start from memory instead of racing on
+    // the same parquet listing.
     val ids = t(s, d, "documents")
       .filter(col("doc_id") < 450).select(col("doc_id")).as[Long]
       .repartition(math.min(450, s.sparkContext.defaultParallelism))
+      .localCheckpoint(true)
     // seed arithmetic per modality: regular groups below 360, the
     // over-cap mega-group above (seed 100000 collides with no i % G)
     def seedOf(i: Long, g: Long): Long = if (i >= 360) 100000L else i % g
@@ -2876,13 +2883,32 @@ object ExtQueries {
         Future(graft.ext.VideoDedup.fingerprints(videos).localCheckpoint(true)))),
         Duration.Inf)
     }
-    report("image", imgFp, "dhash",
-        graft.ext.ImageDedup.exactDupPairs(imgFp, maxChunkFreq = Some(64)))
-      .unionByName(report("audio", audFp, "sig",
-        graft.ext.AudioDedup.exactDupPairs(audFp, maxChunkFreq = Some(64))))
-      .unionByName(report("video", vidFp, "sig",
-        graft.ext.VideoDedup.exactDupPairs(vidFp, maxChunkFreq = Some(64))))
-      .orderBy(col("modality"))
+    // r17 (guide §2.6 again, downstream this time): the post-checkpoint
+    // report subtrees are ~10 tiny exchanges per modality over 450-row
+    // long relations — pure AQE job-floor cost (R17Probe `media`: 37
+    // jobs/688 tasks for the whole face, ~1.6 s of the 2.0 s residual
+    // AFTER the concurrent fingerprint build). The three reports are
+    // independent single-row relations; materializing them concurrently
+    // overlaps those floors exactly as the fingerprint build already
+    // does. Same rows, same union order.
+    val Seq(imgRep, audRep, vidRep) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      Await.result(Future.sequence(Seq(
+        Future(report("image", imgFp, "dhash",
+          graft.ext.ImageDedup.exactDupPairs(imgFp, maxChunkFreq = Some(64)))
+          .localCheckpoint(true)),
+        Future(report("audio", audFp, "sig",
+          graft.ext.AudioDedup.exactDupPairs(audFp, maxChunkFreq = Some(64)))
+          .localCheckpoint(true)),
+        Future(report("video", vidFp, "sig",
+          graft.ext.VideoDedup.exactDupPairs(vidFp, maxChunkFreq = Some(64)))
+          .localCheckpoint(true)))),
+        Duration.Inf)
+    }
+    imgRep.unionByName(audRep).unionByName(vidRep).orderBy(col("modality"))
   }
 
   /** X86 (round 10) — small-file compaction, ORACLE-CHECKED round trip

@@ -83,4 +83,29 @@ class SpanDedupSpec extends SparkSpec {
     val out = clean(docs, 3)
     assert(out === Map(1L -> "tiny doc", 2L -> "tiny doc"))
   }
+
+  test("probe gate: oversized dup set falls back to a shuffled join, " +
+      "results identical") {
+    val docs = Seq(
+      (1L, "the same old passage again and unique one"),
+      (2L, "the same old passage again and unique two"),
+      (3L, "entirely fresh prose lives here"))
+    val expected = clean(docs, 3) // broadcast path (default gate)
+    // gate at 0 removes the hint; auto-broadcast off too, because the
+    // checkpointed dup set carries its real (tiny) size and the planner
+    // would broadcast it unaided — see LineDedupSpec's twin test
+    spark.conf.set(DedupGate.maxKeysConf, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(clean(docs, 3) === expected, "fallback path must agree")
+      val plan = SpanDedup
+        .dedupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"gate at 0 must not hint a broadcast:\n$plan")
+    } finally {
+      spark.conf.unset(DedupGate.maxKeysConf)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
