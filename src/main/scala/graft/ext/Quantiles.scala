@@ -97,12 +97,24 @@ object Quantiles {
     // (1) bucket row counts → cumulative rank spans and n per (group,
     // tag); null-value rows keep a null-bucket row for group presence.
     // Everything below the groupBy is reducer-side work on a TINY
-    // relation, and all its consumers reuse the one shuffle (AQE stage
-    // reuse), so the input is scanned exactly once here.
+    // relation. r17: the histogram is MATERIALIZED (eager localCheckpoint)
+    // before its two pass-1 consumers — the rank-span branch and the
+    // distinct-group branch of the union below. The r16 comment claimed
+    // AQE stage reuse made the input "scanned exactly once here"; measured
+    // (R17Probe `q51` at the 10× set) pass 1 ran TWO full melt scans —
+    // column pruning drops `__bc` from the distinct-group branch's partial
+    // aggregate and the rank branch's isnotnull(__b) pushes below the
+    // exchange, either of which breaks plan canonicalization and with it
+    // the reuse (the exact x43_ngram_lm failure mode from r16). A
+    // checkpoint of the bucket-bounded relation makes the single scan
+    // STRUCTURAL instead of canonicalization-fragile; the blocks are
+    // ContextCleaner-reclaimed. Callers sharing the pattern (q51, Robust's
+    // median/MAD, x58 winsorize) all inherit the removed scan.
     val bucketCounts = melt(df)
       .select(col("__g"), col("__t"), bucketId(col("__v")).as("__b"))
       .groupBy(col("__g"), col("__t"), col("__b"))
       .agg(count(lit(1)).as("__bc"))
+      .localCheckpoint(true)
     val wCum = Window.partitionBy(col("__g"), col("__t")).orderBy(col("__b"))
     val spans = bucketCounts
       .filter(col("__b").isNotNull)

@@ -244,6 +244,55 @@ object R17Probe {
         graft.SparkEntry.queries("x0_pipeline")(spark, sfDir))
     }
 
+    if (which == "q51") {
+      // decompose: pass 1 (bucket spans, eager collect inside
+      // exactQuantiles) happens at construction; pass 2 at the action.
+      println(s"[r17] q51 decomposition, sf=$sfDir")
+      (1 to 2).foreach(_ =>
+        noop(graft.SparkEntry.queries("q51_percentiles")(spark, sfDir)))
+      (1 to 3).foreach { i =>
+        resetCounters()
+        val t0 = System.nanoTime()
+        val df = graft.SparkEntry.queries("q51_percentiles")(spark, sfDir)
+        val t1 = System.nanoTime()
+        val j1 = jobs.get; val k1 = tasks.get
+        noop(df)
+        val t2 = System.nanoTime()
+        println(f"[r17]   run $i: construct(pass1)=${(t1 - t0) / 1e9}%6.3f s " +
+          f"(jobs=$j1 tasks=$k1)  action(pass2)=${(t2 - t1) / 1e9}%6.3f s " +
+          f"(jobs=${jobs.get - j1} tasks=${tasks.get - k1})")
+        import scala.jdk.CollectionConverters._
+        stageLog.asScala.toSeq.sortBy(-_._4).take(6).foreach { case (id, nm, nt, ms) =>
+          println(f"[r17]     stage $id%4d $nm%-60s tasks=$nt%4d ${ms}ms")
+        }
+      }
+    }
+
+    if (which == "aggknobs") {
+      // q06/q19/q86 hash-agg kernels: Spark 4.1 codegen aggregate knobs
+      // (VERDICT r16 item 8 — config-level, try at the 10x set, keep only
+      // on a clear win). Runtime-settable; codegen happens per query.
+      def q(n: String) = graft.SparkEntry.queries(n)(spark, sfDir)
+      // order-reversed on the rerun (REVERSE=1): the candidate knob first,
+      // default last, to rule out warm-order bias
+      val reverse = sys.env.contains("GRAFT_KNOB_REVERSE")
+      for (name <- Seq("q06_multi_agg", "q19_doc_stats", "q86_rollup_avg")) {
+        def dflt(): Unit = time(s"$name default knobs", warmups = 2)(q(name))
+        def cand(): Unit = {
+          spark.conf.set("spark.sql.codegen.aggregate.map.twolevel.partialOnly", "false")
+          time(s"$name twolevel final too", warmups = 2)(q(name))
+          spark.conf.unset("spark.sql.codegen.aggregate.map.twolevel.partialOnly")
+        }
+        if (reverse) { cand(); dflt() } else {
+          dflt()
+          spark.conf.set("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
+          time(s"$name vectorized fastmap", warmups = 1)(q(name))
+          spark.conf.unset("spark.sql.codegen.aggregate.map.vectorized.enable")
+          cand()
+        }
+      }
+    }
+
     spark.stop()
   }
 }
