@@ -44,6 +44,17 @@ object Contamination {
     val toks = tokens(col(textCol))
     // sequence(a, b) REVERSES when b < a — guard the too-short case with
     // an empty gram array instead.
+    // NOTE (r17): SpanDedup's multi-arg-xxhash64 gram kernel (1.7× on the
+    // hash stage) was tried here and REVERTED. This helper feeds
+    // StreamingContamination.fit's BLOOM FILTER, whose behavior depends
+    // on the hash VALUES (bit positions → false-positive pattern), not
+    // just the gram-equivalence classes — changing the values re-rolls
+    // the FP dice against the exact string-space oracle of
+    // x4_contam_gate, and the screen's row-local gramHashes must stay
+    // value-identical to this expression (measured: a mismatched pair
+    // flags nothing). The batch report path is class-only and would be
+    // safe, but splitting the "shared verbatim" kernel in two is not
+    // worth the non-bench-row win.
     val grams = when(size(col("__toks")) >= n,
       transform(
         sequence(lit(1), size(col("__toks")) - (n - 1)),

@@ -90,11 +90,23 @@ object SpanDedup {
     // WHOLE corpus text once per run, this shape moves hashes and
     // positions only (and text at most once, through the survivor join,
     // when `covered` outgrows broadcast).
+    // Gram identity = multi-arg xxhash64 over the k tokens (r17; guide
+    // §1.2 step 2 per-task work). The previous slice + concat_ws + hash
+    // built a k-token STRING per gram — an array slice and a string
+    // allocation/copy for every gram of every document. Multi-arg
+    // xxhash64 chains each token's bytes through the running hash state:
+    // equal token sequences hash equal deterministically, different
+    // sequences collide only at hash odds, and tokens are whitespace-free
+    // so the induced equivalence classes are exactly the gram-string
+    // classes the previous expression (and the DuckDB oracle) count —
+    // the hash values themselves never leave the query. Measured
+    // (R17Probe `spanhash`, 10× set, order-controlled): count stage
+    // 1.07–1.15 s → 0.67 s at k=5 and k=8, same shuffle records.
     val gramArr = letCol(TextStats.tokens(col(textCol))) { toks =>
       when(size(toks) < k, array().cast("array<bigint>"))
         .otherwise(transform(
           sequence(lit(0), size(toks) - k),
-          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+          i => xxhash64((1 to k).map(j => element_at(toks, i + j)): _*)))
     }
     val starts = docs.select(
       col(idCol), posexplode(gramArr).as(Seq("__pos", "__gh")))

@@ -244,6 +244,44 @@ object R17Probe {
         graft.SparkEntry.queries("x0_pipeline")(spark, sfDir))
     }
 
+    if (which == "spanhash") {
+      // gram-hash kernel A/B: the x37/x0_pipeline span stage is gram-
+      // hashing bound (guide §1.2 step 2 — per-task work). A = current
+      // slice+concat_ws+xxhash64 (hashes the gram STRING); B = multi-arg
+      // xxhash64 over the k tokens (no slice array, no concat string —
+      // same gram-identity classes because tokens are whitespace-free, so
+      // " "-concat is injective over token sequences).
+      import graft.functions.ColumnOps.letCol
+      import graft.ext.TextStats
+      val docs = core.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      for (k <- Seq(5, 8)) {
+        def countA = {
+          val g = letCol(TextStats.tokens(col("text"))) { toks =>
+            when(size(toks) < k, array().cast("array<bigint>"))
+              .otherwise(transform(sequence(lit(0), size(toks) - k),
+                i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+          }
+          docs.select(posexplode(g).as(Seq("__p", "__gh")))
+            .groupBy(col("__gh")).agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1)
+        }
+        def countB = {
+          val g = letCol(TextStats.tokens(col("text"))) { toks =>
+            when(size(toks) < k, array().cast("array<bigint>"))
+              .otherwise(transform(sequence(lit(0), size(toks) - k),
+                i => xxhash64((1 to k).map(j => element_at(toks, i + j)): _*)))
+          }
+          docs.select(posexplode(g).as(Seq("__p", "__gh")))
+            .groupBy(col("__gh")).agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1)
+        }
+        time(s"spanhash k=$k A slice+concat+hash", warmups = 2)(countA)
+        time(s"spanhash k=$k B multi-arg hash", warmups = 2)(countB)
+        time(s"spanhash k=$k A again (order ctl)", warmups = 0)(countA)
+      }
+    }
+
     if (which == "q51") {
       // decompose: pass 1 (bucket spans, eager collect inside
       // exactQuantiles) happens at construction; pass 2 at the action.
